@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Execution is measured end-to-end per query with results fully consumed via
+the noop sink (no driver collect skew). A `duckdb` key records the oracle
+engine's time on the same files for the same logical work (our operative
+baseline, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per major operator family (scan, filter, chunk index,
+# relational agg/join/window, dedup, similarity, text, sessionization).
+HEADLINE = [
+    "r3_full_column_scan",
+    "f1_regex_filter",
+    "x1_chunk_index",
+    "rel_agg_q1",
+    "rel_join_q5",
+    "rel_window_rank",
+    "rel_asof_join",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_knn_bruteforce",
+    "ns_text_tokens",
+    "stream_session",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else -1.0
+
+
+def run_spark(sf_dir: str) -> dict[str, float]:
+    from duckdb_parquet_parser_spark.operators import collect_queries
+    from duckdb_parquet_parser_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries, _ = collect_queries()
+
+    # Warm the JVM + parquet footers once (not measured).
+    queries["rel_agg_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def run_duckdb(sf_dir: str) -> dict[str, float]:
+    from duckdb_parquet_parser_spark.operators import collect_queries
+    from duckdb_parquet_parser_spark.testing import duckdb_connection
+
+    _, oracles = collect_queries()
+    con = duckdb_connection(sf_dir)
+    times: dict[str, float] = {}
+    try:
+        for name in HEADLINE:
+            sql = oracles.get(name)
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times[name] = round(time.perf_counter() - t0, 4)
+    finally:
+        con.close()
+    return times
+
+
+def main() -> None:
+    sf_dir = SF_DIR
+    spark_times = run_spark(sf_dir)
+    try:
+        duck_times = run_duckdb(sf_dir)
+    except Exception:
+        duck_times = {}
+    total = round(sum(spark_times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": spark_times,
+                "sf": _sf_from_dir(sf_dir),
+                "duckdb": duck_times,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

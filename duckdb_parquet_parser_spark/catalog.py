@@ -1,0 +1,87 @@
+"""Fixture-table catalog: one Parquet file per table (reference model:
+"file = table", parquet_reader.cpp:14-39 — ``spark.read.parquet`` is the
+Spark-native equivalent of the reference's ``ParquetReader::open``).
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as Parquet TIMESTAMP(NANOS) — Spark rejects those
+    outright, so they're read as raw int64 and truncated to micros (exactly
+    what DuckDB does natively). Footer-only read, cheap at any scale."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """R1: open file + footer scan → DataFrame (schema from footer, lazily
+    partitioned scan; Spark handles magic/footer/page decode internally).
+
+    TIMESTAMP(NANOS) columns (which Spark's Parquet reader refuses) are
+    read as int64 via the legacy nanosAsLong conf and floor-divided to
+    microsecond TIMESTAMP_NTZ — matching DuckDB's native ns→us truncation
+    so oracle comparisons agree.
+    """
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,88 @@
+"""Reusable column-expression builders shared across operators.
+
+Everything here stays JVM-side (built-in ``pyspark.sql.functions``) so the
+expressions participate in whole-stage codegen and Catalyst pushdown; no
+Python UDFs in any hot path.
+
+Cross-engine determinism conventions (Spark result must hash-match the
+DuckDB oracle):
+
+- Double aggregation order differs between engines, so SUM/AVG over doubles
+  first casts to ``DECIMAL(18,6)`` (exact, order-independent), then the
+  final value is cast back to double (identical bit pattern both sides).
+- Hashes use ``md5`` (lowercase hex in both engines) — never engine-native
+  ``hash()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def dsum(col: str | Column, alias: str) -> Column:
+    """Order-independent sum of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def dround(col: Column, scale: int = 6) -> Column:
+    return F.round(col, scale)
+
+
+def davg(col: str | Column, count_col: Column, alias: str, scale: int = 6) -> Column:
+    """avg = round(double(decimal_sum) / count): deterministic both sides."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast(DEC)).cast("double") / count_col, scale).alias(alias)
+
+
+def md5_hash(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def words(col: str | Column) -> Column:
+    """Whitespace tokenization (reference fixture text is space-separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def minhash_value(word_col: Column, seed: int) -> Column:
+    """One MinHash 'hash function': lexicographic min over md5(seed || ':' || w).
+
+    md5 hex strings compare identically in Spark and DuckDB, so
+    ``min(md5(seed:w))`` is a fully portable minhash — no hex→int needed.
+    """
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), word_col)))
+
+
+def hex_digit_high_bit(hex_str: Column, pos: int) -> Column:
+    """Bit j of a word hash = high bit of the j-th md5 hex digit (≥ '8').
+
+    Gives 32 portable pseudo-random bits per word for SimHash without any
+    hex→integer conversion (which DuckDB 1.0 lacks a clean path for).
+    """
+    return (F.substring(hex_str, pos + 1, 1) >= "8").cast("int")
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine over two array<float> columns, JVM-side via higher-order fns.
+
+    ``F.zip_with`` + ``F.aggregate`` fold left-to-right exactly like
+    DuckDB's ``list_cosine_similarity`` sequential loop; both compute in
+    double after per-element float→double promotion.
+    """
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_a = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    norm_b = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (norm_a * norm_b)

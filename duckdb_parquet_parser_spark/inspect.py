@@ -1,0 +1,354 @@
+"""Parquet physical-metadata inspection — reference ops R1, R2, R6.
+
+The reference exposes footer/row-group/page internals as first-class APIs
+(ParquetReader::open parquet_reader.cpp:14-61; num_row_groups/row-group
+stats parquet_reader.cpp:65-89; the global data-page index built by walking
+every page header, parquet_reader.cpp:559-605). Spark has no public page
+API, so per SURVEY.md §7.4 these are driver-side, footer-only reads:
+
+- row-group metadata via pyarrow's footer parse (ships with PySpark);
+- page counts via a ~100-line pure-Python Thrift compact-protocol walker
+  over the page headers (public Parquet format knowledge only).
+
+Both touch only file metadata + page headers — never column data — so they
+are cheap even against very large files, and the returned stats are small
+driver-side tables (safe at 100 TB: O(files × columns), not O(rows)).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .catalog import table_path
+
+# ---------------------------------------------------------------------------
+# Footer metadata (pyarrow) — R1/R2 physical stats
+# ---------------------------------------------------------------------------
+
+
+def file_metadata(path: str):
+    """R1: validate + parse footer. Raises on bad magic / truncation, the
+    same failure modes as ParquetReader::open (parquet_reader.cpp:15-39)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+        fh.seek(-4, os.SEEK_END)
+        tail = fh.read(4)
+    if head != b"PAR1" or tail != b"PAR1":
+        raise ValueError(f"{path}: missing PAR1 magic")
+    return pq.ParquetFile(path).metadata
+
+
+def row_group_bounds(path: str, row_group: int) -> tuple[int, int]:
+    """[start_row, end_row) of one row group in file order (R4 support)."""
+    meta = file_metadata(path)
+    if not 0 <= row_group < meta.num_row_groups:
+        raise IndexError(f"row group {row_group} out of range")
+    start = sum(meta.row_group(i).num_rows for i in range(row_group))
+    return start, start + meta.row_group(row_group).num_rows
+
+
+def row_group_stats(path: str) -> list[dict]:
+    """Per-row-group totals, the reference's RowGroup struct fields
+    (metadata.hpp:92-98)."""
+    meta = file_metadata(path)
+    out = []
+    for i in range(meta.num_row_groups):
+        rg = meta.row_group(i)
+        out.append(
+            {
+                "row_group": i,
+                "num_rows": rg.num_rows,
+                "num_columns": rg.num_columns,
+                "total_byte_size": rg.total_byte_size,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python Thrift compact-protocol page-header walker — R5/R6 page index
+# ---------------------------------------------------------------------------
+#
+# Mirrors build_page_index (parquet_reader.cpp:559-605): for each row group
+# × column, seek to min(dictionary_page_offset, data_page_offset) and walk
+# PageHeader structs until values_read >= num_values, counting data pages
+# (dict pages get no global id, matching the reference).
+
+_PAGE_TYPE_DATA = 0
+_PAGE_TYPE_DICT = 2
+_PAGE_TYPE_DATA_V2 = 3
+
+
+class _CompactReader:
+    """Minimal Thrift compact-protocol reader: just enough to size/skip a
+    PageHeader struct (public format: parquet.thrift + thrift spec)."""
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def _byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        result = shift = 0
+        while True:
+            b = self._byte()
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def zigzag(self) -> int:
+        n = self.varint()
+        return (n >> 1) ^ -(n & 1)
+
+    def skip(self, ftype: int) -> None:
+        if ftype in (1, 2):  # BOOLEAN_TRUE / BOOLEAN_FALSE — value in type
+            return
+        if ftype in (3, 4, 5, 6):  # byte, i16, i32, i64 — zigzag varint
+            self.varint()
+        elif ftype == 7:  # double
+            self.pos += 8
+        elif ftype == 8:  # binary/string
+            # NB: two statements — `self.pos += self.varint()` would read
+            # the pre-varint pos (augmented assignment loads LHS first).
+            n = self.varint()
+            self.pos += n
+        elif ftype == 9:  # list
+            header = self._byte()
+            size = header >> 4
+            elem_type = header & 0x0F
+            if size == 15:
+                size = self.varint()
+            for _ in range(size):
+                self.skip(elem_type)
+        elif ftype == 12:  # struct
+            self.skip_struct()
+        else:
+            raise ValueError(f"unsupported thrift compact type {ftype}")
+
+    def skip_struct(self) -> None:
+        last_fid = 0
+        while True:
+            b = self._byte()
+            if b == 0:  # STOP
+                return
+            delta = b >> 4
+            ftype = b & 0x0F
+            last_fid = last_fid + delta if delta else self.zigzag()
+            self.skip(ftype)
+
+    def read_page_header(self) -> "_PageHeader":
+        """Parse type (fid 1), uncompressed_size (2), compressed_size (3),
+        and num_values from the data/dict page header (fid 5/7/8 → field 1);
+        skip everything else."""
+        start = self.pos
+        last_fid = 0
+        hdr = _PageHeader(0, 0, 0, 0, 0)
+        while True:
+            b = self._byte()
+            if b == 0:
+                hdr.header_size = self.pos - start
+                return hdr
+            delta = b >> 4
+            ftype = b & 0x0F
+            fid = last_fid + delta if delta else self.zigzag()
+            last_fid = fid
+            if fid == 1 and ftype in (3, 4, 5, 6):
+                hdr.page_type = self.zigzag()
+            elif fid == 2 and ftype in (3, 4, 5, 6):
+                hdr.uncompressed_size = self.zigzag()
+            elif fid == 3 and ftype in (3, 4, 5, 6):
+                hdr.compressed_size = self.zigzag()
+            elif fid in (5, 7, 8) and ftype == 12:
+                hdr.num_values = self._page_sub_header_num_values()
+            else:
+                self.skip(ftype)
+
+    def _page_sub_header_num_values(self) -> int:
+        """Inside DataPageHeader/DictionaryPageHeader/DataPageHeaderV2,
+        field 1 is always num_values (i32)."""
+        num_values = 0
+        last_fid = 0
+        while True:
+            b = self._byte()
+            if b == 0:
+                return num_values
+            delta = b >> 4
+            ftype = b & 0x0F
+            fid = last_fid + delta if delta else self.zigzag()
+            last_fid = fid
+            if fid == 1 and ftype in (3, 4, 5, 6):
+                num_values = self.zigzag()
+            else:
+                self.skip(ftype)
+
+
+@dataclass
+class _PageHeader:
+    page_type: int
+    uncompressed_size: int
+    compressed_size: int
+    num_values: int
+    header_size: int
+
+
+@dataclass
+class PageInfo:
+    """One page of one column chunk (reference PageIndexEntry analog,
+    parquet_reader.hpp:12-24)."""
+
+    row_group: int
+    column: int
+    page_in_chunk: int
+    page_type: str
+    num_values: int
+    compressed_size: int
+    uncompressed_size: int
+    offset: int
+
+
+_PAGE_TYPE_NAMES = {0: "DATA_PAGE", 1: "INDEX_PAGE", 2: "DICTIONARY_PAGE", 3: "DATA_PAGE_V2"}
+
+
+def walk_pages(path: str) -> list[PageInfo]:
+    """Walk every page header of every column chunk (parquet_reader.cpp:559-605).
+
+    Unlike the reference, DATA_PAGE_V2 values count toward termination, so
+    V2 files don't loop (SURVEY.md §3.1 quirk — deliberately not copied).
+    """
+    meta = file_metadata(path)
+    with open(path, "rb") as fh:
+        data = fh.read()
+    pages: list[PageInfo] = []
+    for rg_idx in range(meta.num_row_groups):
+        rg = meta.row_group(rg_idx)
+        for col_idx in range(rg.num_columns):
+            col = rg.column(col_idx)
+            offset = col.data_page_offset
+            if col.has_dictionary_page and col.dictionary_page_offset is not None:
+                offset = min(offset, col.dictionary_page_offset)
+            values_read = 0
+            page_in_chunk = 0
+            while values_read < col.num_values:
+                reader = _CompactReader(data, offset)
+                hdr = reader.read_page_header()
+                pages.append(
+                    PageInfo(
+                        row_group=rg_idx,
+                        column=col_idx,
+                        page_in_chunk=page_in_chunk,
+                        page_type=_PAGE_TYPE_NAMES.get(hdr.page_type, str(hdr.page_type)),
+                        num_values=hdr.num_values,
+                        compressed_size=hdr.compressed_size,
+                        uncompressed_size=hdr.uncompressed_size,
+                        offset=offset,
+                    )
+                )
+                if hdr.page_type in (_PAGE_TYPE_DATA, _PAGE_TYPE_DATA_V2):
+                    values_read += hdr.num_values
+                offset += hdr.header_size + hdr.compressed_size
+                page_in_chunk += 1
+    return pages
+
+
+def page_stats(path: str) -> list[dict]:
+    """Per column chunk: data/dict page counts + value totals (R6 report)."""
+    meta = file_metadata(path)
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    agg: dict[tuple[int, int], dict] = {}
+    for p in walk_pages(path):
+        key = (p.row_group, p.column)
+        entry = agg.setdefault(
+            key,
+            {
+                "row_group": p.row_group,
+                "column_name": names[p.column],
+                "n_data_pages": 0,
+                "n_dict_pages": 0,
+                "num_values": 0,
+            },
+        )
+        if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2"):
+            entry["n_data_pages"] += 1
+            entry["num_values"] += p.num_values
+        elif p.page_type == "DICTIONARY_PAGE":
+            entry["n_dict_pages"] += 1
+    return [agg[k] for k in sorted(agg)]
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract queries
+# ---------------------------------------------------------------------------
+
+_RG_SCHEMA = T.StructType(
+    [
+        T.StructField("row_group", T.IntegerType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("num_columns", T.LongType(), False),
+    ]
+)
+
+
+def q_r1_rowgroup_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group shape of lineitem from OUR footer reader; oracled against
+    DuckDB's parquet_metadata() on the same file."""
+    stats = row_group_stats(table_path(sf_dir, "lineitem"))
+    rows = [(s["row_group"], s["num_rows"], s["num_columns"]) for s in stats]
+    return spark.createDataFrame(rows, _RG_SCHEMA)
+
+
+def q_r6_chunk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column-chunk value counts from OUR page walker vs DuckDB's
+    parquet_metadata() — verifies the Thrift page-header walk end-to-end."""
+    stats = page_stats(table_path(sf_dir, "documents"))
+    rows = [
+        (s["row_group"], s["column_name"], s["num_values"])
+        for s in stats
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("row_group", T.IntegerType(), False),
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("num_values", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _oracle_path(table: str) -> str:
+    # Oracle SQL cannot take parameters; the driver registers views per
+    # sf_dir but parquet_metadata needs the file path. The driver runs
+    # correctness at sf0.01 (BASELINE.md), so pin that path.
+    return f"/root/testdata/sf0.01/{table}.parquet"
+
+
+QUERIES = {
+    "r1_rowgroup_meta": q_r1_rowgroup_meta,
+    "r6_chunk_values": q_r6_chunk_values,
+}
+
+ORACLES = {
+    "r1_rowgroup_meta": f"""
+        SELECT CAST(row_group_id AS INT) AS row_group,
+               CAST(max(row_group_num_rows) AS BIGINT) AS num_rows,
+               CAST(count(*) AS BIGINT) AS num_columns
+        FROM parquet_metadata('{_oracle_path("lineitem")}')
+        GROUP BY row_group_id
+    """,
+    "r6_chunk_values": f"""
+        SELECT CAST(row_group_id AS INT) AS row_group,
+               path_in_schema AS column_name,
+               CAST(num_values AS BIGINT) AS num_values
+        FROM parquet_metadata('{_oracle_path("documents")}')
+    """,
+}

@@ -1,0 +1,48 @@
+"""Query operators. Each module exposes ``QUERIES`` (name → callable
+``(spark, sf_dir) -> DataFrame``) and ``ORACLES`` (name → DuckDB SQL) that
+``__spark_entry__`` merges into the driver contract."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Merge QUERIES/ORACLES from every operator module (import-guarded so a
+    broken module never takes down the whole contract)."""
+    from . import (
+        dedup,
+        filters,
+        multimodal,
+        positional,
+        relational,
+        scan,
+        similarity,
+        text,
+        windows,
+    )
+    from ..sources import writer
+    from .. import inspect as inspect_mod
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for mod in (
+        scan,
+        filters,
+        positional,
+        relational,
+        windows,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        writer,
+        inspect_mod,
+    ):
+        queries.update(getattr(mod, "QUERIES", {}))
+        oracles.update(getattr(mod, "ORACLES", {}))
+    return queries, oracles

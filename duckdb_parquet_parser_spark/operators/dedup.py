@@ -1,0 +1,366 @@
+"""Deduplication operators — north-star extension (SURVEY.md §2.5):
+exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard.
+
+Portability design: every hash is ``md5`` (lowercase hex both engines) and
+MinHash "hash function" *i* is ``min(md5('i:' || word))`` under string
+ordering — so the DuckDB oracle replicates the pipeline exactly, value for
+value, with no engine-native hash().
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on md5(text) — one shuffle, map-side partial.
+- MinHash: one explode + one groupBy(doc) for signatures (shuffle keyed by
+  doc_id), band self-join keyed by (band_idx, band_hash) — the classic
+  LSH bucket join; candidate verification joins only candidate pairs.
+- SimHash: same explode/groupBy shape, 32 independent bit sums in ONE
+  aggregation pass (no per-bit passes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.95
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+
+
+def q_ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash: per distinct text, multiplicity and the
+    representative (min) doc_id kept by the dedup policy."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        df.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(words: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15): minhash signature, one aggregation pass."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"h{i}")
+        for i in range(N_HASHES)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature (4 bands × 4 rows), bucket-join on band hash."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (verification stage)."""
+    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    wa = words.select(F.col("doc_id").alias("doc_a"), "w")
+    wb = words.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ),
+        )
+    )
+
+
+def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _doc_words(spark, sf_dir)
+    sigs = minhash_signatures(words)
+    pairs = lsh_candidate_pairs(sigs)
+    return (
+        verified_jaccard(words, pairs)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_bits(words: DataFrame) -> DataFrame:
+    """(doc_id, b0..b31): SimHash bit j = majority vote of md5-hex-digit-j
+    high bits over the doc's distinct words (±1 votes, >0 → 1)."""
+    h = F.md5("w")
+    aggs = [
+        (
+            F.sum(
+                F.when(F.substring(h, j + 1, 1) >= "8", 1).otherwise(-1)
+            )
+            > 0
+        )
+        .cast("int")
+        .alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def q_ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bits = simhash_bits(_doc_words(spark, sf_dir))
+    sim = F.concat(*[F.col(f"b{j}").cast("string") for j in range(SIMHASH_BITS)])
+    return bits.select("doc_id", sim.alias("simhash"))
+
+
+def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share a 16-bit half (banding),
+    verified by Hamming distance ≤ HAMMING_MAX."""
+    bits = simhash_bits(_doc_words(spark, sf_dir))
+    sim = F.concat(*[F.col(f"b{j}").cast("string") for j in range(SIMHASH_BITS)])
+    docs = bits.select("doc_id", sim.alias("simhash")).withColumn(
+        "half1", F.substring("simhash", 1, 16)
+    ).withColumn("half2", F.substring("simhash", 17, 16))
+
+    a, b = docs.alias("a"), docs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.half1") == F.col("b.half1"))
+                | (F.col("a.half2") == F.col("b.half2"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+    )
+    hamming = sum(
+        F.when(
+            F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1), 1
+        ).otherwise(0)
+        for j in range(SIMHASH_BITS)
+    )
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard over all pairs of a small doc subset (the exact
+    quadratic baseline that MinHash approximates)."""
+    df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    ws = F.split("text", " ")
+    tri = F.filter(
+        F.transform(
+            ws,
+            lambda w, i: F.when(
+                i + 2 < F.size(ws),
+                F.concat_ws(" ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    grams = df.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "ns_dedup_exact": q_ns_dedup_exact,
+    "ns_dedup_minhash": q_ns_dedup_minhash,
+    "ns_dedup_simhash": q_ns_dedup_simhash,
+    "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
+    "ns_ngram_jaccard": q_ns_ngram_jaccard,
+}
+
+# --- DuckDB oracles (SQL generated to mirror the Spark pipeline 1:1) ------
+
+_WORDS_CTE = """
+    words AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+"""
+
+_SIG_COLS = ",\n        ".join(
+    f"min(md5('{i}:' || w)) AS h{i}" for i in range(N_HASHES)
+)
+
+_BAND_EXPRS = ", ".join(
+    "md5("
+    + " || '|' || ".join(f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    + ")"
+    for b in range(N_BANDS)
+)
+
+_SIMHASH_BIT_COLS = ",\n        ".join(
+    f"CASE WHEN sum(CASE WHEN substr(md5(w), {j + 1}, 1) >= '8' "
+    f"THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{j}"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CONCAT = " || ".join(
+    f"CAST(b{j} AS VARCHAR)" for j in range(SIMHASH_BITS)
+)
+
+_HAMMING_EXPR = " + ".join(
+    f"CASE WHEN substr(a.simhash, {j + 1}, 1) <> substr(b.simhash, {j + 1}, 1) "
+    "THEN 1 ELSE 0 END"
+    for j in range(SIMHASH_BITS)
+)
+
+_SIMHASH_CTE = f"""
+    WITH {_WORDS_CTE},
+    bits AS (
+        SELECT doc_id,
+        {_SIMHASH_BIT_COLS}
+        FROM words GROUP BY doc_id
+    ),
+    sims AS (
+        SELECT doc_id, {_SIMHASH_CONCAT} AS simhash FROM bits
+    )
+"""
+
+ORACLES = {
+    "ns_dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*) AS n_copies,
+               min(doc_id) AS keep_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "ns_dedup_minhash": f"""
+        WITH {_WORDS_CTE},
+        sigs AS (
+            SELECT doc_id, {_SIG_COLS}
+            FROM words GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, band_idx - 1 AS band_idx, band_hash
+            FROM (
+                SELECT doc_id,
+                       unnest([{_BAND_EXPRS}]) AS band_hash,
+                       generate_subscripts([{_BAND_EXPRS}], 1) AS band_idx
+                FROM sigs
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN words wa ON wa.doc_id = c.doc_a
+            JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "ns_dedup_simhash": _SIMHASH_CTE
+    + """
+        SELECT doc_id, simhash FROM sims
+    """,
+    "ns_dedup_simhash_pairs": _SIMHASH_CTE
+    + f"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({_HAMMING_EXPR} AS BIGINT) AS hamming
+        FROM sims a JOIN sims b
+          ON a.doc_id < b.doc_id
+         AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+              OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16))
+        WHERE {_HAMMING_EXPR} <= {HAMMING_MAX}
+    """,
+    "ns_ngram_jaccard": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE doc_id < 30
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+            FROM t, (SELECT unnest(range(1, 2000)) AS i)
+            WHERE i + 2 <= len(ws)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    """,
+}

@@ -1,0 +1,202 @@
+"""Similarity search over embeddings — north-star extension (SURVEY.md §2.5).
+
+- Brute-force cosine top-k: the exact baseline. JVM-side higher-order
+  functions (zip_with/aggregate) — no Python in the loop.
+- Sign-LSH (random hyperplane) bucketing: the scale path. Hyperplanes are
+  derived deterministically from md5 so the DuckDB oracle reproduces them
+  bit-for-bit; bucket code = 16 sign bits of hyperplane dot products.
+
+Scale design (100 TB):
+- Top-k: query set broadcast (small), candidates scanned once, per-query
+  ranking via window over (query, score) — shuffle keyed by query_id.
+- Sign-LSH: one narrow projection pass per vector → 16-char bucket code;
+  near-dup search then joins only within buckets (the classic ANN
+  bucket-join), turning O(n²) into O(Σ bucket²).
+- Hyperplane dot products accumulate in DECIMAL so partial-aggregation
+  order can never flip a sign bit (float sums are order-sensitive; decimal
+  sums are exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import cosine_similarity
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 10
+NEARDUP_COS = 0.3
+LSH_BITS = 16
+DIM = 64
+
+
+def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbors for each query vector by cosine similarity."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    scored = (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("embedding")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-duplicate detection (exact, quadratic baseline;
+    the LSH bucket variant below is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos", cosine_similarity(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+
+
+def hyperplane_sign_bit(embedding, bit: int):
+    """Sign bit of <embedding, h_bit> where h_bit[i] = ±1 from the high bit
+    of hex digit (i mod 32) of md5('hp:bit:i'). Accumulates in DECIMAL so
+    the sign is order-independent (see module docstring)."""
+    # Hyperplane components are constants — fold them driver-side.
+    import hashlib
+
+    signs = []
+    for i in range(DIM):
+        h = hashlib.md5(f"hp:{bit}:{i}".encode()).hexdigest()
+        signs.append(1 if h[i % 32] >= "8" else -1)
+    dot = F.aggregate(
+        F.zip_with(
+            embedding,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: (x.cast("double") * s).cast("decimal(28,10)"),
+        ),
+        F.lit(0).cast("decimal(38,10)"),
+        # keep the accumulator type closed under addition (Spark widens
+        # decimal sums to (38,9) otherwise, breaking the fold signature)
+        lambda acc, x: (acc + x).cast("decimal(38,10)"),
+    )
+    return (dot >= 0).cast("int")
+
+
+def with_lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    code = F.concat(
+        *[hyperplane_sign_bit(F.col(vec_col), j).cast("string") for j in range(LSH_BITS)]
+    )
+    return emb.withColumn("bucket", code)
+
+
+def q_ns_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector LSH bucket code (the partitioning key an ANN index would
+    bucket-join on) + bucket occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        with_lsh_bucket(emb)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    Not oracle-checked (approximation quality, not SQL semantics); tested
+    for recall against brute force in tests/test_similarity.py.
+    """
+    be = with_lsh_bucket(emb).select("bucket", F.col("vec_id").alias("neighbor_id"), "embedding")
+    bq = with_lsh_bucket(queries, "qvec").select(
+        "bucket", "query_id", "qvec"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        bq.join(be, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUERIES = {
+    "ns_knn_bruteforce": q_ns_knn_bruteforce,
+    "ns_embed_neardup": q_ns_embed_neardup,
+    "ns_ann_lsh_buckets": q_ns_ann_lsh_buckets,
+}
+
+
+def _hp_sign_sql(bit: int) -> str:
+    """DuckDB expression for the same deterministic hyperplane sign bit."""
+    import hashlib
+
+    terms = []
+    for i in range(DIM):
+        h = hashlib.md5(f"hp:{bit}:{i}".encode()).hexdigest()
+        sign = "+" if h[i % 32] >= "8" else "-"
+        terms.append(
+            f"{sign} CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(28,10))"
+        )
+    return (
+        "CASE WHEN (" + " ".join(terms) + ") >= 0 THEN '1' ELSE '0' END"
+    )
+
+
+_BUCKET_SQL = " || ".join(_hp_sign_sql(j) for j in range(LSH_BITS))
+
+_COS_SQL = (
+    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+)
+
+ORACLES = {
+    "ns_knn_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_COS_SQL.format(a="q.qvec", b="e.embedding")} AS cos
+            FROM q, embeddings e
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   round(cos, 6) AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos
+        FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "ns_embed_neardup": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_COS}
+    """,
+    "ns_ann_lsh_buckets": f"""
+        WITH coded AS (
+            SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings
+        )
+        SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
+        FROM coded GROUP BY bucket
+    """,
+}

@@ -1,0 +1,195 @@
+"""Text-analysis operators — north-star extension (SURVEY.md §2.5):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure built-in column expressions (split/regexp/aggregate) — zero
+Python UDFs, so the whole pipeline stays inside whole-stage codegen and
+scales linearly with a narrow projection of the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+TOKEN_REGEX = "[a-z0-9]+"  # BPE-ish lowercase word/number pieces
+
+# Marker-word lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "in"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "una", "y", "es"),
+}
+
+
+def _count_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(words, lambda w: F.array_position(arr, w) > 0))
+
+
+def q_ns_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, regex (BPE-ish)
+    tokens, chars — per document."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    return df.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_REGEX), 0))
+        .cast("long")
+        .alias("n_regex_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def q_ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/distinctness ratios + a composite
+    score — the standard LLM-corpus quality-filter shape."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_tokens = F.size(ws)
+    n_distinct = F.size(F.array_distinct(ws))
+    n_stop = _count_in(ws, STOPWORDS)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    distinct_ratio = F.round(n_distinct / n_tokens, 6)
+    # mean token length over single-space-separated text is derivable
+    # exactly from char counts: (chars - (n-1)) / n
+    mean_tok_len = F.round((F.length("text") - (n_tokens - 1)) / n_tokens, 6)
+    # Composite score in integer micro-points: pure int arithmetic is
+    # bit-identical across engines (compound float rounding is not —
+    # engines disagree on ties at the rounding digit).
+    nt = n_tokens.cast("long")
+    score_micro = (
+        (n_distinct.cast("long") * 500000)
+        + ((nt - n_stop.cast("long")) * 300000)
+    ) / nt
+    score_micro = F.floor(score_micro).cast("long") + F.least(
+        F.length("text").cast("long") * 400, F.lit(200000).cast("long")
+    )
+    return df.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        score_micro.alias("quality_score_micro"),
+    )
+
+
+def q_ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: argmax of per-language marker hits with a
+    deterministic priority tie-break (en > de > fr > es > und)."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.lower("text"), " ")
+    scores = {lang: _count_in(ws, marks) for lang, marks in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    best = F.greatest(en, de, fr, es)
+    pred = (
+        F.when(best == 0, "und")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+    return df.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        en.cast("long").alias("score_en"),
+        "lang",
+    )
+
+
+def q_ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + order-insensitive
+    bag-of-words fingerprint (sorted distinct lowercase tokens)."""
+    df = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+    )
+    return df.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.md5(norm).alias("fp_bow"),
+    )
+
+
+QUERIES = {
+    "ns_text_tokens": q_ns_text_tokens,
+    "ns_text_quality": q_ns_text_quality,
+    "ns_text_langid": q_ns_text_langid,
+    "ns_text_fingerprint": q_ns_text_fingerprint,
+}
+
+
+def _sql_count_in(vocab: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{v}'" for v in vocab)
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"w -> list_contains([{lst}], w)))"
+    )
+
+
+_LANG_SCORES = {lang: _sql_count_in(m) for lang, m in LANG_MARKERS.items()}
+
+ORACLES = {
+    "ns_text_tokens": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct_tokens,
+               CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+                   AS BIGINT) AS n_regex_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    "ns_text_quality": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   {_sql_count_in(STOPWORDS)} AS n_stop
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio,
+               round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+               round((length(text) - (n_tokens - 1))::DOUBLE / n_tokens, 6)
+                   AS mean_token_len,
+               CAST((n_distinct * 500000 + (n_tokens - n_stop) * 300000)
+                    // n_tokens
+                    + least(length(text) * 400, 200000) AS BIGINT)
+                   AS quality_score_micro
+        FROM t
+    """,
+    "ns_text_langid": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   {_LANG_SCORES["en"]} AS s_en,
+                   {_LANG_SCORES["de"]} AS s_de,
+                   {_LANG_SCORES["fr"]} AS s_fr,
+                   {_LANG_SCORES["es"]} AS s_es
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS pred_lang,
+               CAST(s_en AS BIGINT) AS score_en,
+               lang
+        FROM s
+    """,
+    "ns_text_fingerprint": """
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' ')) AS fp_bow
+        FROM documents
+    """,
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local testing runs ``local[N]`` in one JVM; the configs below are chosen so
+the same code is correct and fast on a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime coalescing, skew-join splitting, broadcast demotion).
+- ``spark.sql.shuffle.partitions`` sized for the local fixture scale; on a
+  real cluster AQE coalesces from a high initial number, so queries never
+  hand-tune partition counts.
+- Arrow enabled for every pandas-UDF path (the only Python hot paths we
+  allow; everything else stays JVM-side in whole-stage codegen).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "duckdb-parquet-parser-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
+    ``local[*]``. On a real cluster, callers pass ``master=None`` with a
+    pre-configured environment and only the SQL confs below matter.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Nanosecond-free timestamps keep parity with DuckDB TIMESTAMP (us).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

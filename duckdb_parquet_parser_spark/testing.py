@@ -1,0 +1,141 @@
+"""Differential-testing harness: run each declared query on Spark AND its
+DuckDB oracle, compare row count + column names + order-insensitive value
+hash — a local replica of the driver's correctness gate (BASELINE.md t2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+
+from .catalog import TABLES, table_path
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
+        )
+    return con
+
+
+def _canon_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    if not hasattr(v, "__len__"):
+        try:
+            if pd.isna(v):  # NaT / NaN / pd.NA
+                return "\\N"
+        except (TypeError, ValueError):
+            pass
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\\N"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))  # 5.0 ↔ 5 across engines
+        return repr(v)
+    if isinstance(v, (pd.Timestamp, _dt.datetime)):
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat()
+    if isinstance(v, _dt.date):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int,)) or type(v).__name__.startswith(("int", "uint")):
+        return str(int(v))
+    if type(v).__name__.startswith("float"):
+        return _canon_cell(float(v))
+    if type(v).__name__ == "bool_":
+        return "true" if bool(v) else "false"
+    return str(v)
+
+
+def canonical_hash(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    """(row_count, sorted column names, order-insensitive value hash)."""
+    cols = sorted(df.columns)
+    sub = df[cols]
+    rows = sorted(
+        "\x1f".join(_canon_cell(v) for v in row)
+        for row in sub.itertuples(index=False, name=None)
+    )
+    digest = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+    return len(df), cols, digest
+
+
+@dataclass
+class ParityResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __str__(self) -> str:
+        return f"{'PASS' if self.ok else 'FAIL'} {self.name}: {self.detail}"
+
+
+def compare_query(spark, sf_dir: str, name: str, fn, sql: str, con=None) -> ParityResult:
+    own_con = con is None
+    if own_con:
+        con = duckdb_connection(sf_dir)
+    try:
+        spark_pdf = fn(spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(sql).fetchdf()
+    except Exception as exc:  # surface, don't crash the whole run
+        return ParityResult(name, False, f"EXCEPTION {type(exc).__name__}: {exc}")
+    finally:
+        if own_con:
+            con.close()
+    n_s, c_s, h_s = canonical_hash(spark_pdf)
+    n_o, c_o, h_o = canonical_hash(oracle_pdf)
+    if c_s != c_o:
+        return ParityResult(name, False, f"columns differ: spark={c_s} oracle={c_o}")
+    if n_s != n_o:
+        return ParityResult(name, False, f"row counts differ: spark={n_s} oracle={n_o}")
+    if h_s != h_o:
+        sample = _first_diff(spark_pdf, oracle_pdf)
+        return ParityResult(name, False, f"value hash differs ({n_s} rows). {sample}")
+    return ParityResult(name, True, f"{n_s} rows, hash {h_s[:12]}")
+
+
+def _first_diff(a: pd.DataFrame, b: pd.DataFrame) -> str:
+    cols = sorted(a.columns)
+    ra = sorted(
+        tuple(_canon_cell(v) for v in row)
+        for row in a[cols].itertuples(index=False, name=None)
+    )
+    rb = sorted(
+        tuple(_canon_cell(v) for v in row)
+        for row in b[cols].itertuples(index=False, name=None)
+    )
+    for i, (x, y) in enumerate(zip(ra, rb)):
+        if x != y:
+            return f"first diff at sorted row {i}: spark={x} oracle={y} (cols={cols})"
+    return f"length mismatch tail: {ra[len(rb):3]}{rb[len(ra):3]}"
+
+
+def run_all(spark, sf_dir: str, only: list[str] | None = None) -> list[ParityResult]:
+    from .operators import collect_queries
+
+    queries, oracles = collect_queries()
+    con = duckdb_connection(sf_dir)
+    results = []
+    try:
+        for name, fn in queries.items():
+            if only and name not in only:
+                continue
+            if name not in oracles:
+                results.append(ParityResult(name, True, "no oracle (rows-only op)"))
+                continue
+            results.append(compare_query(spark, sf_dir, name, fn, oracles[name], con))
+    finally:
+        con.close()
+    return results
