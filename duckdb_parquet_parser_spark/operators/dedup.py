@@ -8,11 +8,17 @@ value, with no engine-native hash().
 
 Scale design (100 TB):
 - Exact dedup: hash-groupBy on md5(text) — one shuffle, map-side partial.
-- MinHash: one explode + one groupBy(doc) for signatures (shuffle keyed by
-  doc_id), band self-join keyed by (band_idx, band_hash) — the classic
-  LSH bucket join; candidate verification joins only candidate pairs.
-- SimHash: same explode/groupBy shape, 32 independent bit sums in ONE
-  aggregation pass (no per-bit passes).
+- MinHash: signatures are computed per-row with array expressions
+  (``transform``/``array_min`` over the distinct-word array) — NO explode,
+  NO shuffle; the only shuffles are the band bucket-join (keyed by
+  (band_idx, band_hash) — the classic LSH join, AQE handles bucket skew)
+  and the candidate-verification joins, which are keyed by doc_id and
+  broadcast automatically when the doc-array side is small.
+- Verification: exact Jaccard via ``array_intersect`` on the two word
+  arrays — one row per candidate pair, instead of exploding pairs×words
+  into a shuffle+groupBy (54× row inflation at avg 54 words/doc).
+- SimHash: per-row bit computation from one ``transform(ws, md5)`` pass —
+  32 ``filter``+``size`` counts over the md5 array, no explode/groupBy.
 """
 
 from __future__ import annotations
@@ -37,6 +43,15 @@ def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_word_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws): the distinct-word set of each document as an array —
+    the explode-free shape every array-native dedup stage starts from."""
+    df = load_table(spark, sf_dir, "documents")
+    return df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+
+
 def q_ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash: per distinct text, multiplicity and the
     representative (min) doc_id kept by the dedup policy."""
@@ -51,12 +66,30 @@ def q_ns_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(words: DataFrame) -> DataFrame:
-    """(doc_id, h0..h15): minhash signature, one aggregation pass."""
+    """(doc_id, h0..h15): minhash signature, one aggregation pass.
+
+    Kept for the exploded-words shape; the hot path uses
+    :func:`minhash_signatures_from_arrays` (no shuffle at all).
+    """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
     return words.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws, h0..h15) computed per-row: hash function *i* is
+    min(md5('i:' || w)) over the word array — a narrow projection, no
+    explode and no shuffle (each of N docs costs N_HASHES map-side
+    transforms; at 100 TB this is embarrassingly parallel)."""
+
+    def sig(i: int):
+        return F.array_min(
+            F.transform("ws", lambda w: F.md5(F.concat(F.lit(f"{i}:"), w)))
+        ).alias(f"h{i}")
+
+    return docs.select("doc_id", "ws", *[sig(i) for i in range(N_HASHES)])
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
@@ -113,11 +146,28 @@ def verified_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = _doc_words(spark, sf_dir)
-    sigs = minhash_signatures(words)
-    pairs = lsh_candidate_pairs(sigs)
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+
+    Shuffle census (the 100 TB budget): (1) the band bucket self-join,
+    (2) distinct over candidate pairs, (3) two doc_id-keyed joins to fetch
+    word arrays (broadcast when the doc-array relation is small). Signature
+    computation itself is shuffle-free — see
+    :func:`minhash_signatures_from_arrays`.
+    """
+    docs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir))
+    pairs = lsh_candidate_pairs(docs)
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
     return (
-        verified_jaccard(words, pairs)
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -125,7 +175,11 @@ def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_bits(words: DataFrame) -> DataFrame:
     """(doc_id, b0..b31): SimHash bit j = majority vote of md5-hex-digit-j
-    high bits over the doc's distinct words (±1 votes, >0 → 1)."""
+    high bits over the doc's distinct words (±1 votes, >0 → 1).
+
+    Kept for the exploded-words shape; the hot path uses
+    :func:`simhash_docs` (per-row, shuffle-free).
+    """
     h = F.md5("w")
     aggs = [
         (
@@ -141,38 +195,53 @@ def simhash_bits(words: DataFrame) -> DataFrame:
     return words.groupBy("doc_id").agg(*aggs)
 
 
+def simhash_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) computed per-row, shuffle-free: md5 each word once
+    (one ``transform``), then bit j = (#words with high hex digit j) ×2 >
+    #words — the same ±1 majority vote as :func:`simhash_bits` without the
+    explode/groupBy round-trip."""
+    with_h = docs.withColumn(
+        "hs", F.transform("ws", lambda w: F.md5(w))
+    ).withColumn("nw", F.size("ws"))
+    bit = lambda j: F.when(  # noqa: E731
+        F.size(
+            F.filter("hs", lambda h: F.substring(h, j + 1, 1) >= "8")
+        )
+        * 2
+        > F.col("nw"),
+        "1",
+    ).otherwise("0")
+    sim = F.concat(*[bit(j) for j in range(SIMHASH_BITS)])
+    return with_h.select("doc_id", sim.alias("simhash"))
+
+
 def q_ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bits = simhash_bits(_doc_words(spark, sf_dir))
-    sim = F.concat(*[F.col(f"b{j}").cast("string") for j in range(SIMHASH_BITS)])
-    return bits.select("doc_id", sim.alias("simhash"))
+    return simhash_docs(_doc_word_arrays(spark, sf_dir))
 
 
 def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share a 16-bit half (banding),
     verified by Hamming distance ≤ HAMMING_MAX."""
-    bits = simhash_bits(_doc_words(spark, sf_dir))
-    sim = F.concat(*[F.col(f"b{j}").cast("string") for j in range(SIMHASH_BITS)])
-    docs = bits.select("doc_id", sim.alias("simhash")).withColumn(
+    docs = simhash_docs(_doc_word_arrays(spark, sf_dir)).withColumn(
         "half1", F.substring("simhash", 1, 16)
     ).withColumn("half2", F.substring("simhash", 17, 16))
 
-    a, b = docs.alias("a"), docs.alias("b")
-    cand = (
-        a.join(
+    # OR-of-equalities would force a nested-loop join; a union of two
+    # hash equi-joins (one per band) + distinct is the scale-safe plan.
+    def band_join(key: str) -> DataFrame:
+        a, b = docs.alias("a"), docs.alias("b")
+        return a.join(
             b,
-            (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                (F.col("a.half1") == F.col("b.half1"))
-                | (F.col("a.half2") == F.col("b.half2"))
-            ),
-        )
-        .select(
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),
             F.col("b.simhash").alias("sim_b"),
         )
-    )
+
+    cand = band_join("half1").unionAll(band_join("half2")).distinct()
     hamming = sum(
         F.when(
             F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1), 1
