@@ -27,6 +27,8 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     )
     from ..sources import writer
     from .. import inspect as inspect_mod
+    from ..streaming import stateful as streaming_stateful
+    from ..streaming import windows as streaming_windows
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -42,6 +44,8 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         writer,
         inspect_mod,
+        streaming_windows,
+        streaming_stateful,
     ):
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
