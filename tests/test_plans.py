@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the plans we need at 100 TB must actually
+materialize at any SF — pushdown reaches the scan, projection prunes the
+read schema, small dims broadcast, aggregation combines map-side."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_parquet_parser_spark.operators import collect_queries
+from duckdb_parquet_parser_spark.plans import (
+    assert_broadcast,
+    assert_pruned_schema,
+    assert_pushed_filter,
+    formatted_plan,
+)
+
+QUERIES, _ = collect_queries()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_smoke):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = formatted_plan(QUERIES[name](spark, sf_smoke))
+        return cache[name]
+
+    return get
+
+
+def test_agg_filter_pushdown(spark, sf_smoke):
+    df = QUERIES["rel_agg_q1"](spark, sf_smoke)
+    assert_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_agg_partial_before_shuffle(plans):
+    """Map-side combine: partial_sum must run below the Exchange."""
+    plan = plans("rel_agg_q1")
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # numbered
+    # in formatted output the tree lists final HashAggregate above
+    # Exchange above partial HashAggregate; the details section then has
+    # partial_sum under the lower-numbered node — both must exist
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_projection_prunes_scan(spark, sf_smoke):
+    df = QUERIES["r9_projection"](spark, sf_smoke)
+    assert_pruned_schema(
+        df, must_have=["p_partkey", "p_name"], must_not=["p_retailprice"]
+    )
+
+
+def test_projection_no_shuffle(plans):
+    assert "Exchange" not in plans("r9_projection")
+
+
+def test_star_join_broadcasts_dims(spark, sf_smoke):
+    """TPC-H q5-style join: every dimension (region/nation/customer/
+    supplier) should broadcast — no sort-merge join at any SF for dims."""
+    df = QUERIES["rel_join_q5"](spark, sf_smoke)
+    assert_broadcast(df, n_broadcasts=3)
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_regex_filter_prunes_columns(spark, sf_smoke):
+    df = QUERIES["f1_regex_filter"](spark, sf_smoke)
+    assert_pruned_schema(df, must_have=["l_returnflag"], must_not=["l_comment"])
+
+
+def test_asof_join_pushes_type_filters(spark, sf_smoke):
+    df = QUERIES["rel_asof_join"](spark, sf_smoke)
+    assert_pushed_filter(df, "EqualTo(event_type,")
+
+
+def test_knn_no_cartesian(plans):
+    """Brute-force top-k joins a broadcast query-vector side — never a
+    cartesian over the full embedding table."""
+    assert "CartesianProduct" not in plans("ns_knn_bruteforce")
+
+
+def test_minhash_no_cartesian_no_nested_loop(plans):
+    plan = plans("ns_dedup_minhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_pairs_equi_join_only(plans):
+    """The OR-banding is expressed as a union of equi-joins; a nested-loop
+    join here would be quadratic in documents at scale."""
+    plan = plans("ns_dedup_simhash_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
