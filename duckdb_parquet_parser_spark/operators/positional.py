@@ -132,7 +132,11 @@ def greedy_chunk_ids_pandas(
         pdf["chunk_id"] = pd.Series(chunk_ids, dtype="int64")
         return pdf[["pos", "chunk_id"]]
 
-    return pos_df.groupBy(F.lit(0)).applyInPandas(assign, "pos long, chunk_id long")
+    return (
+        pos_df.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(assign, "pos long, chunk_id long")
+    )
 
 
 def q_r10_positional_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,10 +164,36 @@ def q_x1_tuple_to_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_chunk_ids(df).select("pos", "chunk_id")
 
 
+def q_r10_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 with TRUE file-order positions (zipWithIndex prefix-sum — the
+    scale path; no global window). The fixture writes documents in doc_id
+    order, so the deterministic oracle applies to file order too (asserted
+    in tests/test_positional.py)."""
+    df = load_table(spark, sf_dir, "documents")
+    return (
+        file_order_positions(df)
+        .filter(F.col("text").isNotNull())
+        .select("pos", F.length("text").cast("long").alias("len"))
+    )
+
+
+def q_x1_chunk_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 with the reference's EXACT greedy boundary rule (main.cpp:24-28:
+    close the chunk when accumulated bytes ≥ 4096 *before* appending, so
+    chunks overshoot by ≤ 1 value). Sequential by definition → single
+    ordered applyInPandas pass; no SQL-window closed form exists, so this
+    is a rows-only driver check, verified against a pure-Python reference
+    implementation in tests/test_positional.py."""
+    df = load_table(spark, sf_dir, "documents")
+    return greedy_chunk_ids_pandas(df)
+
+
 QUERIES = {
     "r10_positional_stream": q_r10_positional_stream,
+    "r10_file_order": q_r10_file_order,
     "x1_chunk_index": q_x1_chunk_index,
     "x1_tuple_to_chunk": q_x1_tuple_to_chunk,
+    "x1_chunk_greedy": q_x1_chunk_greedy,
 }
 
 _POS_CTE = """
@@ -180,8 +210,7 @@ _POS_CTE = """
     )
 """
 
-ORACLES = {
-    "r10_positional_stream": """
+_R10_SQL = """
         WITH pos AS (
             SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS pos
             FROM documents
@@ -189,7 +218,12 @@ ORACLES = {
         SELECT CAST(pos AS BIGINT) AS pos,
                CAST(length(text) AS BIGINT) AS len
         FROM pos WHERE text IS NOT NULL
-    """,
+    """
+
+ORACLES = {
+    "r10_positional_stream": _R10_SQL,
+    # fixture file order == doc_id order (tests/test_positional.py pins it)
+    "r10_file_order": _R10_SQL,
     "x1_chunk_index": _POS_CTE
     + """
         SELECT chunk_id, count(*) AS n_values,

@@ -135,10 +135,84 @@ def ann_lsh_topk(
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer cells
+N_PROBE = 2  # cells probed per query
+
+
+def ivf_assignments(emb: DataFrame, centroids: DataFrame, rank_limit: int) -> DataFrame:
+    """Assign each vector to its ``rank_limit`` nearest centroids by cosine
+    (rank 1 = cell assignment; rank ≤ nprobe = query probe list).
+
+    The centroid table is tiny (N_CELLS rows) and broadcast; assignment is
+    one narrow pass over the vectors — the IVF build is embarrassingly
+    parallel and the inverted lists are just a partitioning key at scale.
+    """
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cell_cos").desc(), F.col("centroid_id")
+    )
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cell_cos", cosine_similarity(F.col("embedding"), F.col("cvec"))
+        )
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= rank_limit)
+    )
+
+
+def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize vectors into N_CELLS inverted
+    lists (centroids = embeddings of vec_id 0..N_CELLS-1 — deterministic
+    seeds both engines agree on), probe the query's N_PROBE nearest cells,
+    exact cosine rank within the probed lists.
+
+    Scale path vs brute force: candidates shrink from |table| to the probed
+    lists (~N_PROBE/N_CELLS of the data); the inverted lists are a join key,
+    so the search is a bucket equi-join exactly like the LSH variant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    lists = ivf_assignments(emb, centroids, 1).select(
+        F.col("centroid_id").alias("cell"),
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    probes = ivf_assignments(
+        queries.withColumnRenamed("query_id", "vec_id").withColumnRenamed(
+            "qvec", "embedding"
+        ),
+        centroids,
+        N_PROBE,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("centroid_id").alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        probes.join(lists, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos")
+        )
+    )
+
+
 QUERIES = {
     "ns_knn_bruteforce": q_ns_knn_bruteforce,
     "ns_embed_neardup": q_ns_embed_neardup,
     "ns_ann_lsh_buckets": q_ns_ann_lsh_buckets,
+    "ns_ann_ivf_topk": q_ns_ann_ivf_topk,
 }
 
 
@@ -198,5 +272,42 @@ ORACLES = {
         )
         SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
         FROM coded GROUP BY bucket
+    """,
+    "ns_ann_ivf_topk": f"""
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                           DESC, c.centroid_id) AS cell_rank
+            FROM embeddings e, centroids c
+        ),
+        lists AS (
+            SELECT centroid_id AS cell, vec_id AS neighbor_id, embedding
+            FROM assigned WHERE cell_rank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS qvec, centroid_id AS cell
+            FROM assigned
+            WHERE vec_id < {N_QUERIES} AND cell_rank <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, l.neighbor_id,
+                   {_COS_SQL.format(a="p.qvec", b="l.embedding")} AS cos
+            FROM probes p JOIN lists l USING (cell)
+            WHERE l.neighbor_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   round(cos, 6) AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos
+        FROM ranked WHERE rank <= {TOP_K}
     """,
 }

@@ -1,0 +1,46 @@
+"""Approximate-nearest-neighbor quality: the ANN variants trade recall for
+candidate reduction — quantify both against exact brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parquet_parser_spark.catalog import load_table
+from duckdb_parquet_parser_spark.operators.similarity import (
+    N_QUERIES,
+    TOP_K,
+    ann_lsh_topk,
+    q_ns_ann_ivf_topk,
+    q_ns_knn_bruteforce,
+)
+
+
+def _topk_sets(df):
+    rows = df.select("query_id", "neighbor_id").collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_smoke):
+    exact = _topk_sets(q_ns_knn_bruteforce(spark, sf_smoke))
+    approx = _topk_sets(q_ns_ann_ivf_topk(spark, sf_smoke))
+    assert set(approx) == set(exact) == set(range(N_QUERIES))
+    recalls = [
+        len(approx[q] & exact[q]) / TOP_K for q in exact
+    ]
+    # IVF with 2/16 cells probed: require mean recall well above the
+    # ~12.5% a random candidate subset of that size would give
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_lsh_topk_runs_and_is_subset_quality(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = ann_lsh_topk(emb, queries)
+    got = approx.groupBy("query_id").count().collect()
+    # every query that lands in a non-singleton bucket returns ≤ k rows
+    assert all(r["count"] <= TOP_K for r in got)
