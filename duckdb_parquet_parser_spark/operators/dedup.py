@@ -93,7 +93,25 @@ def minhash_signatures_from_arrays(docs: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signature (4 bands × 4 rows), bucket-join on band hash."""
+    """Band the signature (4 bands × 4 rows), bucket-join on band hash.
+
+    Cross-band dedup via ``distinct()`` — deliberately, after measuring the
+    alternatives at sf0.1 (which has a ~2.3k-doc near-dup mega-cluster, so
+    the bucket join is heavily skew-quadratic):
+
+    - distinct's map-side partial aggregation compresses the hot bucket's
+      pair stream (bands×pairs rows) BEFORE the shuffle, and its exchange
+      rebalances the pairs so exact-Jaccard verification parallelizes;
+    - a "first-matching-band" filter (keep the pair only on the first band
+      both docs share) avoids the aggregation but leaves the pair stream in
+      the band_hash partitioning — the mega-cluster's millions of pairs pin
+      to one task and verification runs 4× slower;
+    - the remaining scale risk is pair *generation* inside the hot bucket's
+      single join task (inherently quadratic in cluster size); the 100 TB
+      mitigation is triangular salting of the self-join (split hot buckets
+      into s blocks, join block pairs i ≤ j), to add if cluster sizes at
+      production scale demand it.
+    """
     bands = F.array(
         *[
             F.md5(
@@ -105,7 +123,9 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
