@@ -25,7 +25,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         text,
         windows,
     )
-    from ..sources import writer
+    from ..sources import formats, writer
     from .. import inspect as inspect_mod
     from ..streaming import stateful as streaming_stateful
     from ..streaming import windows as streaming_windows
@@ -43,6 +43,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         text,
         multimodal,
         writer,
+        formats,
         inspect_mod,
         streaming_windows,
         streaming_stateful,

@@ -97,9 +97,44 @@ def q_ns_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(build_media_table(spark, sf_dir))
 
 
+FRAME_BYTES = 32  # fixed-size "frame" of the payload
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def q_ns_mm_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: treat the payload as fixed-size frames, keep every
+    STRIDE-th frame (the video-keyframe / audio-window subsample pattern).
+    Pure JVM: sequence → transform → filter on the binary column; a real
+    decoder would replace the substring with a codec frame extraction."""
+    media = build_media_table(spark, sf_dir)
+    n_frames = F.ceil(F.octet_length("payload") / F.lit(FRAME_BYTES)).cast(
+        "int"
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(
+                F.col("payload").cast("string"), i * FRAME_BYTES + 1, FRAME_BYTES
+            ).alias("frame"),
+        ),
+    )
+    sampled = F.filter(frames, lambda fr: fr["frame_idx"] % FRAME_STRIDE == 0)
+    return (
+        media.select("doc_id", F.explode(sampled).alias("fr"))
+        .select(
+            "doc_id",
+            F.col("fr.frame_idx").alias("frame_idx"),
+            F.length("fr.frame").cast("long").alias("frame_len"),
+            F.md5(F.encode("fr.frame", "utf-8")).alias("frame_md5"),
+        )
+    )
+
+
 QUERIES = {
     "ns_mm_meta": q_ns_mm_meta,
     "ns_mm_features": q_ns_mm_features,
+    "ns_mm_framesample": q_ns_mm_framesample,
 }
 
 ORACLES = {
@@ -117,5 +152,21 @@ ORACLES = {
                CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
                CAST(ascii(substr(text, length(text), 1)) AS INT) AS last_byte
         FROM documents
+    """,
+    "ns_mm_framesample": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(octet_length(encode(text))
+                       / {FRAME_BYTES}.0) AS BIGINT))) AS frame_idx,
+                   text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(frame_idx AS INT) AS frame_idx,
+               CAST(length(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT),
+                   {FRAME_BYTES})) AS BIGINT) AS frame_len,
+               md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT),
+                   {FRAME_BYTES})) AS frame_md5
+        FROM f WHERE frame_idx % {FRAME_STRIDE} = 0
     """,
 }

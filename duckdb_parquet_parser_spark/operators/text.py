@@ -117,11 +117,34 @@ def q_ns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def q_ns_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over token streams:
+    ``h = fold(h * 31 + md5_low16(token)) mod 1e9+7`` — the incremental
+    document fingerprint a streaming ingest pipeline maintains. Pure
+    ``aggregate`` fold, JVM-side; DuckDB mirrors it with list_reduce."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    tok_val = lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    roll = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * ROLL_BASE + tok_val(w)) % ROLL_MOD,
+    )
+    return df.select("doc_id", roll.alias("roll_hash"))
+
+
 QUERIES = {
     "ns_text_tokens": q_ns_text_tokens,
     "ns_text_quality": q_ns_text_quality,
     "ns_text_langid": q_ns_text_langid,
     "ns_text_fingerprint": q_ns_text_fingerprint,
+    "ns_text_rollhash": q_ns_text_rollhash,
 }
 
 
@@ -190,6 +213,23 @@ ORACLES = {
                md5(text) AS fp_exact,
                md5(array_to_string(list_sort(list_distinct(
                    string_split(lower(text), ' '))), ' ')) AS fp_bow
+        FROM documents
+    """,
+    # hex→int spelled arithmetically (strpos over the hex alphabet):
+    # DuckDB's from_hex yields BLOB, which doesn't cast to BIGINT.
+    "ns_text_rollhash": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                           w -> CAST(
+                             (strpos('0123456789abcdef', substr(md5(w),1,1))-1)*4096
+                           + (strpos('0123456789abcdef', substr(md5(w),2,1))-1)*256
+                           + (strpos('0123456789abcdef', substr(md5(w),3,1))-1)*16
+                           + (strpos('0123456789abcdef', substr(md5(w),4,1))-1)
+                           AS BIGINT))),
+                   (acc, v) -> (acc * {ROLL_BASE} + v) % {ROLL_MOD}
+               ) AS roll_hash
         FROM documents
     """,
 }
