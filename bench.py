@@ -34,7 +34,9 @@ HEADLINE = [
     "rel_asof_join",
     "ns_dedup_exact",
     "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
     "ns_knn_bruteforce",
+    "ns_ann_ivf_topk",
     "ns_text_tokens",
     "stream_session",
 ]

@@ -140,6 +140,87 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
 
 
+N_SALT_BLOCKS = 8
+
+
+def lsh_candidate_pairs_salted(
+    sigs: DataFrame, n_blocks: int = N_SALT_BLOCKS
+) -> DataFrame:
+    """Triangular salted variant of :func:`lsh_candidate_pairs` — identical
+    output, skew-immune pair generation.
+
+    The plain bucket self-join generates all of a bucket's pairs in the
+    single task owning its key, which is quadratic in the largest near-dup
+    cluster. Salting splits every bucket into ``n_blocks`` pseudo-random
+    blocks by doc hash and enumerates block pairs (i ≤ j) instead: the left
+    side replicates each row to every block ≥ its own, the join key gains
+    the target block, and each of a hot bucket's ~s²/2 block-pairs lands on
+    a different reducer. Pair volume is unchanged; the single-task ceiling
+    drops by ~n_blocks. (tests/test_dedup_scale.py asserts set-equality
+    with the unsalted join.)
+    """
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    ).withColumn("block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
+    left = banded.withColumn(
+        "target", F.explode(F.sequence("block", F.lit(n_blocks - 1)))
+    )
+    right = banded
+    a, b = left.alias("a"), right.alias("b")
+    same_block = F.col("a.block") == F.col("b.block")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.target") == F.col("b.block"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        # same-block pairs would appear twice (x→y and y→x); keep one
+        .filter(~same_block | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def q_ns_dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ns_dedup_minhash with skew-salted candidate generation — the plan
+    shape for corpora whose duplicate clusters are large enough to pin the
+    plain bucket join (same oracle: results are identical by construction).
+    """
+    docs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir))
+    pairs = lsh_candidate_pairs_salted(docs)
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    return (
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def verified_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs only (verification stage)."""
     sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -320,6 +401,7 @@ def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ns_dedup_exact": q_ns_dedup_exact,
     "ns_dedup_minhash": q_ns_dedup_minhash,
+    "ns_dedup_minhash_salted": q_ns_dedup_minhash_salted,
     "ns_dedup_simhash": q_ns_dedup_simhash,
     "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
     "ns_ngram_jaccard": q_ns_ngram_jaccard,
@@ -453,3 +535,6 @@ ORACLES = {
         JOIN sizes sb ON sb.doc_id = doc_b
     """,
 }
+
+# Salted variant is semantically identical to the plain one — same oracle.
+ORACLES["ns_dedup_minhash_salted"] = ORACLES["ns_dedup_minhash"]
