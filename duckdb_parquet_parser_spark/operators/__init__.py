@@ -23,6 +23,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         scan,
         similarity,
         text,
+        udfs,
         windows,
     )
     from ..sources import formats, writer
@@ -42,6 +43,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity,
         text,
         multimodal,
+        udfs,
         writer,
         formats,
         inspect_mod,
