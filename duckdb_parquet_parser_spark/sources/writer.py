@@ -101,8 +101,21 @@ def q_w2_dict_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_w1_roundtrip_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed round-trip (zstd): the reference throws on any codec
+    (column_reader.cpp:13-15); this engine reads and writes them all.
+    Oracle = the source table again — lossless through compression."""
+    df = load_table(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), "sg_w1_docs_zstd")
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return spark.read.parquet(path).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
 QUERIES = {
     "w1_roundtrip": q_w1_roundtrip,
+    "w1_roundtrip_zstd": q_w1_roundtrip_zstd,
     "w2_dict_decision": q_w2_dict_decision,
 }
 
@@ -117,6 +130,7 @@ _DICT_CASE = f"""
 
 ORACLES = {
     "w1_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "w1_roundtrip_zstd": "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "w2_dict_decision": " UNION ALL ".join(
         _DICT_CASE.format(c=c)
         for c in ["l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"]
