@@ -53,6 +53,58 @@ def file_order_positions(df: DataFrame, pos_col: str = "pos") -> DataFrame:
     )
 
 
+def scalable_chunk_ids(
+    df: DataFrame,
+    column: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+) -> DataFrame:
+    """X1 chunk assignment with NO shuffle at any scale — the 100 TB path.
+
+    Two passes, mirroring :func:`file_order_positions`:
+
+    1. per-partition totals (row count + byte sum) — collect #partitions
+       tiny tuples to the driver, prefix-sum them into offsets;
+    2. per-partition local running sums + the partition's offsets.
+
+    Uses the same closed-form boundary rule as :func:`with_chunk_ids`
+    (``chunk_id = floor(bytes_before / chunk_size)``), so the two agree
+    exactly (asserted in tests/test_positional.py) while this variant never
+    serializes the data through a single global-window task.
+    """
+    data = df.select(F.col(column).alias("value"))
+    rdd = data.rdd.map(lambda r: r[0])
+
+    # Positions count every row (nulls occupy positions, F2 rule); bytes
+    # accumulate only over non-null values (the iterator skips them).
+    def totals(idx, it):
+        rows = bytes_ = 0
+        for v in it:
+            rows += 1
+            if v is not None:
+                bytes_ += LEN_PREFIX_BYTES + len(v)
+        yield idx, rows, bytes_
+
+    parts = sorted(rdd.mapPartitionsWithIndex(totals).collect())
+    row_off, byte_off, offsets = 0, 0, {}
+    for idx, rows, bytes_ in parts:
+        offsets[idx] = (row_off, byte_off)
+        row_off += rows
+        byte_off += bytes_
+
+    def assign(idx, it):
+        pos, cum = offsets[idx]
+        for v in it:
+            if v is not None:
+                yield pos, cum // chunk_size
+                cum += LEN_PREFIX_BYTES + len(v)
+            pos += 1
+
+    out_schema = "pos long, chunk_id long"
+    return data.sparkSession.createDataFrame(
+        rdd.mapPartitionsWithIndex(assign), out_schema
+    )
+
+
 def positional_stream(df: DataFrame, column: str, order_col: str) -> DataFrame:
     """(pos, len, value) for non-null strings; positions computed over the
     UNFILTERED order (nulls occupy positions but are not emitted —

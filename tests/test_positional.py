@@ -11,6 +11,7 @@ from duckdb_parquet_parser_spark.operators.positional import (
     LEN_PREFIX_BYTES,
     file_order_positions,
     greedy_chunk_ids_pandas,
+    scalable_chunk_ids,
     with_chunk_ids,
 )
 
@@ -75,6 +76,22 @@ def test_greedy_chunks_overshoot_at_most_one_value(spark, sf_smoke):
         if r["chunk_id"] == last:
             continue
         assert r["bytes"] >= CHUNK_SIZE
+
+
+def test_scalable_chunk_ids_match_window_formula(spark, sf_smoke):
+    """The shuffle-free two-pass prefix-sum variant assigns exactly the
+    same (pos, chunk_id) map as the global-window formula (fixture file
+    order == doc_id order, pinned above)."""
+    df = load_table(spark, sf_smoke, "documents")
+    want = {
+        (r["pos"], r["chunk_id"])
+        for r in with_chunk_ids(df).select("pos", "chunk_id").collect()
+    }
+    got = {
+        (r["pos"], r["chunk_id"])
+        for r in scalable_chunk_ids(df).collect()
+    }
+    assert got == want
 
 
 def test_formula_and_greedy_agree_on_chunk_count_scale(spark, sf_smoke):
