@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from .positional import with_chunk_ids
+from .positional import COST_SQL, scalable_chunk_ids
 
 FLAG_PATTERN = "^[AR]$"
 DOC_PATTERN = "merge (join|scan)"
@@ -58,11 +58,11 @@ def q_f1_page_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages (≈4 KB chunks, FIXTURES.md rule 3/4) with NO value matching the
     pattern — the reference CLI's skippable-page report."""
     df = load_table(spark, sf_dir, "documents")
-    chunked = with_chunk_ids(df)
+    chunked = scalable_chunk_ids(df)
     return (
         chunked.groupBy("chunk_id")
         .agg(
-            F.sum(F.col("text").rlike(DOC_PATTERN).cast("long")).alias("n_match"),
+            F.sum(F.col("value").rlike(DOC_PATTERN).cast("long")).alias("n_match"),
             F.count(F.lit(1)).alias("n_values"),
         )
         .filter(F.col("n_match") == 0)
@@ -77,14 +77,14 @@ QUERIES = {
     "f1_page_report": q_f1_page_report,
 }
 
-_CHUNK_CTE = """
+_CHUNK_CTE = f"""
     WITH pos AS (
         SELECT text, row_number() OVER (ORDER BY doc_id) - 1 AS pos
         FROM documents WHERE text IS NOT NULL
     ), chunked AS (
         SELECT text,
-               CAST(floor((sum(4 + length(text)) OVER (ORDER BY pos)
-                           - (4 + length(text))) / 4096) AS BIGINT) AS chunk_id
+               CAST(floor((sum({COST_SQL}) OVER (ORDER BY pos)
+                           - {COST_SQL}) / 4096) AS BIGINT) AS chunk_id
         FROM pos
     )
 """

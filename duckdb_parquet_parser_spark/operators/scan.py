@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from ..catalog import load_table
 
@@ -84,12 +83,12 @@ def q_r4_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..inspect import row_group_bounds
 
     from ..catalog import table_path
+    from .positional import file_order_positions
 
     start, end = row_group_bounds(table_path(sf_dir, "documents"), 0)
     df = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
     return (
-        df.withColumn("_pos", F.row_number().over(w) - 1)
+        file_order_positions(df, pos_col="_pos")
         .filter((F.col("_pos") >= start) & (F.col("_pos") < end))
         .select("doc_id", "text")
     )

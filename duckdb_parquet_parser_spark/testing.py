@@ -98,12 +98,37 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str, con=None) -> Pari
     n_o, c_o, h_o = canonical_hash(oracle_pdf)
     if c_s != c_o:
         return ParityResult(name, False, f"columns differ: spark={c_s} oracle={c_o}")
+    drift = _dtype_drift(spark_pdf, oracle_pdf)
+    if drift:
+        return ParityResult(name, False, drift)
     if n_s != n_o:
         return ParityResult(name, False, f"row counts differ: spark={n_s} oracle={n_o}")
     if h_s != h_o:
         sample = _first_diff(spark_pdf, oracle_pdf)
         return ParityResult(name, False, f"value hash differs ({n_s} rows). {sample}")
     return ParityResult(name, True, f"{n_s} rows, hash {h_s[:12]}")
+
+
+def _dtype_drift(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> str | None:
+    """Integer-vs-float drift between engines. The local canonical hash
+    normalizes int-valued floats (5.0 ↔ 5), the driver's does NOT — a DuckDB
+    HUGEINT sum arriving as float64 against a Spark long passed locally in
+    round 1 but failed the driver (x1_chunk_index). Flag it here so every
+    uncast integer SUM fails fast in pytest too."""
+    for c in spark_pdf.columns:
+        if c not in oracle_pdf.columns:
+            continue
+        s, o = spark_pdf[c], oracle_pdf[c]
+        s_int = pd.api.types.is_integer_dtype(s)
+        o_int = pd.api.types.is_integer_dtype(o)
+        s_float = pd.api.types.is_float_dtype(s)
+        o_float = pd.api.types.is_float_dtype(o)
+        if (s_int and o_float) or (s_float and o_int):
+            return (
+                f"dtype drift on '{c}': spark={s.dtype} oracle={o.dtype} "
+                "(cast integer SUMs to BIGINT in the oracle)"
+            )
+    return None
 
 
 def _first_diff(a: pd.DataFrame, b: pd.DataFrame) -> str:

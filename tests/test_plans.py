@@ -86,6 +86,28 @@ def test_minhash_no_cartesian_no_nested_loop(plans):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "r10_positional_stream",
+        "r10_file_order",
+        "x1_chunk_index",
+        "x1_tuple_to_chunk",
+        "f1_page_report",
+        "r4_rowgroup_scan",
+    ],
+)
+def test_positional_queries_scale_plan(plans, name):
+    """The declared positional/chunk queries must run the prefix-sum plan:
+    no single-task global-window Exchange, no RDD/Python serialization in
+    the data path (VERDICT r1 items #2-#4)."""
+    plan = plans(name)
+    assert "Exchange SinglePartition" not in plan
+    assert "ExistingRDD" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+
+
 def test_simhash_pairs_equi_join_only(plans):
     """The OR-banding is expressed as a union of equi-joins; a nested-loop
     join here would be quadratic in documents at scale."""

@@ -8,12 +8,17 @@ from pyspark.sql import functions as F
 from duckdb_parquet_parser_spark.catalog import load_table
 from duckdb_parquet_parser_spark.operators.positional import (
     CHUNK_SIZE,
-    LEN_PREFIX_BYTES,
+    byte_cost,
     file_order_positions,
     greedy_chunk_ids_pandas,
     scalable_chunk_ids,
     with_chunk_ids,
 )
+
+
+def _cost(v: str) -> int:
+    """ASCII-decimal length prefix + payload (main.cpp:30)."""
+    return len(str(len(v))) + len(v)
 
 
 def test_file_order_is_doc_id_order(spark, sf_smoke):
@@ -32,7 +37,7 @@ def _reference_greedy(values: list[str], chunk_size: int) -> list[int]:
             chunk_id += 1
             current = 0
         out.append(chunk_id)
-        current += LEN_PREFIX_BYTES + len(v)
+        current += _cost(v)
     return out
 
 
@@ -60,13 +65,13 @@ def test_greedy_chunks_overshoot_at_most_one_value(spark, sf_smoke):
         .join(
             file_order_positions(df)
             .filter(F.col("text").isNotNull())
-            .select("pos", F.length("text").alias("len")),
+            .select("pos", byte_cost(F.col("text")).alias("cost")),
             "pos",
         )
         .groupBy("chunk_id")
         .agg(
-            F.sum(F.col("len") + LEN_PREFIX_BYTES).alias("bytes"),
-            F.max(F.col("len") + LEN_PREFIX_BYTES).alias("max_cost"),
+            F.sum("cost").alias("bytes"),
+            F.max("cost").alias("max_cost"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
