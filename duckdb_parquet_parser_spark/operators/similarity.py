@@ -55,15 +55,58 @@ def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-duplicate detection (exact, quadratic baseline;
-    the LSH bucket variant below is the scale path)."""
+def embed_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-duplicate detection — the exact quadratic
+    baseline. NOT a declared query (a full-table crossJoin cannot survive
+    100 TB); kept only as the recall yardstick for the cell-based variant
+    below (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.withColumn("cos", cosine_similarity(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+
+
+def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via cluster-then-join (the SemDeDup
+    shape): coarse-quantize every vector into its ``N_PROBE`` nearest IVF
+    cells, generate candidate pairs only within a shared cell (equi-join on
+    the cell id), then verify each candidate with the exact cosine.
+
+    Scale design: the only crossJoin is against the broadcast N_CELLS
+    centroid table (one narrow pass per vector); candidate generation is a
+    bucket equi-join, so work is O(Σ cell²) not O(n²) — with real
+    (clustered) embeddings and K ∝ √n cells this is the standard
+    sub-quadratic embedding-dedup plan. Recall vs the all-pairs baseline is
+    measured in tests/test_similarity.py; the oracle replicates the same
+    candidate generation, so the differential check is exact.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assignments(emb, centroids, N_PROBE).select(
+        F.col("centroid_id").alias("cell"), "vec_id", "embedding"
+    )
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        # a pair can share both probed cells — dedup before the (costly)
+        # exact verification; ea/eb are functionally determined by the ids
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine_similarity(F.col("ea"), F.col("eb")))
         .filter(F.col("cos") >= NEARDUP_COS)
         .select("vec_a", "vec_b")
     )
@@ -261,10 +304,28 @@ ORACLES = {
         FROM ranked WHERE rank <= {TOP_K}
     """,
     "ns_embed_neardup": f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM embeddings a, embeddings b
-        WHERE a.vec_id < b.vec_id
-          AND {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= {NEARDUP_COS}
+        WITH centroids AS (
+            SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        assigned AS (
+            SELECT e.vec_id, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                           DESC, c.centroid_id) AS cell_rank
+            FROM embeddings e, centroids c
+        ),
+        probed AS (SELECT vec_id, cell FROM assigned WHERE cell_rank <= {N_PROBE}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM probed a JOIN probed b USING (cell)
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN embeddings x ON x.vec_id = cand.vec_a
+        JOIN embeddings y ON y.vec_id = cand.vec_b
+        WHERE {_COS_SQL.format(a="x.embedding", b="y.embedding")} >= {NEARDUP_COS}
     """,
     "ns_ann_lsh_buckets": f"""
         WITH coded AS (

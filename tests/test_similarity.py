@@ -44,3 +44,41 @@ def test_lsh_topk_runs_and_is_subset_quality(spark, sf_smoke):
     got = approx.groupBy("query_id").count().collect()
     # every query that lands in a non-singleton bucket returns ≤ k rows
     assert all(r["count"] <= TOP_K for r in got)
+
+
+def test_embed_neardup_candidate_recall(spark, sf_smoke):
+    """The declared ns_embed_neardup is cluster-then-join (candidates only
+    within a shared IVF cell). Quantify its recall against the all-pairs
+    baseline — on THIS corpus the vectors are near-random and the 0.3
+    threshold sits at θ≈72°, the provably LSH-hard regime, so recall is
+    moderate; the differential oracle replicates the same candidate set, so
+    correctness is exact regardless."""
+    from duckdb_parquet_parser_spark.operators.similarity import (
+        embed_neardup_allpairs,
+        q_ns_embed_neardup,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embed_neardup_allpairs(spark, sf_smoke).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_ns_embed_neardup(spark, sf_smoke).collect()
+    }
+    assert approx <= exact  # candidates are verified exactly — no false positives
+    assert len(approx) / len(exact) >= 0.35, (len(approx), len(exact))
+
+
+def test_embed_neardup_plan_has_no_full_crossjoin(spark, sf_smoke):
+    """Only the broadcast centroid table (N_CELLS rows) may appear on a
+    nested-loop join; the candidate join must be an equi-join on the cell."""
+    from duckdb_parquet_parser_spark.operators.similarity import q_ns_embed_neardup
+
+    plan = (
+        q_ns_embed_neardup(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
