@@ -18,11 +18,19 @@ regime — the staged source feeds one file per trigger):
   merge within ±gap) or opens a new one — bridging two sessions merges
   their aggregates; this is order-independent, so any file/batch arrival
   order converges to the batch answer.
-- Emission: a flush sentinel (``event_type = '__flush__'``) closes and
-  emits every open session.  Emission is flush-only by design: the file
-  source does not guarantee time-ordered file arrival, and an eagerly
-  emitted session could not absorb a bridging event from a later batch —
-  state is cheap (aggregates, not events), correctness is not.
+- Emission, two modes:
+  * ``flush`` — a sentinel event (``event_type = '__flush__'``) closes and
+    emits every open session. Deterministic end-of-stream equality with
+    the batch oracle; what the declared query runs.
+  * ``watermark`` — ``GroupStateTimeout.EventTimeTimeout``: a session is
+    emitted as soon as the event-time watermark passes ``last + gap``
+    (either piggybacked on new data for the user, or via a state timeout
+    when the user goes quiet). This is the production path — a real
+    stream never flushes. Because the staged source is range-partitioned
+    by ts (later files ≥ earlier files), an emitted session can never be
+    bridged by a future event, so emitted sessions exactly match the
+    batch answer; only the still-open tail (last + gap > final watermark)
+    stays unemitted.
 """
 
 from __future__ import annotations
@@ -153,7 +161,64 @@ def sessionize_group(
         yield _emit(user_id, sorted(closed))
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_group_wm(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Watermark-eviction variant: emit every session whose close time
+    (last + gap) the watermark has passed; park the rest in state with an
+    event-time timeout at the earliest possible close."""
+    (user_id,) = key
+    if state.exists:
+        starts, lasts, counts, sums, max_seen = state.get
+        sessions = [list(t) for t in zip(starts, lasts, counts, sums)]
+    else:
+        sessions, max_seen = [], 0
+    for pdf in pdfs:  # drained even on timeout calls (empty iterator then)
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        for t, v in zip(ts_us, pdf["value"]):
+            _merge_event(sessions, int(t), _micro_units(v))
+            max_seen = max(max_seen, int(t))
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    closed = [s for s in sessions if s[1] + GAP_US <= wm_us]
+    still_open = [s for s in sessions if s[1] + GAP_US > wm_us]
+    if still_open:
+        state.update(
+            (
+                [s[0] for s in still_open],
+                [s[1] for s in still_open],
+                [s[2] for s in still_open],
+                [s[3] for s in still_open],
+                max_seen,
+            )
+        )
+        next_close_ms = min(s[1] + GAP_US for s in still_open) // 1000
+        state.setTimeoutTimestamp(
+            max(next_close_ms, state.getCurrentWatermarkMs() + 1)
+        )
+    elif state.exists:
+        state.remove()
+    if closed:
+        yield _emit(user_id, sorted(closed))
+
+
+def sessionize_stream(events: DataFrame, mode: str = "flush") -> DataFrame:
+    if mode == "watermark":
+        # watermarks reject TIMESTAMP_NTZ — cast to timestamp (session tz
+        # is UTC, value-preserving); _emit re-builds ntz bounds
+        ev = (
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "30 seconds")
+            .select("user_id", "ts", "value")
+        )
+        return ev.groupBy("user_id").applyInPandasWithState(
+            sessionize_group_wm,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return events.groupBy("user_id").applyInPandasWithState(
         sessionize_group,
         outputStructType=OUTPUT_SCHEMA,
@@ -170,20 +235,21 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # private copy + flush file: the sentinel advances every user past
     # their last session without contributing events
     run_dir = f"/tmp/spark_graft_streaming/run/{uuid.uuid4().hex[:12]}"
-    shutil.copytree(staged, run_dir)
-    src = event_stream(spark, run_dir, files_per_trigger=2)
+    shutil.copytree(staged, f"{run_dir}/data")
+    src = event_stream(spark, f"{run_dir}/data", files_per_trigger=2)
     name = f"sess{uuid.uuid4().hex[:12]}"
     q = (
         sessionize_stream(src)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", f"/tmp/spark_graft_streaming/ckpt/{name}")
+        # checkpoint lives inside run_dir so the finally-rmtree reclaims it
+        .option("checkpointLocation", f"{run_dir}/ckpt")
         .start()
     )
     try:
         q.processAllAvailable()
-        users = spark.read.parquet(run_dir).select("user_id").distinct()
+        users = spark.read.parquet(f"{run_dir}/data").select("user_id").distinct()
         flush = users.select(
             F.lit(-1).cast("long").alias("event_id"),
             F.lit(None).cast("timestamp_ntz").alias("ts"),
@@ -192,7 +258,35 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
             F.lit(None).cast("string").alias("props"),
         )
-        flush.coalesce(1).write.mode("append").parquet(run_dir)
+        flush.coalesce(1).write.mode("append").parquet(f"{run_dir}/data")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+        shutil.rmtree(run_dir, ignore_errors=True)
+    return spark.table(name)
+
+
+def streaming_sessionize_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the sessionizer in watermark-eviction mode — NO flush sentinel.
+    Sessions emit as the event-time watermark passes their close; the
+    still-open tail (close > final watermark) stays in state. Returns the
+    emitted sessions (a proper, exactly-correct subset of the batch
+    answer — asserted in tests/test_streaming.py)."""
+    staged = stage_events(spark, sf_dir)
+    run_dir = f"/tmp/spark_graft_streaming/run/{uuid.uuid4().hex[:12]}"
+    os.makedirs(run_dir)
+    src = event_stream(spark, staged, files_per_trigger=2)
+    name = f"sesswm{uuid.uuid4().hex[:12]}"
+    q = (
+        sessionize_stream(src, mode="watermark")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{run_dir}/ckpt")
+        .start()
+    )
+    try:
         q.processAllAvailable()
     finally:
         q.stop()

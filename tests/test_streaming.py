@@ -55,3 +55,28 @@ def test_stateful_sessionize_equals_batch(spark, sf_smoke):
     assert _hash(streaming_sessionize(spark, sf_smoke)) == _hash(
         q_stream_session(spark, sf_smoke)
     )
+
+
+def test_watermark_sessionize_emits_without_flush(spark, sf_smoke):
+    """EventTimeTimeout eviction: sessions emit once the watermark passes
+    their close — no flush sentinel anywhere in the stream. Emitted rows
+    must be a nonempty proper subset of the batch answer, exact on every
+    field (the staged source is ts-range-partitioned, so no future event
+    can bridge an emitted session)."""
+    from duckdb_parquet_parser_spark.streaming.stateful import (
+        streaming_sessionize_watermark,
+    )
+
+    emitted = streaming_sessionize_watermark(spark, sf_smoke)
+    batch = q_stream_session(spark, sf_smoke)
+    n_emit, n_batch = emitted.count(), batch.count()
+    assert 0 < n_emit < n_batch, (n_emit, n_batch)
+    assert emitted.distinct().count() == n_emit
+    joined = emitted.alias("e").join(batch.alias("b"), ["user_id", "session_start"])
+    assert joined.count() == n_emit
+    bad = joined.filter(
+        (F.col("e.n_events") != F.col("b.n_events"))
+        | (F.col("e.session_end") != F.col("b.session_end"))
+        | (F.abs(F.col("e.session_value") - F.col("b.session_value")) > 1e-9)
+    )
+    assert bad.count() == 0
