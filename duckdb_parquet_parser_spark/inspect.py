@@ -53,6 +53,27 @@ def row_group_bounds(path: str, row_group: int) -> tuple[int, int]:
     return start, start + meta.row_group(row_group).num_rows
 
 
+MRG_ROOT = "/tmp/spark_graft_fixtures"
+MRG_ROWS_PER_GROUP = 200
+
+
+def multi_rowgroup_documents(sf_dir: str) -> str:
+    """A copy of the documents fixture re-written with 200-row row groups
+    (the stock fixture has a single row group at small scale factors, which
+    made any row-group-scoped read indistinguishable from a full-table
+    read). Row order — and therefore file position — is preserved.
+    Idempotent per scale factor; lives under /tmp."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(MRG_ROOT, tag, "documents_mrg.parquet")
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(table_path(sf_dir, "documents"))
+        tmp = f"{out}.{os.getpid()}.tmp"
+        pq.write_table(t, tmp, row_group_size=MRG_ROWS_PER_GROUP)
+        os.replace(tmp, out)  # atomic: concurrent creators converge
+    return out
+
+
 def row_group_stats(path: str) -> list[dict]:
     """Per-row-group totals, the reference's RowGroup struct fields
     (metadata.hpp:92-98)."""

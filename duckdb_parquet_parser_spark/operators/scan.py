@@ -70,23 +70,28 @@ def q_r3_full_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem").select("l_quantity")
 
 
+R4_ROW_GROUP = 1  # a middle row group — discriminates scoping from a full scan
+
+
 def q_r4_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Row-group 0 of documents via footer-derived position bounds.
+    """One row group of documents via footer-derived position bounds.
 
-    Fixture files are written in doc_id order, so a row_number window over
-    doc_id reproduces file position; the row-group bounds come from the
-    footer (``inspect.row_group_bounds``). At 100 TB the same op is served
-    natively: Spark assigns one input split per row group, so per-row-group
-    processing is just per-split processing — this query exists for parity
-    with the reference's explicit API (parquet_reader.cpp:125-131).
+    Runs against a multi-row-group re-write of the fixture (the stock file
+    has a single row group at small SF, so scoping was previously
+    indistinguishable from a full scan) and selects the MIDDLE row group,
+    so both bounds discriminate. Fixture row order is doc_id order, so a
+    position filter reproduces the reference's row-group read. At 100 TB
+    the same op is served natively: Spark assigns input splits per row
+    group, so per-row-group processing is just per-split processing — this
+    query exists for parity with the reference's explicit API
+    (parquet_reader.cpp:125-131).
     """
-    from ..inspect import row_group_bounds
-
-    from ..catalog import table_path
+    from ..inspect import multi_rowgroup_documents, row_group_bounds
     from .positional import file_order_positions
 
-    start, end = row_group_bounds(table_path(sf_dir, "documents"), 0)
-    df = load_table(spark, sf_dir, "documents")
+    path = multi_rowgroup_documents(sf_dir)
+    start, end = row_group_bounds(path, R4_ROW_GROUP)
+    df = spark.read.parquet(path)
     return (
         file_order_positions(df, pos_col="_pos")
         .filter((F.col("_pos") >= start) & (F.col("_pos") < end))
@@ -123,6 +128,16 @@ def q_f3_string_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Materialize the sf0.01 fixture at import time (guarded) so the oracle's
+# pinned path exists no matter which side the driver evaluates first.
+try:
+    from ..inspect import multi_rowgroup_documents as _mrg
+
+    _R4_FIXTURE_SF001 = _mrg("/root/testdata/sf0.01")
+except Exception:  # pragma: no cover — driver env without the fixture dir
+    _R4_FIXTURE_SF001 = "/tmp/spark_graft_fixtures/sf0.01/documents_mrg.parquet"
+
+
 QUERIES = {
     "r2_schema": q_r2_schema,
     "r2_counts": q_r2_counts,
@@ -148,7 +163,30 @@ ORACLES = {
         FROM lineitem
     """,
     "r3_full_column_scan": "SELECT l_quantity FROM lineitem",
-    "r4_rowgroup_scan": "SELECT doc_id, text FROM documents",
+    # bounds derived from the fixture's own footer (parquet_metadata), so
+    # the oracle discriminates row-group scoping instead of degenerating to
+    # a full-table read. Path pinned to the driver's sf0.01 gate; the local
+    # harness retargets it per sf (testing.retarget_oracle_sql).
+    "r4_rowgroup_scan": f"""
+        WITH rg AS (
+            SELECT DISTINCT row_group_id, row_group_num_rows
+            FROM parquet_metadata('{_R4_FIXTURE_SF001}')
+        ),
+        bounds AS (
+            SELECT
+                CAST(sum(CASE WHEN row_group_id < {R4_ROW_GROUP}
+                         THEN row_group_num_rows ELSE 0 END) AS BIGINT) AS lo,
+                CAST(sum(CASE WHEN row_group_id <= {R4_ROW_GROUP}
+                         THEN row_group_num_rows ELSE 0 END) AS BIGINT) AS hi
+            FROM rg
+        ),
+        pos AS (
+            SELECT doc_id, text,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS p
+            FROM read_parquet('{_R4_FIXTURE_SF001}')
+        )
+        SELECT doc_id, text FROM pos, bounds WHERE p >= lo AND p < hi
+    """,
     "r9_projection": "SELECT p_partkey, p_name FROM part",
     "f2_null_semantics": """
         SELECT count(*) AS n_total,

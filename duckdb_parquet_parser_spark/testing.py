@@ -8,12 +8,28 @@ from __future__ import annotations
 import datetime as _dt
 import hashlib
 import math
+import os
 from dataclasses import dataclass
 
 import duckdb
 import pandas as pd
 
 from .catalog import TABLES, table_path
+
+
+# The driver runs the correctness gate at exactly this scale factor, and
+# oracle_sql() returns static strings — so oracles that need a *file path*
+# (parquet_metadata etc.) pin the sf0.01 path. Locally, run_all retargets
+# those pins to whatever sf_dir is under test so parity holds at any scale.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+ORACLE_FIXTURE_DIR = "/tmp/spark_graft_fixtures/sf0.01"
+
+
+def retarget_oracle_sql(sql: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return sql.replace(ORACLE_SF_DIR, sf_dir.rstrip("/")).replace(
+        ORACLE_FIXTURE_DIR, f"/tmp/spark_graft_fixtures/{tag}"
+    )
 
 
 def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
@@ -88,7 +104,7 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str, con=None) -> Pari
         con = duckdb_connection(sf_dir)
     try:
         spark_pdf = fn(spark, sf_dir).toPandas()
-        oracle_pdf = con.execute(sql).fetchdf()
+        oracle_pdf = con.execute(retarget_oracle_sql(sql, sf_dir)).fetchdf()
     except Exception as exc:  # surface, don't crash the whole run
         return ParityResult(name, False, f"EXCEPTION {type(exc).__name__}: {exc}")
     finally:

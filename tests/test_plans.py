@@ -114,3 +114,19 @@ def test_simhash_pairs_equi_join_only(plans):
     plan = plans("ns_dedup_simhash_pairs")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r4_fixture_has_multiple_row_groups(spark, sf_smoke):
+    """r4's row-group scoping must be discriminated: the rewritten fixture
+    has >=2 row groups and the scoped read is a strict subset of the table."""
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_spark.inspect import multi_rowgroup_documents
+    from duckdb_parquet_parser_spark.operators.scan import q_r4_rowgroup_scan
+
+    path = multi_rowgroup_documents(sf_smoke)
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    assert n_rg >= 2, n_rg
+    n_scoped = q_r4_rowgroup_scan(spark, sf_smoke).count()
+    n_total = pq.ParquetFile(path).metadata.num_rows
+    assert 0 < n_scoped < n_total
