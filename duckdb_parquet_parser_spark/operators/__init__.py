@@ -20,6 +20,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         positional,
         relational,
+        scalars,
         scan,
         similarity,
         text,
@@ -53,6 +54,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         filters,
         dedup,
         similarity,
+        scalars,  # new this round — must land inside the 50-query window
         relational,
         windows,
     ):
