@@ -35,7 +35,9 @@ HEADLINE = [
     "ns_dedup_exact",
     "ns_dedup_minhash",
     "ns_dedup_minhash_salted",
+    "ns_dedup_simhash_pairs",
     "ns_knn_bruteforce",
+    "ns_embed_neardup",
     "ns_ann_ivf_topk",
     "ns_text_tokens",
     "stream_session",
@@ -70,6 +72,8 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
     from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.testing import duckdb_connection
 
+    from duckdb_parquet_parser_spark.testing import retarget_oracle_sql
+
     _, oracles = collect_queries()
     con = duckdb_connection(sf_dir)
     times: dict[str, float] = {}
@@ -79,7 +83,7 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
             if sql is None:
                 continue
             t0 = time.perf_counter()
-            con.execute(sql).fetchall()
+            con.execute(retarget_oracle_sql(sql, sf_dir)).fetchall()
             times[name] = round(time.perf_counter() - t0, 4)
     finally:
         con.close()
@@ -94,6 +98,11 @@ def main() -> None:
     except Exception:
         duck_times = {}
     total = round(sum(spark_times.values()), 4)
+    ratios = {
+        name: round(spark_times[name] / duck_times[name], 3)
+        for name in spark_times
+        if duck_times.get(name)
+    }
     print(
         json.dumps(
             {
@@ -103,6 +112,7 @@ def main() -> None:
                 "queries": spark_times,
                 "sf": _sf_from_dir(sf_dir),
                 "duckdb": duck_times,
+                "ratio_vs_duckdb": ratios,
             }
         )
     )

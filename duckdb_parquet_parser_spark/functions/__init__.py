@@ -67,22 +67,34 @@ def hex_digit_high_bit(hex_str: Column, pos: int) -> Column:
     return (F.substring(hex_str, pos + 1, 1) >= "8").cast("int")
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-to-right dot-product fold over two array<float> columns,
+    per-element float→double promotion (matches DuckDB's sequential loop)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm with the same fold/promotion as ``dot_product``."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float> columns, JVM-side via higher-order fns.
 
     ``F.zip_with`` + ``F.aggregate`` fold left-to-right exactly like
     DuckDB's ``list_cosine_similarity`` sequential loop; both compute in
     double after per-element float→double promotion.
+
+    Cost note: three 64-step interpreted folds per call. When the same
+    vectors appear in many pairs (candidate verification), precompute
+    ``l2_norm`` per vector before the pair join and use
+    ``dot_product(a, b) / (na * nb)`` — the expression trees are identical,
+    so the doubles (and any threshold filter) are bit-identical.
     """
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    norm_b = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (norm_a * norm_b)
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

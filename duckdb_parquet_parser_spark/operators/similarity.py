@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions import cosine_similarity
+from ..functions import cosine_similarity, dot_product, l2_norm
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -89,14 +89,26 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
+    # norm precomputed per vector (not per pair): the join/dedup shuffles
+    # materialize it, so verification pays one dot fold per candidate
+    # instead of three — bit-identical to cosine_similarity (functions.py)
     assigned = ivf_assignments(emb, centroids, N_PROBE).select(
-        F.col("centroid_id").alias("cell"), "vec_id", "embedding"
+        F.col("centroid_id").alias("cell"),
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
     a = assigned.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        "cell",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        "cell",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     cand = (
         a.join(b, "cell")
@@ -105,9 +117,9 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact verification; ea/eb are functionally determined by the ids
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    cos = dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cos", cosine_similarity(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= NEARDUP_COS)
+        cand.filter(cos >= NEARDUP_COS)
         .select("vec_a", "vec_b")
     )
 
