@@ -75,6 +75,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scale_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a scan across the cluster before compute-heavy narrow stages
+    (signatures, pair verification). Small fixtures arrive as ONE split
+    (single file, single row group), which would serialize all downstream
+    per-row compute on one core; a 100 TB scan already has thousands of
+    splits, so this is a deliberate NO-OP there — the repartition shuffle
+    only ever moves data when the input is small enough for it to be free.
+    """
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

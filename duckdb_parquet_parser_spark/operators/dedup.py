@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scale_out
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -45,8 +45,10 @@ def _doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _doc_word_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, ws): the distinct-word set of each document as an array —
-    the explode-free shape every array-native dedup stage starts from."""
-    df = load_table(spark, sf_dir, "documents")
+    the explode-free shape every array-native dedup stage starts from.
+    ``scale_out`` spreads single-split fixture scans so signature compute
+    parallelizes (no-op on real multi-split inputs)."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
     return df.filter(F.col("text").isNotNull()).select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
     )
@@ -323,26 +325,44 @@ def q_ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share a 16-bit half (banding),
     verified by Hamming distance ≤ HAMMING_MAX."""
-    docs = simhash_docs(_doc_word_arrays(spark, sf_dir)).withColumn(
-        "half1", F.substring("simhash", 1, 16)
-    ).withColumn("half2", F.substring("simhash", 17, 16))
-
-    # OR-of-equalities would force a nested-loop join; a union of two
-    # hash equi-joins (one per band) + distinct is the scale-safe plan.
-    def band_join(key: str) -> DataFrame:
-        a, b = docs.alias("a"), docs.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{key}") == F.col(f"b.{key}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+    # OR-of-equalities would force a nested-loop join; exploding each doc
+    # into (band, 16-bit key) rows and doing ONE equi-join on (band, key)
+    # is the scale-safe plan. One join (not a union of per-band joins)
+    # also makes both join sides identical subplans, so the expensive
+    # signature computation is shuffled once and reused (ReusedExchange)
+    # instead of recomputed per band per side.
+    bands = (
+        simhash_docs(_doc_word_arrays(spark, sf_dir))
+        .select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("band"),
+                        F.substring("simhash", 1, 16).alias("key"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("band"),
+                        F.substring("simhash", 17, 16).alias("key"),
+                    ),
+                )
+            ).alias("bk"),
         )
-
-    cand = band_join("half1").unionAll(band_join("half2")).distinct()
+        .select("doc_id", "simhash", "bk.band", "bk.key")
+    )
+    a = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = bands.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
     hamming = sum(
         F.when(
             F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1), 1

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, scale_out
 from ..functions import cosine_similarity, dot_product, l2_norm
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -35,7 +35,7 @@ DIM = 64
 
 def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k neighbors for each query vector by cosine similarity."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -60,7 +60,7 @@ def embed_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. NOT a declared query (a full-table crossJoin cannot survive
     100 TB); kept only as the recall yardstick for the cell-based variant
     below (tests/test_similarity.py)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
@@ -85,7 +85,7 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in tests/test_similarity.py; the oracle replicates the same
     candidate generation, so the differential check is exact.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
@@ -159,7 +159,7 @@ def with_lsh_bucket(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def q_ns_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector LSH bucket code (the partitioning key an ANN index would
     bucket-join on) + bucket occupancy."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     return (
         with_lsh_bucket(emb)
         .groupBy("bucket")
@@ -225,7 +225,7 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (~N_PROBE/N_CELLS of the data); the inverted lists are a join key,
     so the search is a bucket equi-join exactly like the LSH variant.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
