@@ -277,6 +277,75 @@ def q_rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list — at scale an implicit pivot costs an
+    extra distinct pass over the key column): qty by returnflag ×
+    linestatus, one column per status."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+def q_rel_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions: lag, lead, ntile,
+    first_value and nth_value over each user's event timeline (running
+    ANSI default frame on both engines)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first_value("value").over(w).alias("first_value"),
+        F.nth_value("value", 3).over(w).alias("third_value"),
+    )
+
+
+def q_rel_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery forms through the SQL surface: correlated scalar subquery,
+    IN-subquery and correlated EXISTS (Catalyst de-correlates all three
+    into joins — no per-row re-execution at scale)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 400000)
+          AND EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+        """
+    )
+
+
+def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (ANSI PERCENTILE_CONT
+    semantics on both engines), rounded to the engine-wide 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_p50"),
+        F.round(F.expr("percentile(l_quantity, 0.95)"), 6).alias("qty_p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias(
+            "price_p25"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 QUERIES = {
     "rel_agg_q1": q_rel_agg_q1,
     "rel_join_q5": q_rel_join_q5,
@@ -296,6 +365,10 @@ QUERIES = {
     "rel_case_expr": q_rel_case_expr,
     "rel_asof_join": q_rel_asof_join,
     "rel_range_join": q_rel_range_join,
+    "rel_pivot": q_rel_pivot,
+    "rel_window_lag": q_rel_window_lag,
+    "rel_subquery": q_rel_subquery,
+    "rel_percentiles": q_rel_percentiles,
 }
 
 ORACLES = {
@@ -432,5 +505,44 @@ ORACLES = {
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events JOIN bands ON value >= lo AND value < hi
         GROUP BY band
+    """,
+    "rel_pivot": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS qty_f,
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE)
+                   AS qty_o
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "rel_window_lag": """
+        SELECT event_id, user_id,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               first_value(value) OVER w AS first_value,
+               nth_value(value, 3) OVER w AS third_value
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rel_subquery": """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer c
+        WHERE c.c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_totalprice > 400000)
+          AND EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+    "rel_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+               round(quantile_cont(l_quantity, 0.95), 6) AS qty_p95,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS price_p25,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

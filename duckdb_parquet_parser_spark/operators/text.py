@@ -139,12 +139,74 @@ def q_ns_text_rollhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("doc_id", roll.alias("roll_hash"))
 
 
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+NUM_RE = "[0-9]+"
+
+
+def q_ns_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: emails then digit runs replaced with fixed
+    tags, plus hit counts — the redaction pass a training-data pipeline
+    runs before tokenization. Pure regexp_replace/regexp_extract_all
+    (Java and RE2 agree on this character-class subset; both engines
+    replace ALL matches — DuckDB needs the explicit 'g' flag)."""
+    df = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), NUM_RE, "<NUM>"
+    )
+    return df.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(NUM_RE), 0))
+        .cast("long")
+        .alias("n_numbers"),
+    )
+
+
+def q_ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: share of repeated tokens and the dominance of
+    the single most frequent token — the boilerplate/template detector.
+    Max-token-frequency via one explode+double-groupBy (map-side partials
+    both levels); ratios in round(x, 6) per the engine-wide convention."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    base = df.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct"),
+    )
+    tok_counts = (
+        df.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    return (
+        base.join(tok_counts, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_tokens") - F.col("n_distinct")) / F.col("n_tokens"), 6
+            ).alias("repeated_ratio"),
+            F.round(F.col("max_tok") / F.col("n_tokens"), 6).alias(
+                "top_token_ratio"
+            ),
+            F.col("max_tok").alias("max_token_count"),
+        )
+    )
+
+
 QUERIES = {
     "ns_text_tokens": q_ns_text_tokens,
     "ns_text_quality": q_ns_text_quality,
     "ns_text_langid": q_ns_text_langid,
     "ns_text_fingerprint": q_ns_text_fingerprint,
     "ns_text_rollhash": q_ns_text_rollhash,
+    "ns_text_redact": q_ns_text_redact,
+    "ns_text_repetition": q_ns_text_repetition,
 }
 
 
@@ -231,5 +293,38 @@ ORACLES = {
                    (acc, v) -> (acc * {ROLL_BASE} + v) % {ROLL_MOD}
                ) AS roll_hash
         FROM documents
+    """,
+    "ns_text_redact": f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{NUM_RE}', '<NUM>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{NUM_RE}')) AS BIGINT)
+                   AS n_numbers
+        FROM documents
+    """,
+    "ns_text_repetition": """
+        WITH base AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct
+            FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        maxes AS (
+            SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tok
+            FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round((b.n_tokens - b.n_distinct)::DOUBLE / b.n_tokens, 6)
+                   AS repeated_ratio,
+               round(m.max_tok::DOUBLE / b.n_tokens, 6) AS top_token_ratio,
+               m.max_tok AS max_token_count
+        FROM base b JOIN maxes m ON b.doc_id = m.doc_id
     """,
 }

@@ -18,6 +18,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 
@@ -52,9 +53,38 @@ def q_src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_roundtrip(_docs(spark, sf_dir), out).select(*_COLS)
 
 
+def q_src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (Spark's second columnar format, built in)."""
+    out = os.path.join(tempfile.gettempdir(), "sg_src_orc")
+    df = _docs(spark, sf_dir)
+    df.write.mode("overwrite").orc(out)
+    return spark.read.schema(df.schema).orc(out).select(*_COLS)
+
+
+PART_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def q_src_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read: events laid out as
+    event_type=<v>/ directories, then one partition read back through a
+    filter on the partition column. At scale this is THE layout lever —
+    the pruned scan lists and reads a single directory, not the table
+    (PartitionFilters asserted in tests/test_plans.py)."""
+    out = os.path.join(tempfile.gettempdir(), "sg_src_part_events")
+    ev = load_table(spark, sf_dir, "events").select(*PART_COLS)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "purchase")
+        .select(*PART_COLS)
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip": q_src_csv_roundtrip,
     "src_json_roundtrip": q_src_json_roundtrip,
+    "src_orc_roundtrip": q_src_orc_roundtrip,
+    "src_partitioned_read": q_src_partitioned_read,
 }
 
 _SRC_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -62,4 +92,9 @@ _SRC_SQL = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 ORACLES = {
     "src_csv_roundtrip": _SRC_SQL,
     "src_json_roundtrip": _SRC_SQL,
+    "src_orc_roundtrip": _SRC_SQL,
+    "src_partitioned_read": """
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_type = 'purchase'
+    """,
 }

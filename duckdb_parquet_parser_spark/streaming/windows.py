@@ -18,6 +18,7 @@ Two regimes:
 
 from __future__ import annotations
 
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,13 +29,16 @@ from .source import event_stream, stage_events
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return
-    the sink contents as a (batch) DataFrame."""
+    the sink contents as a (batch) DataFrame. The checkpoint is scratch
+    for a finished run — reclaimed on exit (the memory table is unaffected).
+    """
     name = f"s{uuid.uuid4().hex[:12]}"
+    ckpt = f"/tmp/spark_graft_streaming/ckpt/{name}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", f"/tmp/spark_graft_streaming/ckpt/{name}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -42,6 +46,7 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
@@ -80,10 +85,31 @@ def q_streaming_tumbling_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling(spark, sf_dir)
 
 
-QUERIES = {"streaming_tumbling_rt": q_streaming_tumbling_rt}
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` over the event
+    stream keeps the FIRST arrival of each (user_id, event_type) across
+    every microbatch (state-backed — the streaming half of the dedup
+    story in §2.5). Projected to the key, the finished stream equals
+    batch DISTINCT, which is the oracle. State is unbounded by design
+    here; the bounded-state variant is ``dropDuplicatesWithinWatermark``
+    when keys can expire."""
+    src = event_stream(spark, stage_events(spark, sf_dir))
+    dd = src.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_memory(dd, "append")
+
+
+QUERIES = {
+    "streaming_tumbling_rt": q_streaming_tumbling_rt,
+    "streaming_dedup": q_streaming_dedup,
+}
 
 # Streaming-batch equivalence: the finished stream equals the batch window
 # aggregation, so it shares the batch oracle (operators.windows).
 from ..operators.windows import ORACLES as _BATCH_ORACLES  # noqa: E402
 
-ORACLES = {"streaming_tumbling_rt": _BATCH_ORACLES["stream_tumbling"]}
+ORACLES = {
+    "streaming_tumbling_rt": _BATCH_ORACLES["stream_tumbling"],
+    "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+}

@@ -130,3 +130,17 @@ def test_r4_fixture_has_multiple_row_groups(spark, sf_smoke):
     n_scoped = q_r4_rowgroup_scan(spark, sf_smoke).count()
     n_total = pq.ParquetFile(path).metadata.num_rows
     assert 0 < n_scoped < n_total
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_smoke):
+    """The hive-partitioned events read must prune to one event_type
+    directory: the scan's PartitionFilters carry the predicate and the
+    data filter is not re-applied post-scan."""
+    from duckdb_parquet_parser_spark.sources.formats import q_src_partitioned_read
+
+    df = q_src_partitioned_read(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the partition predicate must appear inside PartitionFilters
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "purchase" in pf, pf
