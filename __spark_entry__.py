@@ -22,12 +22,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: scan lineitem → regex filter → project → aggregate
-    (the minimum end-to-end slice from SURVEY.md §7.2: the reference's F1
-    regex filter composed with a pricing aggregation)."""
-    from duckdb_parquet_parser_spark.operators.relational import q_rel_agg_q1
+    """Flagship query: the end-to-end corpus-curation pipeline (scan →
+    language-ID filter → quality gate → exact dedup → survivor stats) —
+    one declarative plan composed entirely from this engine's operators
+    (operators/text.py:q_ns_pipeline_curate)."""
+    from duckdb_parquet_parser_spark.operators.text import q_ns_pipeline_curate
 
-    return q_rel_agg_q1(spark, SMOKE_SF_DIR)
+    return q_ns_pipeline_curate(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -46,6 +46,38 @@ def q_ns_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_micro(text_col: str = "text") -> Column:
+    """Composite quality score in integer micro-points: pure int arithmetic
+    is bit-identical across engines (compound float rounding is not —
+    engines disagree on ties at the rounding digit)."""
+    ws = F.split(text_col, " ")
+    nt = F.size(ws).cast("long")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    n_stop = _count_in(ws, STOPWORDS).cast("long")
+    score = F.floor(
+        ((n_distinct * 500000) + ((nt - n_stop) * 300000)) / nt
+    ).cast("long")
+    return score + F.least(
+        F.length(text_col).cast("long") * 400, F.lit(200000).cast("long")
+    )
+
+
+def langid_pred(text_col: str = "text") -> Column:
+    """Marker-word language ID: argmax of per-language marker hits with a
+    deterministic priority tie-break (en > de > fr > es > und)."""
+    ws = F.split(F.lower(text_col), " ")
+    scores = {lang: _count_in(ws, m) for lang, m in LANG_MARKERS.items()}
+    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
+    best = F.greatest(en, de, fr, es)
+    return (
+        F.when(best == 0, "und")
+        .when(en == best, "en")
+        .when(de == best, "de")
+        .when(fr == best, "fr")
+        .otherwise("es")
+    )
+
+
 def q_ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/stopword/distinctness ratios + a composite
     score — the standard LLM-corpus quality-filter shape."""
@@ -59,46 +91,23 @@ def q_ns_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean token length over single-space-separated text is derivable
     # exactly from char counts: (chars - (n-1)) / n
     mean_tok_len = F.round((F.length("text") - (n_tokens - 1)) / n_tokens, 6)
-    # Composite score in integer micro-points: pure int arithmetic is
-    # bit-identical across engines (compound float rounding is not —
-    # engines disagree on ties at the rounding digit).
-    nt = n_tokens.cast("long")
-    score_micro = (
-        (n_distinct.cast("long") * 500000)
-        + ((nt - n_stop.cast("long")) * 300000)
-    ) / nt
-    score_micro = F.floor(score_micro).cast("long") + F.least(
-        F.length("text").cast("long") * 400, F.lit(200000).cast("long")
-    )
     return df.select(
         "doc_id",
-        nt.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         distinct_ratio.alias("distinct_ratio"),
         mean_tok_len.alias("mean_token_len"),
-        score_micro.alias("quality_score_micro"),
+        quality_score_micro().alias("quality_score_micro"),
     )
 
 
 def q_ns_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID: argmax of per-language marker hits with a
-    deterministic priority tie-break (en > de > fr > es > und)."""
     df = load_table(spark, sf_dir, "documents")
     ws = F.split(F.lower("text"), " ")
-    scores = {lang: _count_in(ws, marks) for lang, marks in LANG_MARKERS.items()}
-    en, de, fr, es = scores["en"], scores["de"], scores["fr"], scores["es"]
-    best = F.greatest(en, de, fr, es)
-    pred = (
-        F.when(best == 0, "und")
-        .when(en == best, "en")
-        .when(de == best, "de")
-        .when(fr == best, "fr")
-        .otherwise("es")
-    )
     return df.select(
         "doc_id",
-        pred.alias("pred_lang"),
-        en.cast("long").alias("score_en"),
+        langid_pred().alias("pred_lang"),
+        _count_in(ws, LANG_MARKERS["en"]).cast("long").alias("score_en"),
         "lang",
     )
 
@@ -199,7 +208,45 @@ def q_ns_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_MIN_SCORE = 640_000
+
+
+def q_ns_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data
+    pipeline actually runs, as ONE declarative plan:
+
+        scan → language-ID filter (en) → quality gate → exact dedup
+        (keep min doc_id per content hash) → per-survivor stats
+
+    Every stage is a reused expression from this module / dedup.py, so
+    Catalyst fuses the filters into the scan and the whole job is one
+    narrow pass plus a single hash-groupBy shuffle. The oracle replays
+    the identical composition in SQL."""
+    from ..catalog import scale_out
+
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    curated = df.filter(
+        (langid_pred() == "en")
+        & (quality_score_micro() >= CURATE_MIN_SCORE)
+    )
+    ws = F.split("text", " ")
+    return (
+        curated.select(
+            "doc_id",
+            F.md5("text").alias("fp"),
+            F.size(ws).cast("long").alias("n_tokens"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_tokens").alias("n_tokens"),  # text ⇒ fp ⇒ constant
+        )
+    )
+
+
 QUERIES = {
+    "ns_pipeline_curate": q_ns_pipeline_curate,
     "ns_text_tokens": q_ns_text_tokens,
     "ns_text_quality": q_ns_text_quality,
     "ns_text_langid": q_ns_text_langid,
@@ -221,6 +268,37 @@ def _sql_count_in(vocab: tuple[str, ...]) -> str:
 _LANG_SCORES = {lang: _sql_count_in(m) for lang, m in LANG_MARKERS.items()}
 
 ORACLES = {
+    "ns_pipeline_curate": f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   {_LANG_SCORES["en"]} AS s_en,
+                   {_LANG_SCORES["de"]} AS s_de,
+                   {_LANG_SCORES["fr"]} AS s_fr,
+                   {_LANG_SCORES["es"]} AS s_es,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                   {_sql_count_in(STOPWORDS)} AS n_stop
+            FROM documents
+        ),
+        curated AS (
+            SELECT doc_id, text, n_tokens
+            FROM scored
+            WHERE CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                       ELSE 'es' END = 'en'
+              AND CAST((n_distinct * 500000 + (n_tokens - n_stop) * 300000)
+                       // n_tokens
+                       + least(length(text) * 400, 200000) AS BIGINT)
+                  >= {CURATE_MIN_SCORE}
+        )
+        SELECT md5(text) AS fp,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        FROM curated GROUP BY fp
+    """,
     "ns_text_tokens": f"""
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
