@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, scale_out
 
@@ -376,6 +377,85 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(doc, component): connected components of an undirected pair graph,
+    component id = min doc_id in the component.
+
+    Algorithm: synchronous min-label propagation with pointer doubling —
+    each round every node takes the min label over {self} ∪ neighbors, then
+    one label-of-label join halves the remaining path length (the classic
+    Shiloach-Vishkin / MapReduce-CC trick; see "Connected Components in
+    MapReduce and Beyond"). Rounds needed: O(log diameter); LSH duplicate
+    graphs are near-cliques, so 2-3 rounds in practice even at corpus scale.
+
+    Scale shape (100 TB): every step is an equi-join or groupBy keyed on
+    doc id — hash-partitioned, AQE-balanced, no global ordering anywhere.
+    ``localCheckpoint`` cuts the iterative lineage so plans stay flat; the
+    convergence check is a cheap count on the already-materialized frame.
+    """
+    bi = edges.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    bi = bi.localCheckpoint(eager=True)
+    labels = (
+        bi.select(F.col("u").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # min over neighbors' labels...
+        neigh = (
+            bi.join(labels, bi.v == labels.doc)
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        # ...then min with own label
+        prop = (
+            labels.join(neigh, labels.doc == neigh.u, "left")
+            .select("doc", F.least("label", "nl").alias("label"))
+        )
+        # pointer doubling: label := label(label)
+        parent = prop.select(
+            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        doubled = (
+            prop.join(parent, prop.label == parent.p_doc, "left")
+            .select(
+                "doc",
+                F.least("label", "p_label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("component"))
+
+
+def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the SimHash near-dup
+    pair graph (hamming ≤ 3). Per doc: its component (= min doc_id in the
+    cluster), the cluster size, and whether the dedup policy keeps it
+    (representative = min id). This is the step that turns pairwise
+    near-dup evidence into actual drop decisions in a training pipeline."""
+    pairs = q_ns_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comp.select(
+        F.col("doc").alias("doc_id"),
+        "component",
+        w_size.alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+
+
 def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard over all pairs of a small doc subset (the exact
     quadratic baseline that MinHash approximates)."""
@@ -424,6 +504,7 @@ QUERIES = {
     "ns_dedup_minhash_salted": q_ns_dedup_minhash_salted,
     "ns_dedup_simhash": q_ns_dedup_simhash,
     "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
+    "ns_dedup_components": q_ns_dedup_components,
     "ns_ngram_jaccard": q_ns_ngram_jaccard,
 }
 
@@ -558,3 +639,37 @@ ORACLES = {
 
 # Salted variant is semantically identical to the plain one — same oracle.
 ORACLES["ns_dedup_minhash_salted"] = ORACLES["ns_dedup_minhash"]
+
+# Connected components: recursive-CTE transitive closure, component = min
+# reachable doc_id (feasible at oracle scale; Spark side uses log-round
+# label propagation instead).
+ORACLES["ns_dedup_components"] = (
+    _SIMHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sims a JOIN sims b
+          ON a.doc_id < b.doc_id
+         AND (substr(a.simhash, 1, 16) = substr(b.simhash, 1, 16)
+              OR substr(a.simhash, 17, 16) = substr(b.simhash, 17, 16))
+        WHERE {_HAMMING_EXPR} <= {HAMMING_MAX}
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS doc FROM edges),
+    walk(doc, r) AS (
+        SELECT doc, doc FROM nodes
+        UNION
+        SELECT w.doc, e.v FROM walk w JOIN edges e ON e.u = w.r
+    ),
+    comp AS (SELECT doc, min(r) AS component FROM walk GROUP BY doc)
+    SELECT doc AS doc_id, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS cluster_size,
+           doc = component AS keep
+    FROM comp
+"""
+)

@@ -245,8 +245,91 @@ def q_ns_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_MOD = 23  # every 23rd doc plays the held-out benchmark set
+CONTAM_N = 3  # word n-gram size (3 discriminates on this corpus; real
+#               pipelines use 8-13-gram at which any match is suspicious)
+CONTAM_MIN_SHARED = 2
+
+
+def _word_ngrams(ws, n: int):
+    """Distinct word n-grams of a split-text array, as a column expression
+    (transform over positions + filter — no explode until the caller asks)."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                ws,
+                lambda w, i: F.when(
+                    i + n - 1 < F.size(ws),
+                    F.concat_ws(
+                        " ", w, *[F.element_at(ws, i + k + 1) for k in range(1, n)]
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+
+
+def q_ns_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: word-n-gram overlap between the
+    training corpus and a held-out eval set (docs with doc_id % 23 == 0) —
+    the decontamination check every LLM training pipeline runs before a
+    corpus ships.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of docs, the corpus is billions), so its exploded n-gram
+    table is ``broadcast()`` — the corpus side streams map-only through
+    the hash join, then one groupBy on (doc_id, eval_doc_id) with map-side
+    partials. No shuffle of corpus n-grams at all."""
+    df = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = df.select(
+        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
+    )
+    eval_grams = grams.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "g"
+    )
+    corpus_grams = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+    )
+
+
+# Per-language keep thresholds on the first 4 hex chars of md5(doc_id):
+# lexicographic compare on lowercase hex ≈ uniform sampling, identical in
+# every engine (no engine-native hash()/random()).
+SAMPLE_THRESHOLDS = {"en": "3fff", "de": "7fff", "fr": "1fff", "es": "bfff"}
+SAMPLE_DEFAULT_THRESHOLD = "ffff"
+
+
+def q_ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: keep a doc iff the
+    first 16 bits of md5(doc_id) fall under its language's threshold
+    (en 25%, de 50%, fr 12.5%, es 75%, other 100%). Hash-threshold
+    sampling is the reproducible-pipeline alternative to rand(): stable
+    across runs, engines, and cluster sizes, and embarrassingly parallel
+    (a narrow filter, no shuffle)."""
+    df = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thresh = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(t))
+            for lang, t in SAMPLE_THRESHOLDS.items()
+        ],
+        F.lit(SAMPLE_DEFAULT_THRESHOLD),
+    )
+    return df.select(
+        "doc_id", "lang", bucket.alias("bucket_hex")
+    ).filter(bucket <= thresh)
+
+
 QUERIES = {
     "ns_pipeline_curate": q_ns_pipeline_curate,
+    "ns_contamination": q_ns_contamination,
+    "ns_sample_stratified": q_ns_sample_stratified,
     "ns_text_tokens": q_ns_text_tokens,
     "ns_text_quality": q_ns_text_quality,
     "ns_text_langid": q_ns_text_langid,
@@ -267,7 +350,44 @@ def _sql_count_in(vocab: tuple[str, ...]) -> str:
 
 _LANG_SCORES = {lang: _sql_count_in(m) for lang, m in LANG_MARKERS.items()}
 
+_SAMPLE_THRESH_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{lang}' THEN '{t}'"
+        for lang, t in SAMPLE_THRESHOLDS.items()
+    )
+    + f" ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"
+)
+
+_CONTAM_GRAM_EXPR = " || ' ' || ".join(
+    f"ws[i + {k}]" for k in range(CONTAM_N)
+)
+
 ORACLES = {
+    "ns_contamination": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, {_CONTAM_GRAM_EXPR} AS g
+            FROM t, (SELECT unnest(range(1, 4000)) AS i)
+            WHERE i + {CONTAM_N - 1} <= len(ws)
+        )
+        SELECT c.doc_id, e.doc_id AS eval_doc_id,
+               CAST(count(*) AS BIGINT) AS shared_ngrams
+        FROM grams c
+        JOIN grams e ON c.g = e.g
+        WHERE e.doc_id % {EVAL_MOD} = 0 AND c.doc_id % {EVAL_MOD} <> 0
+        GROUP BY c.doc_id, e.doc_id
+        HAVING count(*) >= {CONTAM_MIN_SHARED}
+    """,
+    "ns_sample_stratified": f"""
+        SELECT doc_id, lang,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS bucket_hex
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              <= {_SAMPLE_THRESH_CASE}
+    """,
     "ns_pipeline_curate": f"""
         WITH scored AS (
             SELECT doc_id, text,
