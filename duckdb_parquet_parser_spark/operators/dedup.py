@@ -332,11 +332,14 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also makes both join sides identical subplans, so the expensive
     # signature computation is shuffled once and reused (ReusedExchange)
     # instead of recomputed per band per side.
+    # Verification is bit_count(xor) on a packed long — one instruction per
+    # pair instead of 32 per-character comparisons — and the join/distinct
+    # shuffles an 8-byte long per side instead of a 32-char signature.
     bands = (
         simhash_docs(_doc_word_arrays(spark, sf_dir))
         .select(
             "doc_id",
-            "simhash",
+            F.conv("simhash", 2, 10).cast("long").alias("sim"),
             F.explode(
                 F.array(
                     F.struct(
@@ -350,13 +353,13 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bk"),
         )
-        .select("doc_id", "simhash", "bk.band", "bk.key")
+        .select("doc_id", "sim", "bk.band", "bk.key")
     )
     a = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a")
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a")
     )
     b = bands.select(
-        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b")
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b")
     )
     cand = (
         a.join(b, ["band", "key"])
@@ -364,12 +367,7 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
-    hamming = sum(
-        F.when(
-            F.substring("sim_a", j + 1, 1) != F.substring("sim_b", j + 1, 1), 1
-        ).otherwise(0)
-        for j in range(SIMHASH_BITS)
-    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
         cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= HAMMING_MAX)

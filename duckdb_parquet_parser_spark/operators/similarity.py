@@ -110,17 +110,18 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cand = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        # a pair can share both probed cells — dedup before the (costly)
-        # exact verification; ea/eb are functionally determined by the ids
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    cand = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
     cos = dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # Verify BEFORE deduping: the cosine is functionally determined by the
+    # id pair, so filter∘distinct ≡ distinct∘filter — but verifying first
+    # runs map-side on the join output and the distinct then shuffles only
+    # the surviving (vec_a, vec_b) id pairs, not embedding arrays. A pair
+    # sharing both probed cells is verified twice (≤2×) instead of paying
+    # an array-wide shuffle for every candidate.
     return (
         cand.filter(cos >= NEARDUP_COS)
         .select("vec_a", "vec_b")
+        .distinct()
     )
 
 
