@@ -41,6 +41,9 @@ HEADLINE = [
     "ns_ann_ivf_topk",
     "ns_text_tokens",
     "stream_session",
+    "ns_vocab_topk",
+    "ns_seq_pack",
+    "ns_kmeans_embed",
 ]
 
 

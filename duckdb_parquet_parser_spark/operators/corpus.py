@@ -1,0 +1,237 @@
+"""Corpus-preparation operators: vocabulary building, training-sequence
+packing, domain mixture weighting, and length profiling — the steps between
+"filtered documents" and "token batches on the trainer" in an LLM data
+pipeline. (No reference analog: the reference engine stops at scans/chunks;
+these extend its positional/chunking ideas — main.cpp:7-38 — to the token
+domain.)
+
+Scale notes:
+- ``ns_vocab_topk``: two-level aggregation — (word, doc) partial counts
+  map-side combine before the only wide shuffle (on word), then a bounded
+  top-K via ``TakeOrderedAndProject``. No collect, no window.
+- ``ns_seq_pack``: concat-and-chop packing (every doc's tokens land at a
+  global offset; sequences are fixed SEQ_LEN windows over that stream) via
+  the generic two-pass prefix sum in positional.py — per-partition partials,
+  driver-side O(#partitions) prefix, partition-local window. No global
+  ordering anywhere.
+- ``ns_mixture_weights`` / ``ns_doclen_histogram``: single hash aggregations
+  over (lang, source) / bucketed length — map-side partials, tiny outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .positional import file_order_running_total
+
+VOCAB_TOP_K = 100
+SEQ_LEN = 512  # tokens per packed training sequence
+HIST_BUCKET = 16  # token-count histogram bucket width
+HIST_MAX_BUCKET = 15  # open-ended top bucket
+
+
+def q_ns_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build: the TOP_K words by document frequency (ties by
+    total occurrences desc, then word asc), with both df and tf counts —
+    the statistics a tokenizer-training / stopword-pruning step needs.
+
+    Two-level agg keeps the wide shuffle narrow: (word, doc) partials
+    collapse each doc's repetitions map-side, the word-level rollup then
+    shuffles one row per distinct (word, doc) instead of one per token."""
+    df = load_table(spark, sf_dir, "documents")
+    words = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    per_doc = words.groupBy("word", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    return (
+        per_doc.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf_doc").alias("total_freq"),
+        )
+        .orderBy(
+            F.col("doc_freq").desc(), F.col("total_freq").desc(), F.col("word")
+        )
+        .limit(VOCAB_TOP_K)
+    )
+
+
+def q_ns_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: documents are concatenated in
+    corpus order and chopped into fixed SEQ_LEN-token training sequences
+    (the packing strategy most LLM pretraining pipelines use — no padding,
+    boundary docs split across neighboring sequences).
+
+    Per doc: its global token offset, the first/last sequence it lands in,
+    and its offset inside the first sequence. ``seq_last > seq_first``
+    marks docs straddling a sequence boundary.
+
+    Fixture file order == doc_id order (pinned by tests), so the file-order
+    prefix sum agrees with the doc_id-ordered oracle exactly. (No
+    ``scale_out`` here: a repartition would scramble the file order the
+    prefix sum accumulates over; parallelism comes from the scan's natural
+    splits, like every positional op.)"""
+    df = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    packed = file_order_running_total(
+        df.select("doc_id", "text"), n_tokens, out_col="tok_before"
+    )
+    nt = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        packed.withColumn("n_tokens", nt)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("tok_before").alias("tok_offset"),
+            F.floor(F.col("tok_before") / SEQ_LEN).cast("long").alias("seq_first"),
+            F.floor((F.col("tok_before") + nt - 1) / SEQ_LEN)
+            .cast("long")
+            .alias("seq_last"),
+            (F.col("tok_before") % SEQ_LEN).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def q_ns_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture weighting: per (lang, source) domain, its document
+    and token share of the corpus plus the resampling weight that would
+    equalize token share across domains (weight = uniform-target share /
+    actual share, the DoReMi-style reweighting input). Integer micro-units
+    + round(…, 6) keep the ratios cross-engine exact."""
+    df = load_table(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    dom = (
+        df.select("lang", "source", n_tokens.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    # Global window over the already-aggregated domain table (a handful of
+    # rows) — the single-task stage touches #domains rows, never the corpus.
+    total = Window.partitionBy()
+    n_domains = F.count(F.lit(1)).over(total)
+    tok_share = F.col("n_tokens") / F.sum("n_tokens").over(total)
+    return dom.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(tok_share, 6).alias("token_share"),
+        F.round((F.lit(1.0) / n_domains) / tok_share, 6).alias("weight"),
+    )
+
+
+def q_ns_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: equi-width histogram of per-doc token counts
+    (bucket = tokens // HIST_BUCKET, capped), with per-bucket doc count and
+    min/max — the sanity check before choosing SEQ_LEN."""
+    df = load_table(spark, sf_dir, "documents")
+    nt = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    bucket = F.least(
+        F.floor(nt / HIST_BUCKET), F.lit(HIST_MAX_BUCKET)
+    ).cast("long")
+    return (
+        df.select(bucket.alias("bucket"), nt.alias("nt"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("nt").alias("min_tokens"),
+            F.max("nt").alias("max_tokens"),
+        )
+    )
+
+
+QUERIES = {
+    "ns_vocab_topk": q_ns_vocab_topk,
+    "ns_seq_pack": q_ns_seq_pack,
+    "ns_mixture_weights": q_ns_mixture_weights,
+    "ns_doclen_histogram": q_ns_doclen_histogram,
+}
+
+_NT_SQL = (
+    "CASE WHEN text IS NOT NULL"
+    " THEN len(string_split(text, ' ')) ELSE 0 END"
+)
+
+ORACLES = {
+    "ns_vocab_topk": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        per_doc AS (
+            SELECT word, doc_id, count(*) AS tf_doc
+            FROM words GROUP BY word, doc_id
+        )
+        SELECT word,
+               CAST(count(*) AS BIGINT) AS doc_freq,
+               CAST(sum(tf_doc) AS BIGINT) AS total_freq
+        FROM per_doc
+        GROUP BY word
+        ORDER BY doc_freq DESC, total_freq DESC, word
+        LIMIT {VOCAB_TOP_K}
+    """,
+    "ns_seq_pack": f"""
+        WITH toks AS (
+            SELECT doc_id, CAST({_NT_SQL} AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_offset
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS seq_first,
+               CAST((tok_offset + n_tokens - 1) // {SEQ_LEN} AS BIGINT)
+                   AS seq_last,
+               CAST(tok_offset % {SEQ_LEN} AS BIGINT) AS seq_offset
+        FROM packed WHERE n_tokens > 0
+    """,
+    "ns_mixture_weights": f"""
+        WITH dom AS (
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum({_NT_SQL}) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang, source, n_docs, n_tokens,
+               round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+                   AS token_share,
+               round((CAST(1.0 AS DOUBLE) / count(*) OVER ())
+                     / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6)
+                   AS weight
+        FROM dom
+    """,
+    "ns_doclen_histogram": f"""
+        WITH toks AS (
+            SELECT CAST({_NT_SQL} AS BIGINT) AS nt FROM documents
+        )
+        SELECT CAST(least(nt // {HIST_BUCKET}, {HIST_MAX_BUCKET}) AS BIGINT)
+                   AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(nt) AS min_tokens,
+               max(nt) AS max_tokens
+        FROM toks
+        GROUP BY 1
+    """,
+}

@@ -67,26 +67,21 @@ def _with_partition_index(df: DataFrame) -> DataFrame:
 
 
 def _partition_offsets(
-    base: DataFrame, value_col: str | None = None
+    base: DataFrame, cost: Column | None = None
 ) -> "DataFrame":
-    """Pass 1: per-partition row counts (+ byte sums when ``value_col``),
+    """Pass 1: per-partition row counts (+ ``cost`` sums when given),
     prefix-summed on the driver (O(#partitions) tuples) into a tiny offsets
     table to broadcast-join back. The count aggregation is map-side partial:
     only #partitions rows ever shuffle."""
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    if value_col is not None:
-        v = F.col(value_col)
-        aggs.append(
-            F.sum(
-                F.when(v.isNotNull(), byte_cost(v)).otherwise(F.lit(0))
-            ).alias("_bytes")
-        )
+    if cost is not None:
+        aggs.append(F.sum(cost).alias("_bytes"))
     parts = base.groupBy("_pid").agg(*aggs).collect()
     row_off, byte_off, rows = 0, 0, []
     for r in sorted(parts, key=lambda r: r["_pid"]):
         rows.append((r["_pid"], row_off, byte_off))
         row_off += r["_rows"]
-        byte_off += r["_bytes"] if value_col is not None else 0
+        byte_off += r["_bytes"] if cost is not None else 0
     # Inline VALUES → LocalRelation: the broadcast side never touches an RDD
     # (createDataFrame would plan a Scan ExistingRDD + a job to build it).
     if not rows:
@@ -116,6 +111,30 @@ def file_order_positions(df: DataFrame, pos_col: str = "pos") -> DataFrame:
     )
 
 
+def file_order_running_total(
+    df: DataFrame, cost: Column, out_col: str = "before", pos_col: str = "pos"
+) -> DataFrame:
+    """Generic exclusive running total of ``cost`` over file order — the
+    same 100 TB-safe two-pass prefix-sum plan as :func:`scalable_chunk_ids`
+    (per-partition partials → driver prefix sum → broadcast offsets +
+    partition-local window), reusable for any accumulation (byte offsets,
+    token budgets, …). Adds ``pos_col`` (global row position) and
+    ``out_col`` (sum of ``cost`` over all prior rows); ``cost`` must be
+    null-free (wrap with ``coalesce``/``when`` at the call site)."""
+    base = _with_partition_index(df)
+    off = _partition_offsets(base, cost=cost)
+    w = Window.partitionBy("_pid").orderBy("_local")
+    return (
+        base.join(F.broadcast(off), "_pid")
+        .withColumn(pos_col, (F.col("_row_off") + F.col("_local")).cast("long"))
+        .withColumn(
+            out_col,
+            (F.col("_byte_off") + F.sum(cost).over(w) - cost).cast("long"),
+        )
+        .drop("_pid", "_local", "_row_off", "_byte_off")
+    )
+
+
 def scalable_chunk_ids(
     df: DataFrame,
     column: str = "text",
@@ -134,9 +153,9 @@ def scalable_chunk_ids(
     exactly (asserted in tests/test_positional.py).
     """
     base = _with_partition_index(df.select(F.col(column).alias("value")))
-    off = _partition_offsets(base, value_col="value")
     v = F.col("value")
     cost = F.when(v.isNotNull(), byte_cost(v)).otherwise(F.lit(0))
+    off = _partition_offsets(base, cost=cost)
     w = Window.partitionBy("_pid").orderBy("_local")
     return (
         base.join(F.broadcast(off), "_pid")

@@ -264,11 +264,89 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_CLUSTERS = 8  # k-means clusters; init = embeddings of vec_id 0..7
+
+
+def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, embedding, cluster, cos): nearest centroid by cosine,
+    ties to the lowest cluster id. Centroid table is K rows — broadcast;
+    assignment is one narrow pass over the vectors."""
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cluster")
+    )
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("cos", cosine_similarity(F.col("embedding"), F.col("cvec")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "embedding", "cluster", "cos")
+    )
+
+
+def q_ns_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means, two Lloyd rounds: assign every vector
+    to its nearest (cosine) centroid, recompute centroids as per-dimension
+    means, re-assign. Output: final (vec_id, cluster, cos).
+
+    Cross-engine exactness (the hard part of differential-testing an
+    iterative float algorithm): per-dimension sums accumulate in
+    DECIMAL(28,10) — exact and order-independent, so partial-aggregation
+    order can't perturb the mean — and only the final ``CAST(sum AS
+    DOUBLE) / count`` drops to IEEE double, which is deterministic given
+    identical inputs. The updated centroids round-trip through the driver
+    as exact decimal strings (K×DIM values — same bounded-collect pattern
+    as MLlib's own k-means; at 100 TB the per-iteration shuffle is the
+    K×DIM-row partial aggregation, never the vectors).
+    """
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    init = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    assigned = _assign_clusters(emb, init)
+    # Centroid update: explode to (cluster, dim, val), sum in exact decimal.
+    upd = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(
+                F.col("val").cast("double").cast("decimal(28,10)")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # K×DIM exact decimal sums → literal VALUES; the double division happens
+    # JVM-side (CAST(decimal AS DOUBLE)/count), mirroring the oracle's.
+    values = ", ".join(
+        f"({r['cluster']}, {r['dim'] + 1}, CAST('{r['s']}' AS DECIMAL(38,10)), {r['n']}L)"
+        for r in upd
+    )
+    cent2 = spark.sql(
+        f"""
+        SELECT CAST(cluster AS BIGINT) AS cluster, transform(
+                   array_sort(collect_list(struct(dim, mean))),
+                   x -> x.mean
+               ) AS cvec
+        FROM (
+            SELECT cluster, dim, CAST(s AS DOUBLE) / n AS mean
+            FROM VALUES {values} AS t(cluster, dim, s, n)
+        )
+        GROUP BY cluster
+        """
+    )
+    return _assign_clusters(emb, cent2).select(
+        "vec_id", "cluster", F.round("cos", 6).alias("cos")
+    )
+
+
 QUERIES = {
     "ns_knn_bruteforce": q_ns_knn_bruteforce,
     "ns_embed_neardup": q_ns_embed_neardup,
     "ns_ann_lsh_buckets": q_ns_ann_lsh_buckets,
     "ns_ann_ivf_topk": q_ns_ann_ivf_topk,
+    "ns_kmeans_embed": q_ns_kmeans_embed,
 }
 
 
@@ -383,5 +461,46 @@ ORACLES = {
         )
         SELECT query_id, neighbor_id, rank, cos
         FROM ranked WHERE rank <= {TOP_K}
+    """,
+    # Two unrolled Lloyd rounds; per-dimension means via the same exact
+    # DECIMAL(28,10) accumulation as the Spark side, double division last.
+    "ns_kmeans_embed": f"""
+        WITH init AS (
+            SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {K_CLUSTERS}
+        ),
+        a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                               DESC, c.cluster) AS r
+                FROM embeddings e, init c
+            ) WHERE r = 1
+        ),
+        upd AS (
+            SELECT a1.cluster, d.i AS dim,
+                   CAST(sum(CAST(CAST(e.embedding[d.i] AS DOUBLE)
+                                 AS DECIMAL(28,10))) AS DOUBLE)
+                       / count(*) AS mean
+            FROM a1 JOIN embeddings e USING (vec_id), range(1, {DIM + 1}) d(i)
+            GROUP BY a1.cluster, d.i
+        ),
+        cent2 AS (
+            SELECT CAST(cluster AS BIGINT) AS cluster,
+                   list(mean ORDER BY dim) AS cvec
+            FROM upd GROUP BY cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster, cos FROM (
+                SELECT e.vec_id, c.cluster,
+                       {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS cos,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                               DESC, c.cluster) AS r
+                FROM embeddings e, cent2 c
+            ) WHERE r = 1
+        )
+        SELECT vec_id, cluster, round(cos, 6) AS cos FROM a2
     """,
 }

