@@ -157,11 +157,102 @@ def q_ns_doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_BUCKETS = 64  # m = 2^6 registers
+HLL_RHO_CAP = 32
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+_HEX_BITS = {c: format(int(c, 16), "04b") for c in "0123456789abcdef"}
+
+
+def _hex_digit_sql(col: str, i: int) -> str:
+    """Portable SQL (Spark + DuckDB) for the integer value of hex char i."""
+    whens = " ".join(f"WHEN '{c}' THEN {int(c, 16)}" for c in _HEX_BITS)
+    return f"(CASE substr({col}, {i}, 1) {whens} END)"
+
+
+def _hex_bits_sql(col: str, start: int, n_chars: int) -> str:
+    """Portable SQL turning hex chars [start, start+n) into a bit string."""
+    parts = []
+    for i in range(start, start + n_chars):
+        whens = " ".join(f"WHEN '{c}' THEN '{b}'" for c, b in _HEX_BITS.items())
+        parts.append(f"CASE substr({col}, {i}, 1) {whens} END")
+    return "(" + " || ".join(parts) + ")"
+
+
+# Register inputs from md5(word): bucket = first byte mod m, rho = position
+# of the first 1-bit in the next 64 bits (capped). Pure CASE/substr/instr —
+# the SAME SQL text runs on both engines, so the sketch is exactly
+# differential-testable (unlike engine-native approx_count_distinct).
+_HLL_BUCKET_SQL = (
+    f"(({_hex_digit_sql('hx', 1)} * 16 + {_hex_digit_sql('hx', 2)})"
+    f" % {HLL_BUCKETS})"
+)
+_HLL_RHO_SQL = (
+    f"least(CASE WHEN instr({_hex_bits_sql('hx', 3, 16)}, '1') = 0"
+    f" THEN {HLL_RHO_CAP + 1}"
+    f" ELSE instr({_hex_bits_sql('hx', 3, 16)}, '1') END, {HLL_RHO_CAP})"
+)
+
+
+def q_ns_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-word count per language via a deterministic
+    HyperLogLog sketch (m=64 registers from md5 bits), next to the exact
+    count and the relative error — the cardinality-sketch building block
+    of corpus statistics at scales where exact distinct is a full shuffle
+    of every unique token.
+
+    Scale shape: registers aggregate with a map-side MAX into 64 rows per
+    language (constant state — the whole point of HLL); only the exact
+    baseline pays the distinct shuffle, and it exists here to certify the
+    sketch. Determinism: md5-derived buckets/rho; the register sum uses
+    exact integers (2^(cap-rho)); one final double division both engines
+    perform identically."""
+    df = load_table(spark, sf_dir, "documents")
+    words = df.filter(F.col("text").isNotNull()).select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    h = words.select("lang", F.md5("word").alias("hx"))
+    reg = (
+        h.select(
+            "lang",
+            F.expr(_HLL_BUCKET_SQL).alias("bucket"),
+            F.expr(_HLL_RHO_SQL).alias("rho"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+    # Σ 2^(cap-rho) over all m registers, empty registers contributing
+    # 2^cap — exact BIGINT arithmetic, order-independent.
+    scale = 2**HLL_RHO_CAP
+    s = reg.groupBy("lang").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), HLL_RHO_CAP - F.col("mr")).cast("long"))
+            + (HLL_BUCKETS - F.count(F.lit(1))) * F.lit(scale)
+        ).alias("ssum"),
+        (HLL_BUCKETS - F.count(F.lit(1))).alias("v"),
+    )
+    est = F.expr(_HLL_FINAL_SQL)
+    exact = words.groupBy("lang").agg(
+        F.countDistinct("word").alias("n_exact")
+    )
+    return (
+        s.join(exact, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            F.round(est, 2).alias("hll_estimate"),
+            F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_error"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "ns_vocab_topk": q_ns_vocab_topk,
     "ns_seq_pack": q_ns_seq_pack,
     "ns_mixture_weights": q_ns_mixture_weights,
     "ns_doclen_histogram": q_ns_doclen_histogram,
+    "ns_approx_distinct_hll": q_ns_approx_distinct_hll,
 }
 
 _NT_SQL = (
@@ -235,3 +326,58 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+# The bucket/rho expressions are the SAME SQL text Spark evaluates (via
+# F.expr) — the sketch is deterministic by construction, so the whole
+# estimate is hash-comparable.
+_HLL_CONST = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS
+_HLL_EST_SQL = (
+    f"CAST({_HLL_CONST!r} AS DOUBLE) * CAST({float(2**HLL_RHO_CAP)!r} AS DOUBLE)"
+    " / ssum"
+)
+
+# Small-range (linear counting) correction: E <= 2.5m with V empty
+# registers -> m*ln(m/V). ln(x) may differ by an ulp between libm
+# implementations, so the 64 possible values are precomputed here and
+# injected as identical double literals into BOTH engines.
+import math  # noqa: E402
+
+_HLL_LINEAR_SQL = (
+    "(CASE v "
+    + " ".join(
+        f"WHEN {v} THEN {HLL_BUCKETS * math.log(HLL_BUCKETS / v)!r}"
+        for v in range(1, HLL_BUCKETS + 1)
+    )
+    + " END)"
+)
+_HLL_FINAL_SQL = (
+    f"CASE WHEN v > 0 AND {_HLL_EST_SQL} <= {2.5 * HLL_BUCKETS!r}"
+    f" THEN {_HLL_LINEAR_SQL} ELSE {_HLL_EST_SQL} END"
+)
+ORACLES["ns_approx_distinct_hll"] = f"""
+    WITH words AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (SELECT lang, md5(word) AS hx FROM words),
+    reg AS (
+        SELECT lang, {_HLL_BUCKET_SQL} AS bucket, {_HLL_RHO_SQL} AS rho
+        FROM h
+    ),
+    m AS (SELECT lang, bucket, max(rho) AS mr FROM reg GROUP BY lang, bucket),
+    s AS (
+        SELECT lang,
+               sum(CAST(pow(2, {HLL_RHO_CAP} - mr) AS BIGINT))
+               + ({HLL_BUCKETS} - count(*)) * {2**HLL_RHO_CAP} AS ssum,
+               {HLL_BUCKETS} - count(*) AS v
+        FROM m GROUP BY lang
+    ),
+    ex AS (
+        SELECT lang, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+        FROM words GROUP BY lang
+    )
+    SELECT s.lang, ex.n_exact,
+           round({_HLL_FINAL_SQL}, 2) AS hll_estimate,
+           round(({_HLL_FINAL_SQL} - n_exact) / n_exact, 4) AS rel_error
+    FROM s JOIN ex USING (lang)
+"""

@@ -85,6 +85,80 @@ def q_streaming_tumbling_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling(spark, sf_dir)
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the static
+    customer dimension and aggregates per (market segment, event type) —
+    the canonical "decorate a stream with reference data" pattern.
+
+    Scale shape: Structured Streaming plans the static side as a regular
+    broadcast hash join inside every microbatch — the dimension never
+    shuffles and the stream stays partitioned by its source; only the
+    post-join aggregation keeps (bounded, #groups-sized) state. The
+    decimal sum keeps the double aggregate order-independent, so the
+    finished complete-mode table equals the batch join+agg oracle."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import load_table
+    from ..functions import dsum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    src = event_stream(spark, stage_events(spark, sf_dir))
+    agg = (
+        src.join(F.broadcast(cust), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+    return run_to_memory(agg, "complete")
+
+
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: views matched to
+    purchases by the same user within 30 minutes — the attribution/funnel
+    join. Both sides carry watermarks and the join predicate bounds both
+    event times, so state for either side is evicted once the watermark
+    passes (bounded state — without the time bound a stream-stream join
+    buffers forever). Inner-join append output is exactly the set of
+    matched pairs, which equals the batch time-range join = the oracle.
+
+    Scale shape: the join keys by user_id — a hash-partitioned stateful
+    join, skew bounded by per-user event rates; the range predicate
+    prunes state by event time, not by size."""
+    from pyspark.sql import functions as F
+
+    staged = stage_events(spark, sf_dir)
+    views = (
+        event_stream(spark, staged)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        event_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    j = views.join(
+        buys,
+        F.expr(
+            "v_user = b_user AND buy_ts >= view_ts"
+            " AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    return run_to_memory(j, "append")
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: ``dropDuplicates`` over the event
     stream keeps the FIRST arrival of each (user_id, event_type) across
@@ -103,6 +177,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "streaming_tumbling_rt": q_streaming_tumbling_rt,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_enrich": q_streaming_enrich,
+    "streaming_join": q_streaming_join,
 }
 
 # Streaming-batch equivalence: the finished stream equals the batch window
@@ -112,4 +188,19 @@ from ..operators.windows import ORACLES as _BATCH_ORACLES  # noqa: E402
 ORACLES = {
     "streaming_tumbling_rt": _BATCH_ORACLES["stream_tumbling"],
     "streaming_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "streaming_enrich": """
+        SELECT c.c_mktsegment AS segment, e.event_type,
+               count(*) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY 1, 2
+    """,
+    "streaming_join": """
+        SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+    """,
 }
