@@ -94,6 +94,34 @@ def q_rel_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with correct null semantics: every customer with
+    its order count and spend, zero-filled for customers who never
+    ordered.
+
+    Scale shape: orders pre-aggregate to one row per custkey BEFORE the
+    join (aggregate-below-join — the shuffle moves #customers rows, not
+    #orders), then a single equi-join; at 100 TB both sides hash-partition
+    on the key, no row explosion."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum("o_totalprice", "spent"),
+    )
+    return (
+        customer.join(
+            per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce("cnt", F.lit(0)).alias("n_orders"),
+            F.coalesce("spent", F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
 def q_rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -351,6 +379,7 @@ QUERIES = {
     "rel_join_q5": q_rel_join_q5,
     "rel_join_semi": q_rel_join_semi,
     "rel_join_anti": q_rel_join_anti,
+    "rel_outer_join": q_rel_outer_join,
     "rel_window_rank": q_rel_window_rank,
     "rel_window_running": q_rel_window_running,
     "rel_sort_topk": q_rel_sort_topk,
@@ -403,6 +432,18 @@ ORACLES = {
     "rel_join_anti": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "rel_outer_join": """
+        WITH per_cust AS (
+            SELECT o_custkey, count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       AS spent
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_mktsegment,
+               CAST(COALESCE(cnt, 0) AS BIGINT) AS n_orders,
+               COALESCE(spent, 0.0) AS total_spent
+        FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
     """,
     "rel_window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
