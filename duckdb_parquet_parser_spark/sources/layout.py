@@ -62,3 +62,49 @@ def write_bucketed(
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_col: str | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    ingest pipeline needs: coalesce a directory of many (possibly tiny)
+    parquet files into ceil(input_bytes / target) right-sized files,
+    optionally min/max-clustering rows by ``cluster_col`` on the way.
+
+    Scale notes: input size comes from the file listing (no data read);
+    ``repartition(n)`` (not ``coalesce``) so the write parallelizes and
+    each output file draws from the whole input rather than neighboring
+    small files; with ``cluster_col``, ``repartitionByRange`` +
+    ``sortWithinPartitions`` gives every output file a tight, disjoint
+    min/max range on that column, so later scans filtering on it skip
+    whole files/row groups via footer statistics (the poor man's
+    Z-ordering for one dimension). Returns the file count written."""
+    import glob
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(in_path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(in_path)
+    if cluster_col is not None:
+        df = df.repartitionByRange(n_out, cluster_col).sortWithinPartitions(
+            cluster_col
+        )
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return len(
+        [
+            f
+            for f in os.listdir(out_path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    )

@@ -51,3 +51,46 @@ def test_bucketed_join_skips_exchange(spark, sf_smoke):
     assert plan.count("Exchange") == 0, plan
     # values intact
     assert joined.count() == orders.count()
+
+
+def test_compact_files_right_sizes_and_clusters(spark, sf_smoke):
+    from duckdb_parquet_parser_spark.inspect import file_metadata
+    from duckdb_parquet_parser_spark.sources.layout import compact_files
+
+    frag = os.path.join(tempfile.gettempdir(), "sg_fragmented")
+    out = os.path.join(tempfile.gettempdir(), "sg_compacted")
+    docs = load_table(spark, sf_smoke, "documents")
+    # simulate the small-files problem: 32 shards of a 500-row table
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_in >= 16
+
+    n_out = compact_files(
+        spark, frag, out, target_file_bytes=64 * 1024, cluster_col="doc_id"
+    )
+    files = sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert len(files) == n_out < n_in
+    # round-trip: same rows
+    assert (
+        spark.read.parquet(out).orderBy("doc_id").collect()
+        == docs.orderBy("doc_id").collect()
+    )
+    if len(files) > 1:
+        # clustering: per-file doc_id ranges are disjoint -> footer stats
+        # let a point query skip every other file
+        ranges = []
+        for f in files:
+            meta = file_metadata(f)
+            stats = meta.row_group(0).column(0).statistics
+            lo, hi = stats.min, stats.max
+            for rg in range(1, meta.num_row_groups):
+                s = meta.row_group(rg).column(0).statistics
+                lo, hi = min(lo, s.min), max(hi, s.max)
+            ranges.append((lo, hi))
+        ranges.sort()
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev < lo_next, ranges
