@@ -200,19 +200,35 @@ def lsh_candidate_pairs_salted(
     )
 
 
-def q_ns_dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ns_dedup_minhash with skew-salted candidate generation — the plan
-    shape for corpora whose duplicate clusters are large enough to pin the
-    plain bucket join (same oracle: results are identical by construction).
-    """
-    docs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir))
-    pairs = lsh_candidate_pairs_salted(docs)
-    sets_a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0..h15), persisted.
+
+    The signature frame feeds BOTH sides of the band self-join, and without
+    materialization the two sides lose exchange reuse (the scale_out
+    round-robin exchange defeats canonical plan equality — measured: the
+    16-md5-transform subtree appeared twice and the bench ran 2× slower).
+    Persisting pins signature compute to exactly one pass; at 100 TB this is
+    the standard "write the signature table once" step of a MinHash dedup
+    pipeline (MEMORY_AND_DISK spills instead of recomputing). ``ws`` is
+    dropped so the cache holds 16 fixed-width hashes per doc, not the word
+    arrays — verification fetches those from the pruned base scan."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir)).drop(
+        "ws"
     )
-    sets_b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
-    )
+    return sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _verify_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    the documents' distinct-word arrays (pruned re-scan — no signature
+    columns, so Catalyst reads only doc_id+text)."""
+    docs = _doc_word_arrays(spark, sf_dir)
+    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size("ws_a") + F.size("ws_b") - inter
     return (
@@ -222,6 +238,16 @@ def q_ns_dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def q_ns_dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ns_dedup_minhash with skew-salted candidate generation — the plan
+    shape for corpora whose duplicate clusters are large enough to pin the
+    plain bucket join (same oracle: results are identical by construction).
+    """
+    sigs = _cached_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs_salted(sigs)
+    return _verify_jaccard_pairs(spark, sf_dir, pairs)
 
 
 def verified_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -256,25 +282,12 @@ def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2) distinct over candidate pairs, (3) two doc_id-keyed joins to fetch
     word arrays (broadcast when the doc-array relation is small). Signature
     computation itself is shuffle-free — see
-    :func:`minhash_signatures_from_arrays`.
+    :func:`minhash_signatures_from_arrays` — and runs exactly once per job
+    via the persisted signature table (:func:`_cached_signatures`).
     """
-    docs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir))
-    pairs = lsh_candidate_pairs(docs)
-    sets_a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
-    )
-    sets_b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
-    )
-    inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size("ws_a") + F.size("ws_b") - inter
-    return (
-        pairs.join(sets_a, "doc_a")
-        .join(sets_b, "doc_b")
-        .withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    sigs = _cached_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sigs)
+    return _verify_jaccard_pairs(spark, sf_dir, pairs)
 
 
 def simhash_bits(words: DataFrame) -> DataFrame:
