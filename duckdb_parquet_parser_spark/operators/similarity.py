@@ -34,16 +34,31 @@ DIM = 64
 
 
 def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-k neighbors for each query vector by cosine similarity."""
+    """Exact top-k neighbors for each query vector by cosine similarity.
+
+    Norms are precomputed per vector below the pair join (once per row, not
+    once per pair), so scoring pays ONE dot fold per candidate pair — same
+    expression trees as ``cosine_similarity``, so the doubles (and the
+    ranking) are bit-identical."""
     emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nn"),
+    )
     scored = (
         cand.crossJoin(F.broadcast(queries))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("embedding")))
+        .withColumn(
+            "cos",
+            dot_product(F.col("qvec"), F.col("embedding"))
+            / (F.col("qn") * F.col("nn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -96,7 +111,7 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("centroid_id").alias("cell"),
         "vec_id",
         "embedding",
-        l2_norm(F.col("embedding")).alias("nrm"),
+        F.col("vnorm").alias("nrm"),
     )
     a = assigned.select(
         "cell",
@@ -202,17 +217,26 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, rank_limit: int) -> Da
     The centroid table is tiny (N_CELLS rows) and broadcast; assignment is
     one narrow pass over the vectors — the IVF build is embarrassingly
     parallel and the inverted lists are just a partitioning key at scale.
+    Vector/centroid norms are computed once per row below the join (not per
+    (vector, centroid) pair); the output keeps ``vnorm`` so downstream
+    verification can reuse it. Expression trees match
+    ``cosine_similarity`` exactly, so scores are bit-identical.
     """
+    e = emb.withColumn("vnorm", l2_norm(F.col("embedding")))
+    c = centroids.withColumn("_cnorm", l2_norm(F.col("cvec")))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cell_cos").desc(), F.col("centroid_id")
     )
     return (
-        emb.crossJoin(F.broadcast(centroids))
+        e.crossJoin(F.broadcast(c))
         .withColumn(
-            "cell_cos", cosine_similarity(F.col("embedding"), F.col("cvec"))
+            "cell_cos",
+            dot_product(F.col("embedding"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("_cnorm")),
         )
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= rank_limit)
+        .drop("_cnorm")
     )
 
 
@@ -270,13 +294,20 @@ K_CLUSTERS = 8  # k-means clusters; init = embeddings of vec_id 0..7
 def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, cluster, cos): nearest centroid by cosine,
     ties to the lowest cluster id. Centroid table is K rows — broadcast;
-    assignment is one narrow pass over the vectors."""
+    assignment is one narrow pass over the vectors. Norms precomputed per
+    row below the join (1 fold per pair, not 3 — bit-identical trees)."""
+    e = emb.withColumn("_vn", l2_norm(F.col("embedding")))
+    c = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cluster")
     )
     return (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("cos", cosine_similarity(F.col("embedding"), F.col("cvec")))
+        e.crossJoin(F.broadcast(c))
+        .withColumn(
+            "cos",
+            dot_product(F.col("embedding"), F.col("cvec"))
+            / (F.col("_vn") * F.col("_cn")),
+        )
         .withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
         .select("vec_id", "embedding", "cluster", "cos")
