@@ -28,7 +28,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         udfs,
         windows,
     )
-    from ..sources import formats, writer
+    from ..sources import formats, layout, writer
     from .. import inspect as inspect_mod
     from ..streaming import stateful as streaming_stateful
     from ..streaming import windows as streaming_windows
@@ -40,6 +40,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         udfs,
         writer,
         formats,
+        layout,
         inspect_mod,
         streaming_windows,
         streaming_stateful,

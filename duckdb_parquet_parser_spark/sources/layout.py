@@ -19,8 +19,15 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
 
 WAREHOUSE = os.path.join(tempfile.gettempdir(), "spark_graft_warehouse")
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
 
 
 def write_partitioned(
@@ -83,14 +90,32 @@ def compact_files(
     ``sortWithinPartitions`` gives every output file a tight, disjoint
     min/max range on that column, so later scans filtering on it skip
     whole files/row groups via footer statistics (the poor man's
-    Z-ordering for one dimension). Returns the file count written."""
+    Z-ordering for one dimension). Returns the file count written.
+
+    Local-filesystem paths only (sizes come from ``os.path``); in-place
+    compaction is unsupported — ``mode('overwrite')`` would delete the
+    input before the lazy read executes."""
     import glob
 
-    files = [
-        f
-        for f in glob.glob(os.path.join(in_path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
+    if os.path.realpath(out_path) == os.path.realpath(in_path):
+        raise ValueError(
+            "compact_files: out_path must differ from in_path "
+            "(overwrite deletes the input before the lazy read runs)"
+        )
+    if os.path.isfile(in_path):
+        files = [in_path]
+    else:
+        files = [
+            f
+            for f in glob.glob(os.path.join(in_path, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+        ]
+    if not files:
+        raise FileNotFoundError(
+            f"compact_files: no input files under {in_path!r} "
+            "(only local filesystem paths are supported)"
+        )
     total = sum(os.path.getsize(f) for f in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(in_path)
@@ -108,3 +133,129 @@ def compact_files(
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         ]
     )
+
+
+def clustered_documents(spark: SparkSession, sf_dir: str, n_files: int = 8) -> str:
+    """Range-clustered copy of the documents table (clustered on doc_id into
+    ~``n_files`` files with disjoint min/max ranges), built once per SF dir
+    and reused — the one-time table-maintenance pass that makes footer-stat
+    file skipping possible."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    out = os.path.join(
+        tempfile.gettempdir(), f"sg_docs_clustered_{_sf_tag(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        total = os.path.getsize(src)
+        compact_files(
+            spark,
+            src,
+            out,
+            target_file_bytes=max(1, -(-total // n_files)),
+            cluster_col="doc_id",
+        )
+    return out
+
+
+def prune_files_by_stats(
+    path: str, column: str, lo, hi
+) -> tuple[list[str], int]:
+    """Footer-statistics file pruning: keep only the files whose min/max
+    range for ``column`` (from the parquet footer — no data pages read) can
+    overlap [lo, hi]. Files lacking stats are conservatively kept. Returns
+    (kept files, total files).
+
+    This is the reference's page-skipping idea (README.md:54-65 — skip
+    pages whose values can't match) lifted to the unit that matters on a
+    distributed store: whole files. Combined with
+    :func:`clustered_documents`' disjoint ranges, a selective predicate
+    reads O(selectivity) files instead of the table."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    all_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    keep = []
+    for f in all_files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == column
+        )
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or (st.min <= hi and st.max >= lo):
+                keep.append(f)
+                break
+    return keep, len(all_files)
+
+
+PRUNE_LO, PRUNE_HI = 100, 199
+
+
+def q_f1_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 data skipping, realized: range-cluster documents on doc_id
+    (one-time maintenance), then serve a selective range predicate by
+    footer-stat file pruning + the residual pushed filter. The scan lists
+    only the overlapping files (~1 of ``n_files``; asserted in
+    tests/test_layout.py); row-group pruning inside the kept files comes
+    free from the pushed predicate."""
+    out = clustered_documents(spark, sf_dir)
+    keep, _ = prune_files_by_stats(out, "doc_id", PRUNE_LO, PRUNE_HI)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("doc_id").between(PRUNE_LO, PRUNE_HI))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+N_BUCKETS = 8
+
+
+def q_src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located join: orders and customer are both written
+    as managed tables bucketed (and sorted) on the customer key with the
+    same bucket count, so the equi-join consumes the on-disk distribution
+    directly — the plan has NO Exchange on either side (asserted in
+    tests/test_layout.py). At 100 TB this turns every repeated join on the
+    key into a map-side merge: the shuffle is paid once at write time."""
+    tag = _sf_tag(sf_dir)
+    ot, ct = f"sg_orders_bkt_{tag}", f"sg_customer_bkt_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        ot,
+        "o_custkey",
+        N_BUCKETS,
+        sort_col="o_custkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        ),
+        ct,
+        "c_custkey",
+        N_BUCKETS,
+        sort_col="c_custkey",
+    )
+    o, c = spark.table(ot), spark.table(ct)
+    return o.hint("merge").join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+QUERIES = {
+    "f1_clustered_prune": q_f1_clustered_prune,
+    "src_bucketed_join": q_src_bucketed_join,
+}
+
+ORACLES = {
+    "f1_clustered_prune": f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE doc_id BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+    "src_bucketed_join": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+               o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+}

@@ -53,14 +53,14 @@ def test_bucketed_join_skips_exchange(spark, sf_smoke):
     assert joined.count() == orders.count()
 
 
-def test_compact_files_right_sizes_and_clusters(spark, sf_smoke):
+def test_compact_files_right_sizes_and_clusters(spark, sf_smoke, tmp_path):
     from duckdb_parquet_parser_spark.inspect import file_metadata
     from duckdb_parquet_parser_spark.sources.layout import compact_files
 
-    frag = os.path.join(tempfile.gettempdir(), "sg_fragmented")
-    out = os.path.join(tempfile.gettempdir(), "sg_compacted")
+    frag = str(tmp_path / "sg_fragmented")
+    out = str(tmp_path / "sg_compacted")
     docs = load_table(spark, sf_smoke, "documents")
-    # simulate the small-files problem: 32 shards of a 500-row table
+    # simulate the small-files problem: shard the table into 32 tiny files
     docs.repartition(32).write.mode("overwrite").parquet(frag)
     n_in = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     assert n_in >= 16
@@ -94,3 +94,53 @@ def test_compact_files_right_sizes_and_clusters(spark, sf_smoke):
         ranges.sort()
         for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
             assert hi_prev < lo_next, ranges
+
+
+def test_compact_files_rejects_in_place_and_empty_input(spark, tmp_path):
+    import pytest
+
+    from duckdb_parquet_parser_spark.sources.layout import compact_files
+
+    d = str(tmp_path / "same")
+    os.makedirs(d, exist_ok=True)
+    with pytest.raises(ValueError, match="out_path"):
+        compact_files(spark, d, d)
+    with pytest.raises(FileNotFoundError, match="no input files"):
+        compact_files(spark, d, str(tmp_path / "other"))
+
+
+def test_clustered_prune_skips_files(spark, sf_smoke):
+    """f1_clustered_prune must actually skip files: the footer-stat prune
+    keeps a strict subset of the clustered layout, and the pruned read
+    returns exactly the full-scan result."""
+    from duckdb_parquet_parser_spark.sources.layout import (
+        PRUNE_HI,
+        PRUNE_LO,
+        clustered_documents,
+        prune_files_by_stats,
+        q_f1_clustered_prune,
+    )
+
+    out = clustered_documents(spark, sf_smoke)
+    keep, n_all = prune_files_by_stats(out, "doc_id", PRUNE_LO, PRUNE_HI)
+    assert n_all > 1 and 0 < len(keep) < n_all, (len(keep), n_all)
+    got = q_f1_clustered_prune(spark, sf_smoke)
+    want = (
+        load_table(spark, sf_smoke, "documents")
+        .filter(F.col("doc_id").between(PRUNE_LO, PRUNE_HI))
+        .select("doc_id", "lang", "n_chars")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+    # the residual predicate still reaches the kept files' scan
+    assert "PushedFilters: [" in formatted_plan(got)
+
+
+def test_declared_bucketed_join_has_no_exchange(spark, sf_smoke):
+    """The declared src_bucketed_join query: merge join fed directly by the
+    bucketed layout — zero Exchange nodes on either side."""
+    from duckdb_parquet_parser_spark.sources.layout import q_src_bucketed_join
+
+    df = q_src_bucketed_join(spark, sf_smoke)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange") == 0, plan
