@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "r3_full_column_scan",
     "f1_regex_filter",
+    "f1_clustered_prune",
     "x1_chunk_index",
     "rel_agg_q1",
     "rel_join_q5",
@@ -36,15 +37,26 @@ HEADLINE = [
     "ns_dedup_minhash",
     "ns_dedup_minhash_salted",
     "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
+    "ns_contamination",
     "ns_knn_bruteforce",
     "ns_embed_neardup",
     "ns_ann_ivf_topk",
     "ns_text_tokens",
     "stream_session",
+    "streaming_enrich",
+    "streaming_join",
     "ns_vocab_topk",
     "ns_seq_pack",
     "ns_kmeans_embed",
 ]
+
+
+# Oracles that cannot run at bench scale: the ns_dedup_components oracle is
+# a recursive-CTE transitive closure (correctness artifact for sf0.01) that
+# is quadratic in the largest duplicate cluster — measured >10 min at sf0.1.
+# The Spark side still benches; the ratio row is simply absent.
+ORACLE_SKIP_AT_BENCH_SF = {"ns_dedup_components"}
 
 
 def _sf_from_dir(path: str) -> float:
@@ -61,6 +73,11 @@ def run_spark(sf_dir: str) -> dict[str, float]:
 
     # Warm the JVM + parquet footers once (not measured).
     queries["rel_agg_q1"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Build the clustered documents layout unmeasured: it's one-time table
+    # maintenance (like the bucketed/partitioned writes), not query work.
+    from duckdb_parquet_parser_spark.sources.layout import clustered_documents
+
+    clustered_documents(spark, sf_dir)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
@@ -83,7 +100,7 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
     try:
         for name in HEADLINE:
             sql = oracles.get(name)
-            if sql is None:
+            if sql is None or name in ORACLE_SKIP_AT_BENCH_SF:
                 continue
             t0 = time.perf_counter()
             con.execute(retarget_oracle_sql(sql, sf_dir)).fetchall()
