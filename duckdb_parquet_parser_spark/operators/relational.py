@@ -374,8 +374,78 @@ def q_rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q3_DATE = "1998-01-01"
+
+
+def q_rel_join_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter broadcast into a
+    fact-fact join, grouped revenue, deterministic top-10.
+
+    Scale shape: the filtered customer segment broadcasts; orders⋈lineitem
+    shuffles once on orderkey; the top-10 is TakeOrderedAndProject
+    (per-partition heaps + driver merge — no global sort). Tie-break
+    includes l_orderkey so LIMIT is engine-independent."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+UPSERT_NEW_KEY_OFFSET = 100_000_000
+
+
+def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (upsert) expressed as anti-join + union — the engine-level
+    rewrite every lakehouse MERGE INTO lowers to: rows whose key appears in
+    the updates batch take the update, everything else passes through, new
+    keys append.
+
+    The updates batch is derived deterministically from the base table
+    (price-doubled rows for keys ≡ 0 mod 10; inserted rows for keys ≡ 0
+    mod 97 at a disjoint key offset) so both engines build byte-identical
+    inputs. Scale shape: ONE shuffle on the merge key for the anti-join
+    (broadcast when the batch is small — the common CDC case), union is
+    shuffle-free; with both sides bucketed on the key (src_bucketed_join's
+    layout) even that exchange disappears."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + UPSERT_NEW_KEY_OFFSET).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    updates = upd.unionByName(ins)
+    return base.join(updates, "o_orderkey", "left_anti").unionByName(updates)
+
+
 QUERIES = {
     "rel_agg_q1": q_rel_agg_q1,
+    "rel_join_q3": q_rel_join_q3,
+    "rel_merge_upsert": q_rel_merge_upsert,
     "rel_join_q5": q_rel_join_q5,
     "rel_join_semi": q_rel_join_semi,
     "rel_join_anti": q_rel_join_anti,
@@ -401,6 +471,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_join_q3": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "rel_merge_upsert": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        ),
+        updates AS (
+            SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+            FROM base WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + {UPSERT_NEW_KEY_OFFSET}, o_custkey,
+                   o_totalprice
+            FROM base WHERE o_orderkey % 97 = 0
+        )
+        SELECT b.o_orderkey, b.o_custkey, b.o_totalprice
+        FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.o_orderkey = b.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice FROM updates
+    """,
     "rel_agg_q1": f"""
         SELECT l_returnflag, l_linestatus,
             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

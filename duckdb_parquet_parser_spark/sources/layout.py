@@ -207,6 +207,69 @@ def q_f1_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zvalue(a, b, bits_a: int = 13, bits_b: int = 10):
+    """Morton/Z-order key: interleave the low ``bits_a``/``bits_b`` bits of
+    two non-negative integer columns (pure JVM bit expressions — stays in
+    whole-stage codegen). Range-clustering on this key gives every output
+    file a tight range in BOTH dimensions, so footer-stat pruning works for
+    predicates on either column — multi-dimensional data skipping, the
+    2-D generalization of :func:`clustered_documents`."""
+    al, bl = a.cast("long"), b.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(max(bits_a, bits_b)):
+        if i < bits_a:
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(al, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        if i < bits_b:
+            z = z + F.shiftleft(
+                F.shiftrightunsigned(bl, i).bitwiseAND(F.lit(1)), 2 * i
+            )
+    return z
+
+
+def zordered_documents(
+    spark: SparkSession, sf_dir: str, n_files: int = 16
+) -> str:
+    """Documents re-clustered on z(doc_id, n_chars) into ``n_files`` files
+    (built once per SF dir). Each file covers a contiguous z range — a
+    small rectangle-union in (doc_id, n_chars) space — so range predicates
+    on EITHER column skip most files via footer min/max."""
+    out = os.path.join(
+        tempfile.gettempdir(), f"sg_docs_zorder_{_sf_tag(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "zval", zvalue(F.col("doc_id"), F.col("n_chars"))
+        )
+        (
+            docs.repartitionByRange(n_files, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return out
+
+
+ZPRUNE_LO, ZPRUNE_HI = 480, 553  # n_chars band — the NON-primary dimension
+
+
+def q_w_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data skipping: serve a range predicate on n_chars — NOT the
+    lead clustering column — from the z-ordered layout with footer-stat
+    file pruning plus the residual pushed filter. 1-D clustering can only
+    skip on its one sort column; the Morton layout skips on either
+    dimension (file-subset assertion for both columns in
+    tests/test_layout.py)."""
+    out = zordered_documents(spark, sf_dir)
+    keep, _ = prune_files_by_stats(out, "n_chars", ZPRUNE_LO, ZPRUNE_HI)
+    return (
+        spark.read.parquet(*keep)
+        .filter(F.col("n_chars").between(ZPRUNE_LO, ZPRUNE_HI))
+        .select("doc_id", "n_chars", "lang")
+    )
+
+
 N_BUCKETS = 8
 
 
@@ -245,6 +308,7 @@ def q_src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "f1_clustered_prune": q_f1_clustered_prune,
+    "w_zorder_prune": q_w_zorder_prune,
     "src_bucketed_join": q_src_bucketed_join,
 }
 
@@ -252,6 +316,10 @@ ORACLES = {
     "f1_clustered_prune": f"""
         SELECT doc_id, lang, n_chars FROM documents
         WHERE doc_id BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    """,
+    "w_zorder_prune": f"""
+        SELECT doc_id, n_chars, lang FROM documents
+        WHERE n_chars BETWEEN {ZPRUNE_LO} AND {ZPRUNE_HI}
     """,
     "src_bucketed_join": """
         SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,

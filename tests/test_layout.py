@@ -135,6 +135,33 @@ def test_clustered_prune_skips_files(spark, sf_smoke):
     assert "PushedFilters: [" in formatted_plan(got)
 
 
+def test_zorder_prunes_both_dimensions(spark, sf_smoke):
+    """The Morton layout must let footer-stat pruning skip files for range
+    predicates on BOTH interleaved columns — the property 1-D range
+    clustering can't provide for the second column."""
+    from duckdb_parquet_parser_spark.sources.layout import (
+        ZPRUNE_HI,
+        ZPRUNE_LO,
+        prune_files_by_stats,
+        q_w_zorder_prune,
+        zordered_documents,
+    )
+
+    out = zordered_documents(spark, sf_smoke)
+    keep_b, n_all = prune_files_by_stats(out, "n_chars", ZPRUNE_LO, ZPRUNE_HI)
+    keep_a, _ = prune_files_by_stats(out, "doc_id", 0, 99)
+    assert n_all > 4
+    assert 0 < len(keep_b) < n_all, (len(keep_b), n_all)
+    assert 0 < len(keep_a) < n_all, (len(keep_a), n_all)
+    got = q_w_zorder_prune(spark, sf_smoke)
+    want = (
+        load_table(spark, sf_smoke, "documents")
+        .filter(F.col("n_chars").between(ZPRUNE_LO, ZPRUNE_HI))
+        .select("doc_id", "n_chars", "lang")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
 def test_declared_bucketed_join_has_no_exchange(spark, sf_smoke):
     """The declared src_bucketed_join query: merge join fed directly by the
     bucketed layout — zero Exchange nodes on either side."""
