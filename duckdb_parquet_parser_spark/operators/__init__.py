@@ -83,7 +83,7 @@ ROTATION_TAIL = [
     "ns_mm_framesample",
     "udf_scalar_pandas",
     "udf_grouped_agg",
-    "udf_table_function",
+    # udf_table_function: re-certifying in the r3 head (Arrow UDTF plan)
     "w1_roundtrip",
     "w1_roundtrip_zstd",
     "w2_dict_decision",

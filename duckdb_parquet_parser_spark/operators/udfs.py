@@ -56,7 +56,10 @@ def count_rows(n_chars: pd.Series) -> int:
             T.StructField("idx", T.IntegerType()),
             T.StructField("word", T.StringType()),
         ]
-    )
+    ),
+    # resolved at decoration time (no session exists yet), so the Arrow
+    # batching must be explicit — session conf alone cannot reach it
+    useArrow=True,
 )
 class ExplodeWords:
     """Python UDTF: one row in → one row per token out (the table-function
@@ -84,6 +87,10 @@ def q_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "documents")
+    # Arrow-batch the UDTF regardless of the caller's session defaults
+    # (values are identical either way; the plan becomes ArrowEvalPythonUDTF
+    # instead of row-at-a-time BatchEvalPython).
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("explode_words", ExplodeWords)
     df.select("doc_id", "text").createOrReplaceTempView("_udtf_docs")
     return spark.sql(

@@ -45,6 +45,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python UDTFs default to row-at-a-time pickling; Arrow-batch them
+        # like every other Python boundary in the engine (plan-asserted:
+        # no BatchEvalPython anywhere, tests/test_plans.py).
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Nanosecond-free timestamps keep parity with DuckDB TIMESTAMP (us).

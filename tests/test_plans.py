@@ -132,6 +132,39 @@ def test_r4_fixture_has_multiple_row_groups(spark, sf_smoke):
     assert 0 < n_scoped < n_total
 
 
+def test_minhash_signature_computed_once(spark, sf_smoke):
+    """Regression guard for the r2 bench regression: the 16-md5-transform
+    signature subtree must be materialized once (persisted) and read back
+    by every consumer — not recomputed per join side. The executed plan
+    must contain InMemoryTableScans and at most ONE signature-transform
+    subtree (inside the InMemoryRelation's cached plan)."""
+    from duckdb_parquet_parser_spark.operators import dedup
+
+    df = dedup.q_ns_dedup_minhash(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    # every occurrence of the h15 signature expression sits inside an
+    # InMemoryRelation's cached-plan printout (one per cache reference) —
+    # zero LIVE signature subtrees outside the cache
+    n_imr = plan.count("InMemoryRelation")
+    assert n_imr >= 1
+    assert plan.count("md5(cast(concat(15:") == n_imr, plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_smoke):
+    """Engine-wide invariant: no declared query may plan a row-at-a-time
+    Python UDF (BatchEvalPython). Arrow-batched nodes (ArrowEvalPython,
+    FlatMapGroupsInPandas, MapInPandas) are the only allowed Python entry
+    points. Streaming queries are excluded — building them executes the
+    stream; their microbatch plans reuse the batch expressions asserted
+    here."""
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        plan = formatted_plan(fn(spark, sf_smoke))
+        assert "BatchEvalPython" not in plan, name
+
+
 def test_scale_out_repartitions_only_single_split_inputs(spark, sf_smoke):
     """scale_out spreads a single-split fixture scan with one round-robin
     repartition, is a no-op once the split estimate reaches the cluster
