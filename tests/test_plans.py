@@ -142,13 +142,13 @@ def test_minhash_signature_computed_once(spark, sf_smoke):
 
     df = dedup.q_ns_dedup_minhash(spark, sf_smoke)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan
-    # every occurrence of the h15 signature expression sits inside an
-    # InMemoryRelation's cached-plan printout (one per cache reference) —
-    # zero LIVE signature subtrees outside the cache
+    # both band-join sides read the persisted signature table
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # the h15 signature expression appears only inside InMemoryRelation
+    # printouts (each prints the cached plan once cold, twice after
+    # materialization) — never as a live subtree outside the cache
     n_imr = plan.count("InMemoryRelation")
-    assert n_imr >= 1
-    assert plan.count("md5(cast(concat(15:") == n_imr, plan
+    assert 1 <= plan.count("md5(cast(concat(15:") <= 2 * n_imr, plan
 
 
 def test_no_row_at_a_time_python_anywhere(spark, sf_smoke):
