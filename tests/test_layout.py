@@ -162,6 +162,59 @@ def test_zorder_prunes_both_dimensions(spark, sf_smoke):
     assert sorted(got.collect()) == sorted(want.collect())
 
 
+def test_zvalue_interleaves_exactly(spark):
+    """zvalue must equal the reference Morton interleave for the full
+    (13, 10)-bit domain corners and a deterministic pseudo-random sample —
+    the pruning guarantees rest on this bijection."""
+    from duckdb_parquet_parser_spark.sources.layout import zvalue
+
+    def z_py(a: int, b: int, bits_a: int = 13, bits_b: int = 10) -> int:
+        z = 0
+        for i in range(max(bits_a, bits_b)):
+            if i < bits_a:
+                z |= ((a >> i) & 1) << (2 * i + 1)
+            if i < bits_b:
+                z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    pairs = [(0, 0), (8191, 1023), (8191, 0), (0, 1023), (1, 1)]
+    seed = 1234577
+    for _ in range(200):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        pairs.append((seed % 8192, (seed >> 13) % 1024))
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", zvalue(F.col("a"), F.col("b"))
+    )
+    for row in df.collect():
+        assert row.z == z_py(row.a, row.b), (row.a, row.b, row.z)
+
+
+def test_prune_files_by_stats_is_conservative(spark, sf_smoke):
+    """For any band, the pruned file subset must return exactly the rows
+    the full scan returns — pruning may only drop files that cannot
+    match (checked over several bands incl. empty and full-range)."""
+    from duckdb_parquet_parser_spark.sources.layout import (
+        clustered_documents,
+        prune_files_by_stats,
+    )
+
+    out = clustered_documents(spark, sf_smoke)
+    full = spark.read.parquet(out)
+    for lo, hi in [(0, 49), (250, 260), (499, 499), (-5, -1), (0, 10**6)]:
+        keep, n_all = prune_files_by_stats(out, "doc_id", lo, hi)
+        want = full.filter(F.col("doc_id").between(lo, hi)).count()
+        got = (
+            spark.read.parquet(*keep)
+            .filter(F.col("doc_id").between(lo, hi))
+            .count()
+            if keep
+            else 0
+        )
+        assert got == want, (lo, hi, got, want)
+        if (lo, hi) == (0, 10**6):
+            assert len(keep) == n_all  # full range keeps everything
+
+
 def test_declared_bucketed_join_has_no_exchange(spark, sf_smoke):
     """The declared src_bucketed_join query: merge join fed directly by the
     bucketed layout — zero Exchange nodes on either side."""
