@@ -96,7 +96,7 @@ ROTATION_TAIL = [
     "streaming_tumbling_rt",
     "streaming_dedup",
     "streaming_enrich",
-    "streaming_join",
+    # streaming_join: re-certifying in the r3 head (state-partition sizing)
     "streaming_session_stateful",
     "ns_pipeline_curate",
     "ns_contamination",
