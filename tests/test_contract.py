@@ -1,0 +1,40 @@
+"""Driver-contract guards: these tests fail fast when an edit silently
+breaks the certification discipline (the driver checks only the first 50
+declared queries per round) or the bench harness contract."""
+
+from __future__ import annotations
+
+from duckdb_parquet_parser_spark.operators import ROTATION_TAIL, collect_queries
+
+
+def test_every_declared_query_has_an_oracle():
+    queries, oracles = collect_queries()
+    assert [n for n in queries if n not in oracles] == []
+
+
+def test_rotation_tail_names_are_declared():
+    queries, _ = collect_queries()
+    assert [n for n in ROTATION_TAIL if n not in queries] == []
+
+
+def test_head_fits_driver_window():
+    """Every query whose code changed this round (= not parked in
+    ROTATION_TAIL) must land inside the driver's 50-query window, or its
+    certification silently goes stale (VERDICT r2 #1)."""
+    queries, _ = collect_queries()
+    names = list(queries)
+    head = [n for n in names if n not in ROTATION_TAIL]
+    assert len(head) <= 50, (len(head), head)
+    spill = [n for n in head if n not in names[:50]]
+    assert spill == [], spill
+
+
+def test_bench_headline_is_declared():
+    import bench
+
+    queries, oracles = collect_queries()
+    missing = [n for n in bench.HEADLINE if n not in queries]
+    assert missing == []
+    assert bench.ORACLE_SKIP_AT_BENCH_SF <= set(bench.HEADLINE)
+    # skipped-at-bench oracles still exist for the sf0.01 correctness gate
+    assert all(n in oracles for n in bench.ORACLE_SKIP_AT_BENCH_SF)
