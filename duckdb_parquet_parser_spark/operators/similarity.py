@@ -295,12 +295,25 @@ def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, embedding, cluster, cos): nearest centroid by cosine,
     ties to the lowest cluster id. Centroid table is K rows — broadcast;
     assignment is one narrow pass over the vectors. Norms precomputed per
-    row below the join (1 fold per pair, not 3 — bit-identical trees)."""
+    row below the join (1 fold per pair, not 3 — bit-identical trees).
+
+    The argmax is ``max(struct(cos, -cluster, …))`` per vec_id, not a
+    window: the struct max reduces K candidates to 1 map-side (partial
+    aggregation), so the exchange carries n rows instead of sorting n×K —
+    the shape that matters when K grows with √n at corpus scale. Struct
+    comparison is field-by-field, so (cos DESC, cluster ASC) tie-break is
+    encoded as (cos, -cluster) and never reaches the trailing payload
+    fields."""
     e = emb.withColumn("_vn", l2_norm(F.col("embedding")))
     c = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cluster")
-    )
+    best = F.max(
+        F.struct(
+            F.col("cos"),
+            (-F.col("cluster")).alias("_nc"),
+            F.col("cluster"),
+            F.col("embedding"),
+        )
+    ).alias("m")
     return (
         e.crossJoin(F.broadcast(c))
         .withColumn(
@@ -308,9 +321,14 @@ def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             dot_product(F.col("embedding"), F.col("cvec"))
             / (F.col("_vn") * F.col("_cn")),
         )
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", "cluster", "cos")
+        .groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("m.embedding").alias("embedding"),
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.cos").alias("cos"),
+        )
     )
 
 
