@@ -29,6 +29,17 @@ def test_head_fits_driver_window():
     assert spill == [], spill
 
 
+def test_conf_bytes_parses_spark_size_formats():
+    from duckdb_parquet_parser_spark.catalog import _conf_bytes
+
+    assert _conf_bytes("134217728") == 134217728
+    assert _conf_bytes("134217728b") == 134217728
+    assert _conf_bytes("128m") == 128 << 20
+    assert _conf_bytes("128M") == 128 << 20
+    assert _conf_bytes("1g") == 1 << 30
+    assert _conf_bytes(" 64k ") == 64 << 10
+
+
 def test_bench_headline_is_declared():
     import bench
 
