@@ -95,7 +95,17 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles and the stream stays partitioned by its source; only the
     post-join aggregation keeps (bounded, #groups-sized) state. The
     decimal sum keeps the double aggregate order-independent, so the
-    finished complete-mode table equals the batch join+agg oracle."""
+    finished complete-mode table equals the batch join+agg oracle.
+
+    State sizing (same finding as :func:`q_streaming_join`): a stateful
+    agg pays one state-store commit per (microbatch × state partition)
+    regardless of data volume, and this aggregate holds only
+    #segments × #types groups — 32 partitions × 8 single-file
+    microbatches was pure commit overhead (measured 8.3 s at sf0.1;
+    8 partitions × two 4-file microbatches produce identical output in
+    ~1.7 s while still exercising cross-microbatch state handoff).
+    At 100 TB the conf scales with the cluster; the state itself stays
+    #groups-sized either way."""
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
@@ -105,13 +115,21 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    src = event_stream(spark, stage_events(spark, sf_dir))
+    src = event_stream(spark, stage_events(spark, sf_dir), files_per_trigger=4)
     agg = (
         src.join(F.broadcast(cust), "user_id")
         .groupBy("segment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
-    return run_to_memory(agg, "complete")
+    # state partition count is fixed at stream start from this conf —
+    # size it for the stream (see docstring), then restore the batch value
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        return run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set(key, old)
 
 
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
