@@ -291,11 +291,15 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_CLUSTERS = 8  # k-means clusters; init = embeddings of vec_id 0..7
 
 
-def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, embedding, cluster, cos): nearest centroid by cosine,
+def _assign_clusters(
+    emb: DataFrame, centroids: DataFrame, carry_embedding: bool = True
+) -> DataFrame:
+    """(vec_id[, embedding], cluster, cos): nearest centroid by cosine,
     ties to the lowest cluster id. Centroid table is K rows — broadcast;
     assignment is one narrow pass over the vectors. Norms precomputed per
-    row below the join (1 fold per pair, not 3 — bit-identical trees).
+    row below the join (1 fold per pair, not 3 — bit-identical trees); a
+    caller that reuses the vector frame can pre-materialize ``_vn`` and
+    it is used as-is.
 
     The argmax is ``max(struct(cos, -cluster, …))`` per vec_id, not a
     window: the struct max reduces K candidates to 1 map-side (partial
@@ -303,17 +307,22 @@ def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     the shape that matters when K grows with √n at corpus scale. Struct
     comparison is field-by-field, so (cos DESC, cluster ASC) tie-break is
     encoded as (cos, -cluster) and never reaches the trailing payload
-    fields."""
-    e = emb.withColumn("_vn", l2_norm(F.col("embedding")))
+    fields — which also means ``carry_embedding=False`` (for the final
+    pass, where only the assignment is reported) drops the DIM-wide
+    vector from the aggregate exchange without changing the argmax."""
+    e = (
+        emb
+        if "_vn" in emb.columns
+        else emb.withColumn("_vn", l2_norm(F.col("embedding")))
+    )
     c = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
-    best = F.max(
-        F.struct(
-            F.col("cos"),
-            (-F.col("cluster")).alias("_nc"),
-            F.col("cluster"),
-            F.col("embedding"),
-        )
-    ).alias("m")
+    fields = [F.col("cos"), (-F.col("cluster")).alias("_nc"), F.col("cluster")]
+    if carry_embedding:
+        fields.append(F.col("embedding"))
+    best = F.max(F.struct(*fields)).alias("m")
+    out_cols = ["vec_id"] + (
+        [F.col("m.embedding").alias("embedding")] if carry_embedding else []
+    )
     return (
         e.crossJoin(F.broadcast(c))
         .withColumn(
@@ -324,8 +333,7 @@ def _assign_clusters(emb: DataFrame, centroids: DataFrame) -> DataFrame:
         .groupBy("vec_id")
         .agg(best)
         .select(
-            "vec_id",
-            F.col("m.embedding").alias("embedding"),
+            *out_cols,
             F.col("m.cluster").alias("cluster"),
             F.col("m.cos").alias("cos"),
         )
@@ -347,8 +355,19 @@ def q_ns_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     as MLlib's own k-means; at 100 TB the per-iteration shuffle is the
     K×DIM-row partial aggregation, never the vectors).
     """
-    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+    emb = (
+        scale_out(spark, load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        # cache (vector, norm) — both Lloyd passes read this frame, and
+        # without it the second assignment re-runs the scan + spread
+        # shuffle + norm fold (measured ~1s of the 2.6s at sf0.1). Lazy
+        # persist, not an eager checkpoint: the first pass populates the
+        # cache while doing its own work, so the query stays at two jobs
+        # (update-collect, final assignment). Session-lifetime cache,
+        # n×(DIM+1) doubles — same bounded pattern as the MinHash
+        # signature table (dedup._cached_signatures).
+        .withColumn("_vn", l2_norm(F.col("embedding")))
+        .persist()
     )
     init = emb.filter(F.col("vec_id") < K_CLUSTERS).select(
         F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
@@ -385,7 +404,7 @@ def q_ns_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY cluster
         """
     )
-    return _assign_clusters(emb, cent2).select(
+    return _assign_clusters(emb, cent2, carry_embedding=False).select(
         "vec_id", "cluster", F.round("cos", 6).alias("cos")
     )
 

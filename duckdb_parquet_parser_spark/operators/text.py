@@ -280,8 +280,14 @@ def q_ns_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     thousands of docs, the corpus is billions), so its exploded n-gram
     table is ``broadcast()`` — the corpus side streams map-only through
     the hash join, then one groupBy on (doc_id, eval_doc_id) with map-side
-    partials. No shuffle of corpus n-grams at all."""
-    df = load_table(spark, sf_dir, "documents")
+    partials. No shuffle of corpus n-grams at all. ``scale_out`` spreads
+    the single-file fixture scan across cores — the n-gram transform is
+    the per-row-expensive stage, and on one input split it serializes on
+    one core (measured 3.7 s single-task vs ~0.4 s spread at sf0.1); a
+    real corpus scan already arrives in thousands of splits."""
+    from ..catalog import scale_out
+
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     grams = df.select(
         "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
