@@ -28,6 +28,7 @@ HEADLINE = [
     "r3_full_column_scan",
     "f1_regex_filter",
     "f1_clustered_prune",
+    "f1_regex_manifest",
     "x1_chunk_index",
     "rel_agg_q1",
     "rel_join_q5",
@@ -78,10 +79,15 @@ def run_spark(sf_dir: str) -> dict[str, float]:
     # partitioned writes), not query work. The excluded costs are recorded
     # in BENCH_NOTES.md next to the affected rows (f1_clustered_prune,
     # streaming_enrich/streaming_join).
-    from duckdb_parquet_parser_spark.sources.layout import clustered_documents
+    from duckdb_parquet_parser_spark.sources.layout import (
+        MANIFEST_PATTERN,
+        clustered_documents,
+        regex_manifest,
+    )
     from duckdb_parquet_parser_spark.streaming.source import stage_events
 
-    clustered_documents(spark, sf_dir)
+    out = clustered_documents(spark, sf_dir)
+    regex_manifest(spark, out, "text", MANIFEST_PATTERN)
     stage_events(spark, sf_dir)
 
     times: dict[str, float] = {}

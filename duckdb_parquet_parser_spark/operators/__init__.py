@@ -69,61 +69,60 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-3 rotation (VERDICT r2 "Next round" #1): every query certified in
-# round 1 and rotated out of round 2's window — including all the dedup/
-# similarity plans edited in round 2 — moves back to the HEAD so the
-# driver re-certifies it on current code. Parked here instead: the 48
-# round-2-certified queries whose code is untouched this round. The two
-# round-2-certified queries whose plans DID change this round
-# (ns_kmeans_embed, ns_embed_neardup — norm precompute) are deliberately
-# absent from this list, so they land in the head window too.
+# Round-4 rotation (VERDICT r3 "Next round" #2): the 46 round-2-certified
+# tail queries move back to the HEAD this round so no certification ages
+# past two rounds; every query edited in round 4 (streaming_enrich,
+# ns_dedup_components, ns_contamination — all were already in the r2 tail
+# — plus ns_kmeans_embed, f1_clustered_prune, w_zorder_prune from the r3
+# set, and the new f1_regex_manifest) is in the head too. Parked here
+# instead: the 47 round-3-certified queries whose code and oracle are
+# untouched this round. Head = 96 + 1 new − 47 = exactly 50.
 ROTATION_TAIL = [
-    "ns_mm_meta",
-    "ns_mm_features",
-    "ns_mm_framesample",
-    "udf_scalar_pandas",
-    "udf_grouped_agg",
-    # udf_table_function: re-certifying in the r3 head (Arrow UDTF plan)
-    "w1_roundtrip",
-    "w1_roundtrip_zstd",
-    "w2_dict_decision",
-    "src_csv_roundtrip",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_partitioned_read",
-    "r1_rowgroup_meta",
-    "r6_chunk_values",
-    "streaming_tumbling_rt",
-    "streaming_dedup",
-    "streaming_enrich",
-    # streaming_join: re-certifying in the r3 head (state-partition sizing)
-    "streaming_session_stateful",
-    "ns_pipeline_curate",
-    "ns_contamination",
-    "ns_sample_stratified",
-    "ns_text_fingerprint",
-    "ns_text_rollhash",
-    "ns_text_redact",
-    "ns_text_repetition",
-    "ns_vocab_topk",
-    "ns_seq_pack",
-    "ns_mixture_weights",
-    "ns_doclen_histogram",
-    "ns_approx_distinct_hll",
-    "r10_positional_stream",
-    "r10_file_order",
-    "x1_chunk_index",
-    "x1_tuple_to_chunk",
-    "x1_chunk_greedy",
-    "r4_rowgroup_scan",
-    "f1_page_report",
-    "ns_dedup_components",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    "rel_outer_join",
-    "rel_pivot",
-    "rel_window_lag",
-    "rel_subquery",
-    "rel_percentiles",
-    "ns_dedup_exact",
+    "udf_table_function",
+    "src_bucketed_join",
+    "streaming_join",
+    "ns_text_tokens",
+    "ns_text_quality",
+    "ns_text_langid",
+    "r2_schema",
+    "r2_counts",
+    "r3_full_column_scan",
+    "r9_projection",
+    "f2_null_semantics",
+    "f3_string_columns",
+    "f1_regex_filter",
+    "f1_regex_docs",
+    "f1_neg_regex",
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_ngram_jaccard",
+    "ns_knn_bruteforce",
+    "ns_embed_neardup",
+    "ns_ann_lsh_buckets",
+    "ns_ann_ivf_topk",
+    "rel_agg_q1",
+    "rel_join_q3",
+    "rel_merge_upsert",
+    "rel_join_q5",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_window_rank",
+    "rel_window_running",
+    "rel_sort_topk",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_distinct",
+    "rel_scalar_funcs",
+    "rel_case_expr",
+    "rel_asof_join",
+    "rel_range_join",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
 ]

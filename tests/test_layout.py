@@ -224,3 +224,55 @@ def test_declared_bucketed_join_has_no_exchange(spark, sf_smoke):
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange") == 0, plan
+
+
+def test_regex_manifest_prunes_and_matches_full_scan(spark, sf_smoke):
+    """The manifest-served regex query reads a STRICT subset of the layout
+    files and returns exactly the rows a full scan + filter returns."""
+    import glob
+
+    from duckdb_parquet_parser_spark.sources.layout import (
+        MANIFEST_PATTERN,
+        clustered_documents,
+        q_f1_regex_manifest,
+    )
+
+    out = clustered_documents(spark, sf_smoke)
+    q = q_f1_regex_manifest(spark, sf_smoke)
+    total = len(glob.glob(os.path.join(out, "*.parquet")))
+    read = set(f.removeprefix("file:") for f in q.inputFiles())
+    assert 0 < len(read) < total, (len(read), total)
+    full = (
+        spark.read.parquet(out)
+        .filter(F.col("text").rlike(MANIFEST_PATTERN))
+        .select("doc_id", "lang", "n_chars")
+    )
+    assert q.exceptAll(full).count() == 0 and full.exceptAll(q).count() == 0
+    assert q.count() > 0  # the pattern really occurs at this SF
+
+
+def test_regex_manifest_sidecar_is_reused_and_no_match_is_empty(
+    spark, sf_smoke
+):
+    """Second manifest call hits the JSON sidecar (no scan), and a
+    pattern with zero matches anywhere prunes ALL files — served as an
+    empty frame with the layout schema, not a raised read."""
+    import glob
+
+    from duckdb_parquet_parser_spark.sources.layout import (
+        _read_file_subset,
+        clustered_documents,
+        regex_manifest,
+    )
+
+    out = clustered_documents(spark, sf_smoke)
+    man1 = regex_manifest(spark, out, "text", "never never never never")
+    sidecars = glob.glob(os.path.join(out, "_regex_manifest_*.json"))
+    assert sidecars  # persisted
+    man2 = regex_manifest(spark, out, "text", "never never never never")
+    assert man1 == man2
+    keep = [f for f, m in man1.items() if m]
+    assert keep == []  # the quadruple-repeat never occurs
+    empty = _read_file_subset(spark, keep, out)
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns and "text" in empty.columns
