@@ -76,10 +76,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _conf_bytes(value: str) -> int:
-    """Parse a Spark size conf ('134217728', '134217728b', '128m', '1g')."""
+    """Parse a Spark size conf in any of Spark's accepted spellings:
+    '134217728', '134217728b', '128m', '128mb', '1g', '64kb', '2tb'.
+    Two-letter suffixes must match before the single letters — '128mb'
+    ends with 'b' too, and stripping only the 'b' used to leave '128m'
+    for int() to choke on (ADVICE r3)."""
     v = value.strip().lower()
     mult = 1
-    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+    for suffix, m in (
+        ("kb", 1 << 10),
+        ("mb", 1 << 20),
+        ("gb", 1 << 30),
+        ("tb", 1 << 40),
+        ("k", 1 << 10),
+        ("m", 1 << 20),
+        ("g", 1 << 30),
+        ("t", 1 << 40),
+        ("b", 1),
+    ):
         if v.endswith(suffix):
             v = v[: -len(suffix)]
             mult = m
@@ -119,11 +133,18 @@ def scale_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     p = spark.sparkContext.defaultParallelism
     try:
         files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        # non-file-backed plans (streams, local relations) have no split
+        # estimate — leave them alone
+        return df
+    try:
         max_split = _conf_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
-    except Exception:
-        return df
+    except ValueError:
+        # a malformed user conf must not silently disable the spread
+        # (ADVICE r3: the old blanket except returned df here)
+        max_split = 128 << 20
     if files and _estimated_splits(files, max_split) < p:
         return df.repartition(p)
     return df

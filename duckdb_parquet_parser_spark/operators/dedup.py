@@ -211,7 +211,17 @@ def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard "write the signature table once" step of a MinHash dedup
     pipeline (MEMORY_AND_DISK spills instead of recomputing). ``ws`` is
     dropped so the cache holds 16 fixed-width hashes per doc, not the word
-    arrays — verification fetches those from the pruned base scan."""
+    arrays — verification fetches those from the pruned base scan.
+
+    The cache is DELIBERATELY session-lifetime (ADVICE r3): Spark's cache
+    manager matches it by canonicalized plan, so the second minhash
+    variant (plain/salted) and any re-run reuse one materialization —
+    unpersisting after the first consumer would forfeit exactly that
+    reuse, and the returned (lazy) DataFrame gives no safe unpersist
+    point anyway. Size is bounded at 16 md5 hex strings + one id per doc
+    (≈0.5 KB/doc — ~2.5 MB at sf0.1, spill-backed); at corpus scale the
+    equivalent step is an explicit signature-table write, not an executor
+    cache."""
     from pyspark import StorageLevel
 
     sigs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir)).drop(

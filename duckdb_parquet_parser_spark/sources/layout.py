@@ -71,6 +71,38 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, qualified Path) for ``path`` via the Hadoop FS API —
+    resolves whatever scheme the path carries (``file:``, ``hdfs:``,
+    ``s3a:``, …) against Spark's Hadoop configuration, so layout
+    maintenance works on the same storage the scans read (SURVEY §8.3 /
+    VERDICT r3 #7; previously ``os.path``-only)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, fs.makeQualified(p)
+
+
+def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """Recursive (file URI, size) listing under ``path``, skipping
+    ``_``/``.``-prefixed bookkeeping files; a single-file path lists
+    itself. Empty/missing paths return []. Pure metadata — no data read —
+    and one round trip per 1000 files (the iterator is remote-batched),
+    so at 100 TB this is object-store LIST cost, not a crawl."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")):
+            continue
+        out.append((st.getPath().toString(), st.getLen()))
+    return sorted(out)
+
+
 def compact_files(
     spark: SparkSession,
     in_path: str,
@@ -83,40 +115,32 @@ def compact_files(
     parquet files into ceil(input_bytes / target) right-sized files,
     optionally min/max-clustering rows by ``cluster_col`` on the way.
 
-    Scale notes: input size comes from the file listing (no data read);
-    ``repartition(n)`` (not ``coalesce``) so the write parallelizes and
-    each output file draws from the whole input rather than neighboring
-    small files; with ``cluster_col``, ``repartitionByRange`` +
-    ``sortWithinPartitions`` gives every output file a tight, disjoint
-    min/max range on that column, so later scans filtering on it skip
-    whole files/row groups via footer statistics (the poor man's
-    Z-ordering for one dimension). Returns the file count written.
+    Scale notes: input size comes from the Hadoop FileSystem listing (no
+    data read; any scheme Spark can reach — ``file:``, ``hdfs:``,
+    ``s3a:``); ``repartition(n)`` (not ``coalesce``) so the write
+    parallelizes and each output file draws from the whole input rather
+    than neighboring small files; with ``cluster_col``,
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives every output
+    file a tight, disjoint min/max range on that column, so later scans
+    filtering on it skip whole files/row groups via footer statistics
+    (the poor man's Z-ordering for one dimension). Returns the file count
+    written.
 
-    Local-filesystem paths only (sizes come from ``os.path``); in-place
-    compaction is unsupported — ``mode('overwrite')`` would delete the
-    input before the lazy read executes."""
-    import glob
-
-    if os.path.realpath(out_path) == os.path.realpath(in_path):
+    In-place compaction is unsupported — ``mode('overwrite')`` would
+    delete the input before the lazy read executes."""
+    in_fs, in_p = _hadoop_fs(spark, in_path)
+    _, out_p = _hadoop_fs(spark, out_path)
+    if in_p.toString() == out_p.toString():
         raise ValueError(
             "compact_files: out_path must differ from in_path "
             "(overwrite deletes the input before the lazy read runs)"
         )
-    if os.path.isfile(in_path):
-        files = [in_path]
-    else:
-        files = [
-            f
-            for f in glob.glob(os.path.join(in_path, "**", "*"), recursive=True)
-            if os.path.isfile(f)
-            and not os.path.basename(f).startswith(("_", "."))
-        ]
+    files = _list_data_files(spark, in_path)
     if not files:
         raise FileNotFoundError(
-            f"compact_files: no input files under {in_path!r} "
-            "(only local filesystem paths are supported)"
+            f"compact_files: no input files under {in_path!r}"
         )
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(size for _, size in files)
     n_out = max(1, -(-total // target_file_bytes))
     df = spark.read.parquet(in_path)
     if cluster_col is not None:
@@ -127,11 +151,7 @@ def compact_files(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
     return len(
-        [
-            f
-            for f in os.listdir(out_path)
-            if f.endswith(".parquet") and not f.startswith(("_", "."))
-        ]
+        [f for f, _ in _list_data_files(spark, out_path) if f.endswith(".parquet")]
     )
 
 
@@ -157,7 +177,7 @@ def clustered_documents(spark: SparkSession, sf_dir: str, n_files: int = 8) -> s
 
 
 def prune_files_by_stats(
-    path: str, column: str, lo, hi
+    path: str, column: str, lo, hi, spark: SparkSession | None = None
 ) -> tuple[list[str], int]:
     """Footer-statistics file pruning: keep only the files whose min/max
     range for ``column`` (from the parquet footer — no data pages read) can
@@ -168,22 +188,39 @@ def prune_files_by_stats(
     pages whose values can't match) lifted to the unit that matters on a
     distributed store: whole files. Combined with
     :func:`clustered_documents`' disjoint ranges, a selective predicate
-    reads O(selectivity) files instead of the table."""
-    import glob
+    reads O(selectivity) files instead of the table.
 
+    Listing goes through the Hadoop FileSystem API (any scheme Spark can
+    reach), footer reads through pyarrow's scheme-aware filesystem — both
+    metadata-only, so the prune costs O(n_files) small reads regardless
+    of table bytes. ``spark`` defaults to the active session."""
     import pyarrow.parquet as pq
 
-    all_files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+    all_files = [
+        f
+        for f, _ in _list_data_files(spark, path)
+        if f.endswith(".parquet")
+    ]
     keep = []
     for f in all_files:
-        md = pq.ParquetFile(f).metadata
+        if "://" in f and not f.startswith("file:"):
+            from pyarrow import fs as pafs
+
+            fsys, rel = pafs.FileSystem.from_uri(f)
+            local = f
+            md = pq.ParquetFile(fsys.open_input_file(rel)).metadata
+        else:
+            local = f.removeprefix("file:")
+            md = pq.ParquetFile(local).metadata
         idx = next(
             i for i in range(md.num_columns) if md.schema.column(i).name == column
         )
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max or (st.min <= hi and st.max >= lo):
-                keep.append(f)
+                keep.append(local)
                 break
     return keep, len(all_files)
 
@@ -211,7 +248,7 @@ def q_f1_clustered_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_layout.py); row-group pruning inside the kept files comes
     free from the pushed predicate."""
     out = clustered_documents(spark, sf_dir)
-    keep, _ = prune_files_by_stats(out, "doc_id", PRUNE_LO, PRUNE_HI)
+    keep, _ = prune_files_by_stats(out, "doc_id", PRUNE_LO, PRUNE_HI, spark)
     return (
         _read_file_subset(spark, keep, out)
         .filter(F.col("doc_id").between(PRUNE_LO, PRUNE_HI))
@@ -225,7 +262,14 @@ def zvalue(a, b, bits_a: int = 13, bits_b: int = 10):
     whole-stage codegen). Range-clustering on this key gives every output
     file a tight range in BOTH dimensions, so footer-stat pruning works for
     predicates on either column — multi-dimensional data skipping, the
-    2-D generalization of :func:`clustered_documents`."""
+    2-D generalization of :func:`clustered_documents`.
+
+    Bits ABOVE the configured widths are dropped, so values beyond
+    2^bits alias to the same key and pruning quietly degrades (stays
+    correct — the residual filter still runs — but skips less). Callers
+    must size the widths to the column domain: :func:`zordered_documents`
+    derives them from the build-time column maxima and raises if the
+    interleaved key would overflow a long (ADVICE r3)."""
     al, bl = a.cast("long"), b.cast("long")
     z = F.lit(0).cast("long")
     for i in range(max(bits_a, bits_b)):
@@ -251,8 +295,25 @@ def zordered_documents(
         tempfile.gettempdir(), f"sg_docs_zorder_{_sf_tag(sf_dir)}"
     )
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents").withColumn(
-            "zval", zvalue(F.col("doc_id"), F.col("n_chars"))
+        docs = load_table(spark, sf_dir, "documents")
+        # Bit widths come from the build-time column maxima (one footer-
+        # cheap agg during one-time maintenance), so larger SFs keep full
+        # discrimination instead of silently aliasing ids above a fixed
+        # 2^13/2^10 domain (ADVICE r3). The layout is immutable once
+        # written — no later row can exceed the derived widths.
+        mx = docs.agg(
+            F.max("doc_id").alias("a"), F.max("n_chars").alias("b")
+        ).first()
+        bits_a = max(1, int(mx["a"]).bit_length())
+        bits_b = max(1, int(mx["b"]).bit_length())
+        if bits_a + bits_b > 62:
+            raise ValueError(
+                f"zordered_documents: interleaved key needs {bits_a}+{bits_b} "
+                "bits — does not fit a 63-bit signed long; cluster on a "
+                "narrower domain (e.g. bucketize the columns first)"
+            )
+        docs = docs.withColumn(
+            "zval", zvalue(F.col("doc_id"), F.col("n_chars"), bits_a, bits_b)
         )
         (
             docs.repartitionByRange(n_files, "zval")
@@ -274,7 +335,7 @@ def q_w_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (file-subset assertion for both columns in
     tests/test_layout.py)."""
     out = zordered_documents(spark, sf_dir)
-    keep, _ = prune_files_by_stats(out, "n_chars", ZPRUNE_LO, ZPRUNE_HI)
+    keep, _ = prune_files_by_stats(out, "n_chars", ZPRUNE_LO, ZPRUNE_HI, spark)
     return (
         _read_file_subset(spark, keep, out)
         .filter(F.col("n_chars").between(ZPRUNE_LO, ZPRUNE_HI))

@@ -38,6 +38,11 @@ def test_conf_bytes_parses_spark_size_formats():
     assert _conf_bytes("128M") == 128 << 20
     assert _conf_bytes("1g") == 1 << 30
     assert _conf_bytes(" 64k ") == 64 << 10
+    # two-letter spellings Spark also accepts (ADVICE r3)
+    assert _conf_bytes("128mb") == 128 << 20
+    assert _conf_bytes("64KB") == 64 << 10
+    assert _conf_bytes("1gb") == 1 << 30
+    assert _conf_bytes("2tb") == 2 << 40
 
 
 def test_bench_headline_is_declared():

@@ -276,3 +276,39 @@ def test_regex_manifest_sidecar_is_reused_and_no_match_is_empty(
     empty = _read_file_subset(spark, keep, out)
     assert empty.count() == 0
     assert "doc_id" in empty.columns and "text" in empty.columns
+
+
+def test_layout_maintenance_accepts_fs_uris(spark, sf_smoke, tmp_path):
+    """compact_files / prune_files_by_stats go through the Hadoop
+    FileSystem API, so scheme-qualified URIs (here ``file:``, the same
+    code path an object store takes) list, size, and prune correctly."""
+    from duckdb_parquet_parser_spark.sources.layout import (
+        _list_data_files,
+        compact_files,
+        prune_files_by_stats,
+    )
+
+    frag = f"file://{tmp_path}/frag"
+    docs = load_table(spark, sf_smoke, "documents")
+    docs.repartition(6).write.mode("overwrite").parquet(frag)
+    listed = _list_data_files(spark, frag)
+    assert len(listed) == 6 and all(sz > 0 for _, sz in listed)
+    assert all(f.startswith("file:") for f, _ in listed)
+
+    out = f"file://{tmp_path}/compacted"
+    n = compact_files(spark, frag, out, target_file_bytes=1 << 40,
+                      cluster_col="doc_id")
+    assert n == 1
+    assert spark.read.parquet(out).count() == docs.count()
+
+    # re-fragment clustered, then prune via the URI path
+    clus = f"file://{tmp_path}/clustered"
+    compact_files(spark, frag, clus, target_file_bytes=1, cluster_col="doc_id")
+    keep, total = prune_files_by_stats(clus, "doc_id", 0, 10, spark)
+    assert 0 < len(keep) < total
+    got = spark.read.parquet(*keep).filter(F.col("doc_id") <= 10).count()
+    want = docs.filter(F.col("doc_id") <= 10).count()
+    assert got == want
+
+    # missing path lists empty; identical in/out still rejected
+    assert _list_data_files(spark, f"file://{tmp_path}/nope") == []
