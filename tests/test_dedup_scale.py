@@ -77,3 +77,55 @@ def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
     # and the self-loop propagation covers isolated-from-min nodes: every
     # node keeps a label ≤ its own id
     assert at.filter(F.col("component") > F.col("doc")).count() == 0
+
+
+def test_connected_components_matches_union_find_on_adversarial_graphs(spark):
+    """The distributed CC must agree with an exact union-find on graph
+    shapes the fixtures DON'T produce — a long path (worst case for label
+    propagation: diameter = n-1), bridged cliques, and a seeded random
+    sparse graph — using a rounds budget sized to the diameter
+    (doubling covers ~2^rounds hops; near-clique fixtures use
+    CC_ROUNDS=4, a 40-node path needs rounds≈6)."""
+    import random
+
+    from duckdb_parquet_parser_spark.operators.dedup import connected_components
+
+    def exact(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # resolve to component minimum
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(7)
+    cases = {
+        "path": [(i, i + 1) for i in range(40)],
+        "bridged_cliques": (
+            [(a, b) for a in range(8) for b in range(a + 1, 8)]
+            + [(a, b) for a in range(20, 28) for b in range(a + 1, 28)]
+            + [(7, 20)]
+            + [(100, 101)]
+        ),
+        "random_sparse": [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ],
+    }
+    for name, edges in cases.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = exact(edges, nodes)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["doc"]: r["component"]
+            for r in connected_components(df, rounds=8).collect()
+        }
+        assert got == want, name
