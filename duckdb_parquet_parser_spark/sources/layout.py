@@ -83,6 +83,31 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, fs.makeQualified(p)
 
 
+def _fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file through the Hadoop FS API (None if absent).
+    Sized for metadata sidecars — the whole file is materialized."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FS API (overwrite)."""
+    fs, p = _hadoop_fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
 def _list_data_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
     """Recursive (file URI, size) listing under ``path``, skipping
     ``_``/``.``-prefixed bookkeeping files; a single-file path lists
@@ -360,15 +385,18 @@ def regex_manifest(
     layout dir (invisible to parquet listings, invalidated with the
     layout itself, keyed by column+pattern) — the same shape as a Delta/
     Iceberg skipping index. Every later query pays O(n_files) driver-side
-    pruning instead of the seeding scan."""
+    pruning instead of the seeding scan. The sidecar reads/writes through
+    the Hadoop FS API like the listings, so the manifest lives next to
+    the layout on whatever store holds it (closes the last local-FS
+    surface in SURVEY §8.3)."""
     import hashlib
     import json
 
     tag = hashlib.md5(f"{column}:{pattern}".encode()).hexdigest()[:12]
-    side = os.path.join(layout_path, f"_regex_manifest_{column}_{tag}.json")
-    if os.path.exists(side):
-        with open(side) as fh:
-            return {k: bool(v) for k, v in json.load(fh).items()}
+    side = layout_path.rstrip("/") + f"/_regex_manifest_{column}_{tag}.json"
+    cached = _fs_read_text(spark, side)
+    if cached is not None:
+        return {k: bool(v) for k, v in json.loads(cached).items()}
     rows = (
         spark.read.parquet(layout_path)
         .select(
@@ -383,8 +411,9 @@ def regex_manifest(
         r["f"].removeprefix("file:").removeprefix("//"): bool(r["any_match"])
         for r in rows
     }
-    with open(side, "w") as fh:
-        json.dump({k: int(v) for k, v in manifest.items()}, fh)
+    _fs_write_text(
+        spark, side, json.dumps({k: int(v) for k, v in manifest.items()})
+    )
     return manifest
 
 

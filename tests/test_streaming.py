@@ -51,6 +51,30 @@ def test_streaming_append_emits_closed_windows_only(spark, sf_smoke):
     assert older_skipped.count() == 0
 
 
+def test_rocksdb_state_store_equals_batch(spark, sf_smoke):
+    """The 100 TB state-store config (SURVEY §8.1): the RocksDB provider —
+    the production choice once state outgrows executor heap — produces the
+    same finished aggregation as the default HDFS-backed provider and the
+    batch plan. Provider class is bound at stream start, so setting the
+    conf around the run is the whole integration."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider",
+    )
+    try:
+        streamed = _hash(streaming_tumbling(spark, sf_smoke))
+    finally:
+        spark.conf.set(key, old)
+    assert streamed == _hash(q_stream_tumbling(spark, sf_smoke))
+
+
 def test_stateful_sessionize_equals_batch(spark, sf_smoke):
     assert _hash(streaming_sessionize(spark, sf_smoke)) == _hash(
         q_stream_session(spark, sf_smoke)
