@@ -1,0 +1,147 @@
+"""Differential fuzz of the pure-Python Thrift page-header walker
+(`inspect.walk_pages` / `page_stats`) against pyarrow's own footer
+metadata, across the writer-configuration matrix the walker claims to
+handle (R5/R6): v1/v2 data pages, every bundled codec, dictionary on/off,
+tiny pages (many pages per chunk), nulls, and multiple row groups.
+
+The footer is ground truth the walker never reads per-page: if the walker
+mis-parses any page header (wrong compressed size → desynced offset;
+wrong num_values → wrong termination) the per-chunk totals cannot come
+back consistent, so these invariants catch byte-level parse bugs without
+golden files. The reference's own DATA_PAGE_V2 infinite-loop quirk
+(SURVEY.md §3.1) is exactly the class of bug this pins down.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duckdb_parquet_parser_spark.inspect import page_stats, walk_pages
+
+
+def _table(seed: int, n: int = 700) -> pa.Table:
+    rng = random.Random(seed)
+    ints = [rng.randrange(-(2**40), 2**40) if rng.random() > 0.1 else None for _ in range(n)]
+    floats = [rng.uniform(-1e6, 1e6) if rng.random() > 0.1 else None for _ in range(n)]
+    # low-cardinality strings make the dictionary path meaningful; long
+    # tails make v2 pages split mid-chunk
+    words = ["alpha", "beta", "gamma", "delta" * 20, "", "épsilon"]
+    strs = [rng.choice(words) if rng.random() > 0.05 else None for _ in range(n)]
+    bools = [rng.random() > 0.5 if rng.random() > 0.1 else None for _ in range(n)]
+    return pa.table(
+        {
+            "i": pa.array(ints, pa.int64()),
+            "f": pa.array(floats, pa.float64()),
+            "s": pa.array(strs, pa.string()),
+            "b": pa.array(bools, pa.bool_()),
+        }
+    )
+
+
+CONFIGS = [
+    # (codec, data_page_version, use_dictionary, data_page_size, row_group_size)
+    ("none", "1.0", True, 512, 200),
+    ("none", "2.0", True, 512, 200),
+    ("snappy", "1.0", False, 1024, 250),
+    ("snappy", "2.0", True, 256, 700),
+    ("zstd", "1.0", True, 4096, 300),
+    ("zstd", "2.0", False, 512, 150),
+    ("gzip", "1.0", True, 1024, 700),
+    ("gzip", "2.0", True, 2048, 350),
+]
+
+
+@pytest.mark.parametrize(
+    "codec,dpv,use_dict,page_size,rg_size", CONFIGS,
+    ids=[f"{c}-v{v}-dict{d}-ps{p}-rg{r}" for c, v, d, p, r in CONFIGS],
+)
+def test_walker_consistent_with_footer(
+    tmp_path, codec, dpv, use_dict, page_size, rg_size
+):
+    path = str(tmp_path / "fuzz.parquet")
+    seed = hash((codec, dpv, use_dict, page_size, rg_size)) & 0xFFFF
+    pq.write_table(
+        _table(seed),
+        path,
+        compression=codec,
+        data_page_version=dpv,
+        use_dictionary=use_dict,
+        data_page_size=page_size,
+        row_group_size=rg_size,
+        write_statistics=True,
+    )
+    meta = pq.ParquetFile(path).metadata
+    pages = walk_pages(path)
+
+    # coverage: every (row_group, column) chunk was walked
+    chunks = {(p.row_group, p.column) for p in pages}
+    assert chunks == {
+        (rg, c)
+        for rg in range(meta.num_row_groups)
+        for c in range(meta.num_columns)
+    }
+
+    for rg_idx in range(meta.num_row_groups):
+        rg = meta.row_group(rg_idx)
+        for col_idx in range(rg.num_columns):
+            col = rg.column(col_idx)
+            mine = [
+                p for p in pages if (p.row_group, p.column) == (rg_idx, col_idx)
+            ]
+            # termination: data-page values sum exactly to the chunk total
+            data_values = sum(
+                p.num_values
+                for p in mine
+                if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2")
+            )
+            assert data_values == col.num_values, (rg_idx, col_idx)
+            # v2 files yield v2 pages (the reference's infinite-loop case)
+            if dpv == "2.0":
+                assert any(p.page_type == "DATA_PAGE_V2" for p in mine)
+            # dictionary page iff the footer says the chunk has one
+            n_dict = sum(p.page_type == "DICTIONARY_PAGE" for p in mine)
+            assert n_dict == int(col.has_dictionary_page), (rg_idx, col_idx)
+            # offset chain: strictly increasing, starts at the chunk start,
+            # and header+payload sizes account for every chunk byte
+            offsets = [p.offset for p in mine]
+            assert offsets == sorted(set(offsets))
+            start = col.data_page_offset
+            if col.has_dictionary_page and col.dictionary_page_offset is not None:
+                start = min(start, col.dictionary_page_offset)
+            assert offsets[0] == start
+            # byte accounting: each stride is (header + compressed payload),
+            # so chunk-start → end-of-last-page must equal the footer's
+            # total_compressed_size exactly — any header mis-parse desyncs
+            last = mine[-1]
+            walked_total = (
+                (last.offset - start)
+                + _header_size_of_last(path, last)
+                + last.compressed_size
+            )
+            assert walked_total == col.total_compressed_size, (rg_idx, col_idx)
+
+    # page_stats aggregates the same walk; cross-check one invariant
+    stats = page_stats(path)
+    assert sum(s["num_values"] for s in stats) == sum(
+        meta.row_group(i).column(c).num_values
+        for i in range(meta.num_row_groups)
+        for c in range(meta.num_columns)
+    )
+
+
+def _header_size_of_last(path: str, page) -> int:
+    """Re-read the last page's Thrift header to get its byte length (the
+    walker exposes strides via offsets; the final stride needs the final
+    header size explicitly)."""
+    from duckdb_parquet_parser_spark.inspect import _CompactReader
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    reader = _CompactReader(data, page.offset)
+    hdr = reader.read_page_header()
+    assert hdr.compressed_size == page.compressed_size
+    return hdr.header_size
