@@ -19,8 +19,10 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         filters,
         multimodal,
+        ngram_stats,
         positional,
         relational,
+        relational_sub,
         scalars,
         scan,
         similarity,
@@ -53,6 +55,8 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         similarity,
         scalars,
         relational,
+        relational_sub,
+        ngram_stats,
         windows,
     ):
         queries.update(getattr(mod, "QUERIES", {}))
@@ -125,4 +129,15 @@ ROTATION_TAIL = [
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
+    # NEW in round 4 (not yet driver-certified): the 50-slot window is
+    # fully spent on the round-2 re-certification rotation, so these six
+    # park here, carry local sf0.001/sf0.01 differential coverage
+    # (tests/test_oracle_parity.py) now, and enter the driver window in
+    # round 5.
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_window_range_time",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
 ]

@@ -1,0 +1,202 @@
+"""Correlated-subquery relational family + time-RANGE window frames —
+round-4 additions deepening SURVEY.md §2.4 beyond the round-3 surface
+(the reference has no relational operators at all; these cover the
+subquery shapes TPC-H exercises that `rel_subquery` does not: correlated
+EXISTS with a non-equi predicate, correlated scalar aggregate, and
+IN-over-grouped-HAVING — plus event-time RANGE window frames, the one
+window frame kind `rel_window_running` (ROWS) does not).
+
+Certification note: declared this round, parked behind the driver's
+50-query window (operators/__init__.py ROTATION_TAIL — the window is
+full with the round-2 re-certification rotation); differential-tested
+locally at sf0.001 via tests/test_oracle_parity.py like every other
+query, driver-certified when the window rotates in round 5.
+
+Scale notes (100 TB):
+- Correlated subqueries are expressed as the joins Catalyst decorrelates
+  them to anyway: EXISTS → left-semi join (here with a non-equi time
+  predicate riding the orderkey equi-join), scalar-agg → pre-aggregated
+  broadcast/shuffle join on the correlation key. Writing the join
+  directly keeps the plan explicit — one shuffle on the correlation key,
+  map-side partial aggregation below it.
+- The Q17-shaped per-part threshold is rearranged to integer-free DECIMAL
+  cross-multiplication (5·qty·n < Σqty) so no division happens anywhere —
+  exact, order-independent, and identical in both engines.
+- The RANGE frame orders by `unix_micros(ts)` — a numeric, shuffle-local
+  window; Spark's range frame is per-partition sort + sliding aggregate,
+  no second shuffle after the partitionBy hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import DEC, dsum
+
+Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
+Q4_LATE_DAYS = 60
+Q18_MIN_QTY = 250
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_rel_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders per priority in
+    one quarter having at least one lineitem shipped more than
+    ``Q4_LATE_DAYS`` after the order date. The correlated EXISTS is a
+    left-semi join on orderkey with the lateness predicate as a residual
+    non-equi condition — exactly Catalyst's decorrelation, written out."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & late,
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_rel_corr_scalar_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: per brand, the lineitems
+    whose quantity is below 20% of that part's average quantity. The
+    correlated scalar subquery (per-partkey AVG) is a pre-aggregation
+    joined back on partkey; the threshold compare is DECIMAL
+    cross-multiplied (5·qty·n < Σqty) so both engines evaluate it
+    exactly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    below = (
+        F.lit(5).cast(DEC) * F.col("l_quantity").cast(DEC) * F.col("qty_n")
+        < F.col("qty_sum")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(below)
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            dsum("l_extendedprice", "small_qty_revenue"),
+        )
+    )
+
+
+def q_rel_group_in_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    quantity exceeds ``Q18_MIN_QTY`` (the IN-over-grouped-HAVING shape),
+    top 10 by total quantity. The grouped HAVING side aggregates lineitem
+    first (map-side partials on orderkey), then joins orders — the join
+    carries the aggregate, so no second pass over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frame: per user, the rolling 1-hour sum of
+    event value (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    — the frame kind that follows the time axis, not row counts, so ties
+    and gaps behave correctly. Ordered by ``unix_micros(ts)``: exact
+    integer microseconds, so the frame bound arithmetic is identical in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(ts))
+        .rangeBetween(-RANGE_WINDOW_US, 0)
+    )
+    rolling = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    return ev.select(
+        "event_id", "user_id", "ts", rolling.alias("rolling_1h_value")
+    )
+
+
+QUERIES = {
+    "rel_exists_q4": q_rel_exists_q4,
+    "rel_corr_scalar_q17": q_rel_corr_scalar_q17,
+    "rel_group_in_q18": q_rel_group_in_q18,
+    "rel_window_range_time": q_rel_window_range_time,
+}
+
+ORACLES = {
+    "rel_exists_q4": f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{Q4_LO}'
+          AND o_orderdate < TIMESTAMP '{Q4_HI}'
+          AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "rel_corr_scalar_q17": """
+        WITH pa AS (
+            SELECT l_partkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_sum,
+                   count(*) AS qty_n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand,
+               count(*) AS n_small_lines,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS small_qty_revenue
+        FROM lineitem l
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE CAST(5 AS DECIMAL(18,6)) * CAST(l.l_quantity AS DECIMAL(18,6))
+                  * pa.qty_n
+              < pa.qty_sum
+        GROUP BY p.p_brand
+    """,
+    "rel_group_in_q18": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   > {Q18_MIN_QTY}
+        )
+        SELECT o_orderkey, o_custkey, o_totalprice, total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        ORDER BY total_qty DESC, o_orderkey
+        LIMIT 10
+    """,
+    "rel_window_range_time": """
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_1h_value
+        FROM events
+    """,
+}
