@@ -202,3 +202,52 @@ def test_partitioned_read_prunes_partitions(spark, sf_smoke):
     # the partition predicate must appear inside PartitionFilters
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "purchase" in pf, pf
+
+
+def test_exists_q4_plans_semi_join(plans):
+    """Correlated EXISTS is a left-semi join with the lateness predicate
+    as a residual condition — never a full join + distinct."""
+    plan = plans("rel_exists_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corr_scalar_q17_broadcasts_part(plans):
+    """The part dimension broadcasts; the lineitem↔per-part-agg join is
+    the only shuffle pair."""
+    plan = plans("rel_corr_scalar_q17")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_group_in_q18_aggregates_once_topk(plans):
+    """The grouped-HAVING side aggregates lineitem once and the top-10 is
+    TakeOrderedAndProject (per-partition heaps), not a global Sort."""
+    plan = plans("rel_group_in_q18")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+
+
+def test_range_window_stays_jvm_side(plans):
+    """The time-RANGE frame plans a Window over one hash partitioning on
+    user_id — no Python, no extra shuffle beyond the window partition."""
+    plan = plans("rel_window_range_time")
+    assert "Window" in plan
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2  # partition hash (+ AQE read)
+
+
+def test_dupgram_profile_zero_shuffle(plans):
+    """The duplication profile is a pure per-row projection: no Exchange
+    anywhere — the embarrassingly-parallel shape it must keep at 100 TB."""
+    plan = plans("ns_dupgram_profile")
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_shared_ngrams_single_gram_shuffle_topk(plans):
+    """Cross-doc shared n-grams: map-side partial distinct below the one
+    gram-keyed Exchange, top-k via TakeOrderedAndProject."""
+    plan = plans("ns_shared_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan.lower()
