@@ -53,6 +53,8 @@ def _canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "\\N"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))  # 5.0 ↔ 5 across engines
         return repr(v)
