@@ -29,13 +29,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(*_COLS)
 
 
+_CSV_NULL = "\\N"  # MySQL-convention null sentinel
+
+
 def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
-    df.write.mode("overwrite").option("header", "true").option(
-        "escape", '"'
-    ).csv(path)
-    return df.sparkSession.read.schema(df.schema).option(
-        "header", "true"
-    ).option("escape", '"').csv(path)
+    """Lossless CSV write+read for newline-free strings (fuzzed in
+    tests/test_formats_fuzz.py): an explicit null sentinel keeps empty
+    string ≠ NULL (Spark's defaults collapse both to null on read), and
+    whitespace trimming is disabled on write (the writer default strips
+    padding). Two limits inherent to the format, not this code: a string
+    equal to the sentinel itself reads back as null (CSV nulls are
+    in-band — pick a sentinel outside the data alphabet), and embedded
+    newlines would need ``multiLine=true``, which makes files
+    unsplittable — at 100 TB, data with newlines belongs in JSON/parquet
+    (both round-trip it losslessly here)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("nullValue", _CSV_NULL)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    )
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("nullValue", _CSV_NULL)
+        .csv(path)
+    )
 
 
 def json_roundtrip(df: DataFrame, path: str) -> DataFrame:
