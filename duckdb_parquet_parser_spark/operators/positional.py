@@ -60,9 +60,25 @@ def _with_partition_index(df: DataFrame) -> DataFrame:
     ``monotonically_increasing_id`` is ``pid << 33 | local_index`` by
     construction, so the local index is just the low 33 bits — no window, no
     shuffle, no Python.
+
+    The frame is ``localCheckpoint``-ed so BOTH prefix-sum passes read the
+    SAME materialization. Without it each pass re-evaluates the input under
+    its own physical plan, and the row→partition assignment is only
+    guaranteed identical across plans for deterministic sources (parquet
+    scans); a LocalRelation behind a round-robin ``repartition`` can deal
+    rows differently per plan, silently desyncing the pass-1 offsets from
+    the pass-2 partitions (caught by tests/test_positional_fuzz.py). One
+    bounded materialization of the projected columns buys plan-independent
+    correctness for any input — the same checkpoint-between-passes pattern
+    as ``dedup.connected_components``.
     """
-    return df.withColumn("_pid", F.spark_partition_id().cast("long")).withColumn(
-        "_local", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        df.withColumn("_pid", F.spark_partition_id().cast("long"))
+        .withColumn(
+            "_local",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .localCheckpoint(eager=True)
     )
 
 
