@@ -43,14 +43,18 @@ from ..catalog import load_table
 
 CHUNK_SIZE = 4096  # main.cpp:7
 
-# Per-value byte cost: ASCII-decimal digits of the length + payload bytes
-# (main.cpp:30). SQL equivalent shared with every oracle below.
-COST_SQL = "(length(CAST(length(text) AS VARCHAR)) + length(text))"
+# Per-value byte cost: ASCII-decimal digits of the byte length + payload
+# BYTES (main.cpp:30 — std::string::length() counts bytes, not characters,
+# so octet_length is the faithful translation; length() would diverge on
+# any non-ASCII value). SQL equivalent shared with every oracle below.
+# DuckDB spells byte length strlen() (octet_length is BLOB-only there)
+COST_SQL = "(length(CAST(strlen(text) AS VARCHAR)) + strlen(text))"
 
 
 def byte_cost(col: Column) -> Column:
-    """``len(str(len(v))) + len(v)`` — main.cpp:30's append cost."""
-    ln = F.length(col)
+    """``len(str(len(v))) + len(v)`` over UTF-8 bytes — main.cpp:30's
+    append cost with the reference's byte semantics."""
+    ln = F.octet_length(col)
     return (F.length(ln.cast("string")) + ln).cast("long")
 
 
@@ -208,7 +212,7 @@ def positional_stream(df: DataFrame, column: str, order_col: str) -> DataFrame:
         .filter(F.col(column).isNotNull())
         .select(
             "pos",
-            F.length(F.col(column)).cast("long").alias("len"),
+            F.octet_length(F.col(column)).cast("long").alias("len"),
             F.col(column).alias("value"),
         )
     )
@@ -279,7 +283,8 @@ def greedy_chunk_ids_pandas(
                 chunk_id += 1
                 current = 0
             chunk_ids.append(chunk_id)
-            current += len(str(len(v))) + len(v)  # main.cpp:30
+            b = len(v.encode("utf-8"))
+            current += len(str(b)) + b  # main.cpp:30, byte semantics
         pdf["chunk_id"] = pd.Series(chunk_ids, dtype="int64")
         return pdf[["pos", "chunk_id"]]
 
@@ -297,7 +302,7 @@ def q_r10_positional_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         file_order_positions(df)
         .filter(F.col("text").isNotNull())
-        .select("pos", F.length("text").cast("long").alias("len"))
+        .select("pos", F.octet_length("text").cast("long").alias("len"))
     )
 
 
@@ -331,7 +336,7 @@ def q_r10_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         file_order_positions(df)
         .filter(F.col("text").isNotNull())
-        .select("pos", F.length("text").cast("long").alias("len"))
+        .select("pos", F.octet_length("text").cast("long").alias("len"))
     )
 
 
@@ -374,7 +379,7 @@ _R10_SQL = """
             FROM documents
         )
         SELECT CAST(pos AS BIGINT) AS pos,
-               CAST(length(text) AS BIGINT) AS len
+               CAST(strlen(text) AS BIGINT) AS len
         FROM pos WHERE text IS NOT NULL
     """
 

@@ -37,7 +37,9 @@ def _random_rows(seed: int, n: int):
             rng.choice([0, 0, 1, 3, 17, 256]),
             None
             if rng.random() < 0.15
-            else "x" * rng.randrange(0, 40),
+            # multibyte characters included: chunk costs follow UTF-8
+            # BYTES (the reference's std::string semantics), not chars
+            else rng.choice(["x", "é", "漢", "𝄞"]) * rng.randrange(0, 40),
         )
         for i in range(n)
     ]
