@@ -485,6 +485,7 @@ ORACLES = {
     # DuckDB's from_hex yields BLOB, which doesn't cast to BIGINT.
     "ns_text_rollhash": f"""
         SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL ELSE
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(string_split(text, ' '),
@@ -495,8 +496,12 @@ ORACLES = {
                            + (strpos('0123456789abcdef', substr(md5(w),4,1))-1)
                            AS BIGINT))),
                    (acc, v) -> (acc * {ROLL_BASE} + v) % {ROLL_MOD}
-               ) AS roll_hash
+               ) END AS roll_hash
         FROM documents
+        -- NULL text → NULL hash both engines (Spark's aggregate over a
+        -- NULL array is NULL; DuckDB's list_prepend(0, NULL) would
+        -- otherwise yield [0] → 0 — divergence caught by
+        -- tests/test_randomized_docs.py)
     """,
     "ns_text_redact": f"""
         SELECT doc_id,

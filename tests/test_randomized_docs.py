@@ -1,0 +1,122 @@
+"""Differential testing on RANDOMIZED documents fixtures: re-run the
+document-family queries against their DuckDB oracles over generated
+tables the fixed fixtures can't represent — unicode words, double/
+leading/trailing spaces (empty tokens after split), null texts, language
+markers in the wrong language column, adversarial duplicate docs. Every
+query↔oracle pair must stay hash-identical on ANY documents table, not
+just the shipped one; a divergence here is an engine-semantics bug
+(split/regex/utf-8 behavior differing between Spark and DuckDB) that the
+fixture suite would never see.
+
+The scaffold symlinks a real sf dir and swaps in the generated
+documents.parquet, so the whole run_all machinery (including oracle
+retargeting) is exercised unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from duckdb_parquet_parser_spark.catalog import TABLES
+from duckdb_parquet_parser_spark.testing import run_all
+
+SF_BASE = "/root/testdata/sf0.001"
+
+# Document-family queries whose inputs are exactly the documents table
+# (layout-building and embeddings-based queries excluded).
+DOC_QUERIES = [
+    "ns_text_tokens",
+    "ns_text_quality",
+    "ns_text_langid",
+    "ns_text_fingerprint",
+    "ns_text_rollhash",
+    "ns_text_redact",
+    "ns_text_repetition",
+    "ns_sample_stratified",
+    "ns_pipeline_curate",
+    "ns_contamination",
+    "ns_vocab_topk",
+    "ns_seq_pack",
+    "ns_mixture_weights",
+    "ns_doclen_histogram",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_simhash",
+    "ns_ngram_jaccard",
+    "f1_regex_docs",
+    "f2_null_semantics",
+    "r10_positional_stream",
+    "x1_tuple_to_chunk",
+    "x1_chunk_greedy",
+]
+
+_VOCAB = (
+    ["table", "scan", "sort", "merge", "value", "spark", "query", "émigré",
+     "漢字", "naïve", "Σigma", "x" * 30]
+    + ["the", "a", "of", "der", "und", "le", "la", "el", "y"]  # lang markers
+    + ["user@example.com", "12345", "sort sort sort"]  # redact/regex bait
+)
+
+
+def _random_text(rng: random.Random) -> str | None:
+    if rng.random() < 0.06:
+        return None
+    n = rng.randrange(1, 60)
+    words = [rng.choice(_VOCAB) for _ in range(n)]
+    text = " ".join(words)
+    # empty-token edges: double spaces, leading/trailing space
+    if rng.random() < 0.25:
+        text = text.replace(" ", "  ", 1)
+    if rng.random() < 0.15:
+        text = " " + text
+    if rng.random() < 0.15:
+        text = text + " "
+    return text
+
+
+def _make_fixture(tmp_path, seed: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = random.Random(seed)
+    sf_dir = tmp_path / f"rand{seed}"
+    sf_dir.mkdir()
+    for t in TABLES:
+        src = os.path.join(SF_BASE, f"{t}.parquet")
+        if t != "documents" and os.path.exists(src):
+            os.symlink(src, sf_dir / f"{t}.parquet")
+    n = 120
+    texts = [_random_text(rng) for _ in range(n)]
+    # a few exact duplicates so dedup paths see real collisions
+    for i in range(0, n, 17):
+        if texts[i] is not None:
+            texts[(i + 1) % n] = texts[i]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [rng.choice(["en", "de", "fr", "es", "xx"]) for _ in range(n)]
+            ),
+            "source": pa.array([f"src{rng.randrange(4)}" for _ in range(n)]),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(table, sf_dir / "documents.parquet")
+    return str(sf_dir)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_doc_queries_match_oracles_on_random_fixtures(spark, tmp_path, seed):
+    sf_dir = _make_fixture(tmp_path, seed)
+    results = run_all(spark, sf_dir, only=DOC_QUERIES)
+    bad = [str(r) for r in results if not r.ok]
+    assert not bad, "\n".join(bad)
+    assert len(results) == len(DOC_QUERIES)
