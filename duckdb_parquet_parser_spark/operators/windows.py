@@ -101,14 +101,16 @@ ORACLES = {
         )
         SELECT window_start, count(*) AS n FROM starts GROUP BY 1
     """,
-    # Session = maximal event chain with inter-event gap < 30 min;
-    # session_end = last event + gap (Spark session_window definition).
+    # Session = maximal event chain with inter-event gap ≤ 30 min (an event
+    # at EXACTLY last+gap still merges — probed Spark session_window
+    # semantics, pinned by tests/test_randomized_events.py's exact-tie
+    # lattice); session_end = last event + gap.
     "stream_session": f"""
         WITH marked AS (
             SELECT user_id, ts, value,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
                         (PARTITION BY user_id ORDER BY ts))
-                        >= {SESSION_GAP_SECONDS}
+                        > {SESSION_GAP_SECONDS}
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                         IS NULL
                    THEN 1 ELSE 0 END AS new_session

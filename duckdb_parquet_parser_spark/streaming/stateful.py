@@ -88,11 +88,17 @@ def _micro_units(v: float) -> int:
 def _merge_event(sessions: list[list[int]], ts_us: int, val_us: int) -> None:
     """Insert one event into the open-session list, merging any sessions it
     bridges. A session [start, last] absorbs ts iff
-    start - gap < ts < last + gap (strict: gap ≥ GAP starts a new one)."""
+    start - gap ≤ ts ≤ last + gap — INCLUSIVE at exactly gap distance,
+    matching Spark's native ``session_window`` (probed: two events 1800 s
+    apart merge under a 30-minute gap; 1801 s apart do not), so the
+    stateful operator and the batch aggregation agree on tie-heavy data
+    (pinned by tests/test_randomized_events.py)."""
     absorbed = [
-        s for s in sessions if s[0] - GAP_US < ts_us < s[1] + GAP_US
+        s for s in sessions if s[0] - GAP_US <= ts_us <= s[1] + GAP_US
     ]
-    rest = [s for s in sessions if not (s[0] - GAP_US < ts_us < s[1] + GAP_US)]
+    rest = [
+        s for s in sessions if not (s[0] - GAP_US <= ts_us <= s[1] + GAP_US)
+    ]
     if not absorbed:
         rest.append([ts_us, ts_us, 1, val_us])
     else:
@@ -181,8 +187,11 @@ def sessionize_group_wm(
             _merge_event(sessions, int(t), _micro_units(v))
             max_seen = max(max_seen, int(t))
     wm_us = state.getCurrentWatermarkMs() * 1000
-    closed = [s for s in sessions if s[1] + GAP_US <= wm_us]
-    still_open = [s for s in sessions if s[1] + GAP_US > wm_us]
+    # STRICT compare: an on-time event may still arrive at exactly
+    # last + gap (ts ≥ watermark is on-time) and must be able to merge,
+    # so a session only closes once the watermark has passed that instant
+    closed = [s for s in sessions if s[1] + GAP_US < wm_us]
+    still_open = [s for s in sessions if s[1] + GAP_US >= wm_us]
     if still_open:
         state.update(
             (
@@ -193,7 +202,9 @@ def sessionize_group_wm(
                 max_seen,
             )
         )
-        next_close_ms = min(s[1] + GAP_US for s in still_open) // 1000
+        # +1 ms past the close instant: closing is strict (wm must PASS
+        # last + gap), so a timeout at the instant itself would be a no-op
+        next_close_ms = min(s[1] + GAP_US for s in still_open) // 1000 + 1
         state.setTimeoutTimestamp(
             max(next_close_ms, state.getCurrentWatermarkMs() + 1)
         )

@@ -30,10 +30,11 @@ _event = st.tuples(_ts, st.integers(-5_000_000, 5_000_000))  # (ts_us, val_us)
 
 def _reference(events):
     """Sequential gap-sessionization over time-sorted events (the batch
-    definition): a session breaks when the inter-event gap reaches GAP_US."""
+    definition): a session breaks when the inter-event gap EXCEEDS GAP_US
+    (inclusive at exactly gap — Spark session_window semantics)."""
     out = []
     for ts, val in sorted(events):
-        if out and ts < out[-1][1] + GAP_US:
+        if out and ts <= out[-1][1] + GAP_US:
             s = out[-1]
             s[1] = max(s[1], ts)
             s[2] += 1
