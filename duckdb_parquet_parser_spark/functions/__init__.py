@@ -84,17 +84,32 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """``dot / (na·nb)`` with the zero-norm guard: a degenerate (all-zero)
+    vector scores cosine 0.0 against everything. Without the guard Spark's
+    ANSI mode raises DIVIDE_BY_ZERO and DuckDB's
+    ``list_cosine_similarity`` silently returns −1.0 — found by
+    tests/test_randomized_embeddings.py; real corpora contain zero
+    embeddings (failed encoder calls, padding rows), so the engine
+    defines the edge instead of crashing on it. ``when`` evaluates the
+    division only on non-degenerate rows."""
+    denom = na * nb
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot / denom)
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine over two array<float> columns, JVM-side via higher-order fns.
 
     ``F.zip_with`` + ``F.aggregate`` fold left-to-right exactly like
     DuckDB's ``list_cosine_similarity`` sequential loop; both compute in
-    double after per-element float→double promotion.
+    double after per-element float→double promotion. Zero-norm inputs
+    score 0.0 (see :func:`safe_cosine`).
 
     Cost note: three 64-step interpreted folds per call. When the same
     vectors appear in many pairs (candidate verification), precompute
     ``l2_norm`` per vector before the pair join and use
-    ``dot_product(a, b) / (na * nb)`` — the expression trees are identical,
-    so the doubles (and any threshold filter) are bit-identical.
+    ``safe_cosine(dot_product(a, b), na, nb)`` — the expression trees are
+    identical, so the doubles (and any threshold filter) are
+    bit-identical.
     """
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_cosine(dot_product(a, b), l2_norm(a), l2_norm(b))

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, scale_out
-from ..functions import cosine_similarity, dot_product, l2_norm
+from ..functions import cosine_similarity, dot_product, l2_norm, safe_cosine
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 10
@@ -56,8 +56,11 @@ def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
-            dot_product(F.col("qvec"), F.col("embedding"))
-            / (F.col("qn") * F.col("nn")),
+            safe_cosine(
+                dot_product(F.col("qvec"), F.col("embedding")),
+                F.col("qn"),
+                F.col("nn"),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -126,7 +129,9 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     cand = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    cos = safe_cosine(
+        dot_product(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
     # Verify BEFORE deduping: the cosine is functionally determined by the
     # id pair, so filter∘distinct ≡ distinct∘filter — but verifying first
     # runs map-side on the join output and the distinct then shuffles only
@@ -231,8 +236,11 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, rank_limit: int) -> Da
         e.crossJoin(F.broadcast(c))
         .withColumn(
             "cell_cos",
-            dot_product(F.col("embedding"), F.col("cvec"))
-            / (F.col("vnorm") * F.col("_cnorm")),
+            safe_cosine(
+                dot_product(F.col("embedding"), F.col("cvec")),
+                F.col("vnorm"),
+                F.col("_cnorm"),
+            ),
         )
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= rank_limit)
@@ -327,8 +335,11 @@ def _assign_clusters(
         e.crossJoin(F.broadcast(c))
         .withColumn(
             "cos",
-            dot_product(F.col("embedding"), F.col("cvec"))
-            / (F.col("_vn") * F.col("_cn")),
+            safe_cosine(
+                dot_product(F.col("embedding"), F.col("cvec")),
+                F.col("_vn"),
+                F.col("_cn"),
+            ),
         )
         .groupBy("vec_id")
         .agg(best)
@@ -436,8 +447,16 @@ def _hp_sign_sql(bit: int) -> str:
 
 _BUCKET_SQL = " || ".join(_hp_sign_sql(j) for j in range(LSH_BITS))
 
+# Zero-norm guard on BOTH engines: DuckDB's list_cosine_similarity
+# returns -1.0 for a zero vector (Spark's ANSI division would raise), so
+# the oracle spells the same "degenerate vectors score 0" definition as
+# functions.safe_cosine.
 _COS_SQL = (
-    "list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    "(CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
+    " * list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])) = 0"
+    " THEN 0.0"
+    " ELSE list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+    " END)"
 )
 
 ORACLES = {
