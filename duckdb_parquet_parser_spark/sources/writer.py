@@ -89,7 +89,10 @@ def q_w1_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write documents with reference knobs → read back → full contents.
     Oracle = the source table: proves lossless write+read."""
     df = load_table(spark, sf_dir, "documents")
-    return round_trip(df, os.path.join(tempfile.gettempdir(), "sg_w1_docs")).select(
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return round_trip(
+        df, os.path.join(tempfile.gettempdir(), f"sg_w1_docs_{tag}")
+    ).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
 
@@ -106,7 +109,8 @@ def q_w1_roundtrip_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     (column_reader.cpp:13-15); this engine reads and writes them all.
     Oracle = the source table again — lossless through compression."""
     df = load_table(spark, sf_dir, "documents")
-    path = os.path.join(tempfile.gettempdir(), "sg_w1_docs_zstd")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"sg_w1_docs_zstd_{tag}")
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
     return spark.read.parquet(path).select(
         "doc_id", "text", "lang", "source", "n_chars"
