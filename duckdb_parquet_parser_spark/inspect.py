@@ -277,7 +277,18 @@ def walk_pages(path: str) -> list[PageInfo]:
                 )
                 if hdr.page_type in (_PAGE_TYPE_DATA, _PAGE_TYPE_DATA_V2):
                     values_read += hdr.num_values
-                offset += hdr.header_size + hdr.compressed_size
+                stride = hdr.header_size + hdr.compressed_size
+                # Forward-progress guard: a corrupt header can decode a
+                # negative (zigzag) compressed_size, making the stride
+                # non-positive — the walk would revisit the same offset
+                # forever (the reference's infinite-loop failure class,
+                # SURVEY.md §3.1). Fail loudly instead.
+                if stride <= 0 or offset + stride > len(data):
+                    raise ValueError(
+                        f"corrupt page header at offset {offset}: "
+                        f"stride {stride} outside file of {len(data)} bytes"
+                    )
+                offset += stride
                 page_in_chunk += 1
     return pages
 

@@ -145,3 +145,41 @@ def _header_size_of_last(path: str, page) -> int:
     hdr = reader.read_page_header()
     assert hdr.compressed_size == page.compressed_size
     return hdr.header_size
+
+
+def test_walker_terminates_on_corrupt_headers(tmp_path):
+    """Robustness against the reference's failure class (SURVEY §3.1
+    infinite loop): flipping bytes inside each page header must make the
+    walk raise or return — never hang or walk backwards. Every header
+    byte position of every page gets one flip."""
+    path = str(tmp_path / "c.parquet")
+    pq.write_table(_table(1, n=300), path, data_page_size=256,
+                   compression="none")
+    intact = walk_pages(path)
+    raw = open(path, "rb").read()
+    for page in intact[:20]:
+        for delta in (1, 3, 7):
+            bad = bytearray(raw)
+            bad[page.offset + delta] ^= 0xFF
+            corrupt = str(tmp_path / "bad.parquet")
+            open(corrupt, "wb").write(bytes(bad))
+            try:
+                result = walk_pages(corrupt)
+            except Exception:
+                continue  # loud failure is fine; hanging is not
+            assert len(result) <= 10_000  # bounded output, no runaway
+
+
+def test_walker_raises_on_truncated_file(tmp_path):
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(_table(2, n=300), path, data_page_size=256,
+                   compression="none")
+    raw = open(path, "rb").read()
+    # keep the footer (walker reads metadata from it via pyarrow) but cut
+    # a hole before it so page strides point into the void
+    cut = bytearray(raw)
+    del cut[len(raw) // 3 : len(raw) // 3 + 40]
+    trunc = str(tmp_path / "trunc.parquet")
+    open(trunc, "wb").write(bytes(cut))
+    with pytest.raises(Exception):
+        walk_pages(trunc)
