@@ -102,10 +102,10 @@ ROTATION_TAIL = [
     "ns_dedup_simhash",
     "ns_dedup_simhash_pairs",
     "ns_ngram_jaccard",
-    "ns_knn_bruteforce",
-    "ns_embed_neardup",
-    "ns_ann_lsh_buckets",
-    "ns_ann_ivf_topk",
+    # (ns_knn_bruteforce / ns_embed_neardup / ns_ann_lsh_buckets /
+    # ns_ann_ivf_topk moved BACK to the head late in round 4: the
+    # zero-norm cosine guard changed their plans, so their r3
+    # certifications no longer cover the shipped code.)
     "rel_agg_q1",
     "rel_join_q3",
     "rel_merge_upsert",
@@ -128,7 +128,20 @@ ROTATION_TAIL = [
     "rel_range_join",
     "stream_tumbling",
     "stream_sliding",
-    "stream_session",
+    # (stream_session moved back to the head: its oracle's session-break
+    # rule changed to inclusive-at-gap in round 4.)
+    # Swapped INTO the tail to make room for the five round-4-changed
+    # queries above: five r2-certified queries whose code and oracle are
+    # verifiably untouched since round 2 (relational.py/scalars.py
+    # additions never modified these functions). Their certifications age
+    # to three rounds — the documented cost of recertifying CHANGED code
+    # first — and they are first in line for the round-5 window together
+    # with the six new queries below.
+    "rel_window_lag",
+    "rel_subquery",
+    "rel_percentiles",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
     # NEW in round 4 (not yet driver-certified): the 50-slot window is
     # fully spent on the round-2 re-certification rotation, so these six
     # park here, carry local sf0.001/sf0.01 differential coverage
