@@ -153,4 +153,6 @@ ROTATION_TAIL = [
     "rel_window_range_time",
     "ns_dupgram_profile",
     "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
 ]

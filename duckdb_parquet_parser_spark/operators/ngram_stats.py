@@ -95,9 +95,83 @@ def q_ns_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ns_common_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative commonness score: per document, the mean document
+    frequency of its DISTINCT tokens — the CCNet/Gopher-family signal
+    separating boilerplate-ish docs (tokens everywhere) from topical ones
+    (rare tokens), computed without any model. The ratio is exact-int
+    division to double, identical both engines.
+
+    Scale shape: one distinct (doc, token) explode → one token-keyed
+    aggregation for the document-frequency table → one token-keyed join
+    back → one doc-keyed aggregation. The df table is vocab-sized (Heaps'
+    law: ≪ corpus), the join is a shuffle equi-join AQE can skew-split;
+    nothing is quadratic."""
+    df = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("df").alias("df_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct",
+            "df_sum",
+            (
+                F.col("df_sum").cast("double")
+                / F.col("n_distinct").cast("double")
+            ).alias("mean_df"),
+        )
+    )
+
+
+# Fixed-weight linear quality model (micro-units per feature): the
+# classifier-based-filtering plumbing with a deterministic stand-in for
+# trained weights — the plan shape (per-row features → dot with a
+# constant weight vector → threshold) is exactly what a real logistic
+# gate runs; only the weights would change.
+LOGIT_W_TOKENS = 120
+LOGIT_W_DISTINCT = 480
+LOGIT_W_CHARS = 7
+LOGIT_BIAS = -60_000
+LOGIT_KEEP_THRESHOLD = 0
+
+
+def q_ns_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-style quality gate: integer linear score over token/char
+    features + threshold keep flag. All-integer arithmetic → bit-identical
+    across engines; zero shuffle (pure per-row projection)."""
+    df = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    ws = F.split("text", " ")
+    logit = (
+        F.lit(LOGIT_BIAS).cast("long")
+        + F.size(ws).cast("long") * LOGIT_W_TOKENS
+        + F.size(F.array_distinct(ws)).cast("long") * LOGIT_W_DISTINCT
+        + F.length("text").cast("long") * LOGIT_W_CHARS
+    )
+    return df.select(
+        "doc_id",
+        logit.alias("logit_micro"),
+        (logit >= LOGIT_KEEP_THRESHOLD).alias("keep"),
+    )
+
+
 QUERIES = {
     "ns_dupgram_profile": q_ns_dupgram_profile,
     "ns_shared_ngrams": q_ns_shared_ngrams,
+    "ns_common_token_ratio": q_ns_common_token_ratio,
+    "ns_quality_logit": q_ns_quality_logit,
 }
 
 ORACLES = {
@@ -131,5 +205,37 @@ ORACLES = {
         HAVING count(DISTINCT doc_id) >= {SHARED_MIN_DOCS}
         ORDER BY n_docs DESC, gram
         LIMIT {SHARED_TOP_K}
+    """,
+    "ns_common_token_ratio": """
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ),
+        dfreq AS (
+            SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        )
+        SELECT t.doc_id,
+               count(*) AS n_distinct,
+               CAST(sum(d.df) AS BIGINT) AS df_sum,
+               CAST(sum(d.df) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_df
+        FROM toks t JOIN dfreq d ON d.tok = t.tok
+        GROUP BY t.doc_id
+    """,
+    "ns_quality_logit": f"""
+        SELECT doc_id,
+               CAST({LOGIT_BIAS}
+                    + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}
+                    + len(list_distinct(string_split(text, ' ')))
+                      * {LOGIT_W_DISTINCT}
+                    + length(text) * {LOGIT_W_CHARS} AS BIGINT)
+                   AS logit_micro,
+               ({LOGIT_BIAS}
+                    + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}
+                    + len(list_distinct(string_split(text, ' ')))
+                      * {LOGIT_W_DISTINCT}
+                    + length(text) * {LOGIT_W_CHARS}) >= {LOGIT_KEEP_THRESHOLD}
+                   AS keep
+        FROM documents WHERE text IS NOT NULL
     """,
 }

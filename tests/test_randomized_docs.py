@@ -44,6 +44,8 @@ DOC_QUERIES = [
     "ns_doclen_histogram",
     "ns_dupgram_profile",
     "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
     "ns_dedup_exact",
     "ns_dedup_minhash",
     "ns_dedup_simhash",
