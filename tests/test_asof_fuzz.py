@@ -22,6 +22,12 @@ except ImportError:  # pragma: no cover
 
 from pyspark.sql import types as T
 
+
+# SPARK_GRAFT_FUZZ_SCALE multiplies example counts for deep/overnight
+# confidence runs; the default keeps the suite fast.
+import os as _os
+_N_EXAMPLES = 15 * int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 from duckdb_parquet_parser_spark.operators.asof import asof_join_backward
 
 _EPOCH = dt.datetime(2024, 1, 1)
@@ -86,7 +92,7 @@ def _right_has_match(rrows, k, lts) -> bool:
 
 
 @settings(
-    max_examples=25,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

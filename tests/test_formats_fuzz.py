@@ -16,6 +16,12 @@ except ImportError:  # pragma: no cover
 
 from pyspark.sql import types as T
 
+
+# SPARK_GRAFT_FUZZ_SCALE multiplies example counts for deep/overnight
+# confidence runs; the default keeps the suite fast.
+import os as _os
+_N_EXAMPLES = 15 * int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 from duckdb_parquet_parser_spark.sources.formats import (
     _CSV_NULL,
     csv_roundtrip,
@@ -52,7 +58,7 @@ def _rows(text_strategy):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -66,7 +72,7 @@ def test_csv_roundtrip_lossless(spark, tmp_path_factory, rows):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

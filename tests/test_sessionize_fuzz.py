@@ -20,6 +20,12 @@ try:
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis unavailable", allow_module_level=True)
 
+
+# SPARK_GRAFT_FUZZ_SCALE multiplies example counts for deep/overnight
+# confidence runs; the default keeps the suite fast.
+import os as _os
+_N_EXAMPLES = 15 * int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 from duckdb_parquet_parser_spark.streaming.stateful import GAP_US, _merge_event
 
 # timestamps on a lattice of GAP_US/4 steps so exact-gap boundaries
@@ -45,7 +51,7 @@ def _reference(events):
     return sorted(tuple(s) for s in out)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=_N_EXAMPLES * 20, deadline=None)
 @given(events=st.lists(_event, max_size=25), seed=st.integers(0, 2**32 - 1))
 def test_merge_event_is_arrival_order_independent(events, seed):
     expected = _reference(events)

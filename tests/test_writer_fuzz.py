@@ -24,6 +24,12 @@ except ImportError:  # pragma: no cover
 
 from pyspark.sql import types as T
 
+
+# SPARK_GRAFT_FUZZ_SCALE multiplies example counts for deep/overnight
+# confidence runs; the default keeps the suite fast.
+import os as _os
+_N_EXAMPLES = 15 * int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
 from duckdb_parquet_parser_spark.sources.writer import write_reference_style
 from duckdb_parquet_parser_spark.testing import canonical_hash
 
@@ -64,7 +70,7 @@ _row = st.tuples(
 
 
 @settings(
-    max_examples=15,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
