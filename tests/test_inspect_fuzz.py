@@ -183,3 +183,50 @@ def test_walker_raises_on_truncated_file(tmp_path):
     open(trunc, "wb").write(bytes(cut))
     with pytest.raises(Exception):
         walk_pages(trunc)
+
+
+def test_walker_handles_nested_schemas(tmp_path):
+    """Nested columns (list/struct) carry repetition/definition levels and
+    their chunk num_values counts LEAF values, not rows — the walker's
+    termination rule must still close every chunk exactly. Both data page
+    versions exercised."""
+    rng = random.Random(9)
+    n = 400
+    table = pa.table(
+        {
+            "id": pa.array(range(n), pa.int64()),
+            "tags": pa.array(
+                [
+                    None
+                    if rng.random() < 0.1
+                    else [f"t{rng.randrange(5)}" for _ in range(rng.randrange(4))]
+                    for _ in range(n)
+                ],
+                pa.list_(pa.string()),
+            ),
+            "meta": pa.array(
+                [
+                    {"a": rng.randrange(100), "b": None if rng.random() < 0.3 else f"s{i}"}
+                    for i in range(n)
+                ],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+        }
+    )
+    for dpv in ("1.0", "2.0"):
+        path = str(tmp_path / f"nested_{dpv}.parquet")
+        pq.write_table(table, path, data_page_version=dpv,
+                       data_page_size=512, row_group_size=150)
+        meta = pq.ParquetFile(path).metadata
+        pages = walk_pages(path)
+        for rg_idx in range(meta.num_row_groups):
+            rg = meta.row_group(rg_idx)
+            for col_idx in range(rg.num_columns):
+                col = rg.column(col_idx)
+                data_values = sum(
+                    p.num_values
+                    for p in pages
+                    if (p.row_group, p.column) == (rg_idx, col_idx)
+                    and p.page_type in ("DATA_PAGE", "DATA_PAGE_V2")
+                )
+                assert data_values == col.num_values, (dpv, rg_idx, col_idx)
