@@ -423,10 +423,15 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
     Scale shape (100 TB): every step is an equi-join or groupBy keyed on
     doc id — hash-partitioned, AQE-balanced, no global ordering anywhere.
     The expensive input (the near-dup pair graph) is materialized exactly
-    once (``localCheckpoint``), as is the small adjacency+self-loop list
-    reused by every round; per-round lineage stays one checkpoint deep.
+    once, as is the small adjacency+self-loop list reused by every round;
+    per-round lineage stays one checkpoint deep. ``checkpoint_df``
+    (session.py) picks the durability: executor-local blocks by default,
+    a reliable ``spark.graft.checkpointDir`` checkpoint on clusters where
+    an executor loss must not kill the iteration.
     """
-    ed = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    from ..session import checkpoint_df
+
+    ed = checkpoint_df(edges.select("doc_a", "doc_b"), eager=True)
     bi = ed.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).union(
         ed.select(F.col("doc_b"), F.col("doc_a"))
     )
@@ -435,12 +440,11 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
     # adj⋈labels join exchanges only the (tiny) label frame while the
     # |2E+V|-row adjacency never reshuffles (the Pregel layout: partition
     # the graph once, ship only messages).
-    adj = (
+    adj = checkpoint_df(
         bi.union(
             bi.select("doc").distinct().select("doc", F.col("doc").alias("nbr"))
-        )
-        .repartition(F.col("nbr"))
-        .localCheckpoint(eager=True)
+        ).repartition(F.col("nbr")),
+        eager=True,
     )
     labels = adj.filter(F.col("doc") == F.col("nbr")).select(
         "doc", F.col("doc").alias("label")
@@ -456,13 +460,12 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
         parent = prop.select(
             F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
         )
-        labels = (
-            prop.join(parent, prop.label == parent.p_doc, "left")
-            .select(
+        labels = checkpoint_df(
+            prop.join(parent, prop.label == parent.p_doc, "left").select(
                 "doc",
                 F.least("label", F.coalesce("p_label", "label")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
     return labels.select("doc", F.col("label").alias("component"))
 

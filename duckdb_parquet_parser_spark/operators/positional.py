@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..session import checkpoint_df
 
 CHUNK_SIZE = 4096  # main.cpp:7
 
@@ -74,15 +75,22 @@ def _with_partition_index(df: DataFrame) -> DataFrame:
     the pass-2 partitions (caught by tests/test_positional_fuzz.py). One
     bounded materialization of the projected columns buys plan-independent
     correctness for any input — the same checkpoint-between-passes pattern
-    as ``dedup.connected_components``.
+    as ``dedup.connected_components``. ``checkpoint_df`` picks the
+    durability level (executor-local by default; reliable on clusters via
+    ``spark.graft.checkpointDir`` — see session.py).
+
+    The checkpoint materializes EVERY column of ``df``: callers must
+    project to the columns their downstream plan consumes before calling
+    (ADVICE r4 — checkpointing the full row ships unconsumed columns to
+    checkpoint storage for nothing; there is no row key to re-join
+    dropped columns by afterwards, so the projection has to happen here).
     """
-    return (
-        df.withColumn("_pid", F.spark_partition_id().cast("long"))
-        .withColumn(
+    return checkpoint_df(
+        df.withColumn("_pid", F.spark_partition_id().cast("long")).withColumn(
             "_local",
             F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        eager=True,
     )
 
 
@@ -297,8 +305,11 @@ def greedy_chunk_ids_pandas(
 
 def q_r10_positional_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R10 stream via the shuffle-free file-order plan (fixture file order ==
-    doc_id order, so the doc_id oracle applies — tests/test_positional.py)."""
-    df = load_table(spark, sf_dir, "documents")
+    doc_id order, so the doc_id oracle applies — tests/test_positional.py).
+    Projected to the one consumed column BEFORE the prefix-sum base is
+    checkpointed — the materialization holds (text, _pid, _local), not the
+    full document row (ADVICE r4)."""
+    df = load_table(spark, sf_dir, "documents").select("text")
     return (
         file_order_positions(df)
         .filter(F.col("text").isNotNull())
@@ -331,8 +342,9 @@ def q_r10_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R10 with TRUE file-order positions (prefix-sum offsets, no global
     window, no Python). The fixture writes documents in doc_id order, so the
     deterministic oracle applies to file order too (asserted in
-    tests/test_positional.py)."""
-    df = load_table(spark, sf_dir, "documents")
+    tests/test_positional.py). Projected to the consumed column before the
+    checkpointed prefix-sum base (ADVICE r4)."""
+    df = load_table(spark, sf_dir, "documents").select("text")
     return (
         file_order_positions(df)
         .filter(F.col("text").isNotNull())

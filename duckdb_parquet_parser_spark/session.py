@@ -20,6 +20,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+# Set to a durable (HDFS / object-store) directory to make every
+# lineage-cutting materialization in the engine survive executor loss.
+CHECKPOINT_DIR_CONF = "spark.graft.checkpointDir"
+
+
+def checkpoint_df(df, eager: bool = True):
+    """Materialize a DataFrame and cut its lineage, with deployment-
+    selectable durability (VERDICT r4 #3):
+
+    - default (conf unset): ``localCheckpoint`` — blocks live in executor
+      storage, zero extra I/O; right for ``local[N]`` and for plans whose
+      recompute-on-loss cost is acceptable;
+    - ``spark.graft.checkpointDir`` set: a RELIABLE ``checkpoint()`` into
+      that directory. localCheckpoint blocks are NOT replicated, so on a
+      real cluster losing one executor kills every job whose lineage was
+      cut by it — the reliable variant pays one distributed write to make
+      the materialization fault-tolerant at 1000-executor scale.
+
+    Every lineage-cutting plan in the engine (connected-components round
+    labels, the positional prefix-sum base) funnels through here, so a
+    single conf flips the whole engine to cluster-safe materialization.
+    """
+    spark = df.sparkSession
+    ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
+    if ckpt_dir:
+        sc = spark.sparkContext
+        # idempotent: repeated set with the same path is a cheap mkdir;
+        # RDD checkpoints write into per-RDD subdirectories
+        sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
 
 def get_spark(
     app_name: str = "duckdb-parquet-parser-spark",
