@@ -151,12 +151,28 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's batch-shuffle default — at fixture scale 32 partitions
     of ~150 events each was pure commit overhead (measured 40 s → 5.5 s
     with 8 partitions × 4 microbatches, identical output). At 100 TB the
-    same conf scales up with the cluster."""
+    same conf scales up with the cluster.
+
+    Microbatch count is the other commit-overhead axis (the
+    ``streaming_enrich`` finding): 4 files per trigger = two microbatches
+    over the 8 staged files — still exercising cross-microbatch
+    join-state handoff — instead of four, halving the fixed
+    (microbatch × partition) commit cost. Two further output-neutral
+    trims (measured 6.0 → 2.9 s at sf0.1 all together): state partitions
+    8 → 4 (a stream-stream join keeps FOUR state stores per partition —
+    keyToNumValues + keyWithIndexToValue per side — so commits scale
+    4 × partitions × microbatches while results never depend on the
+    partition count), and ``noDataMicroBatches`` disabled for this
+    terminating run (the trailing empty batch exists to evict
+    watermark-expired state and emit outer-join nulls; an INNER join
+    emits matches eagerly within their data batch, and eviction is
+    pointless in a run that stops on completion — batch parity asserted
+    as always by the oracle)."""
     from pyspark.sql import functions as F
 
     staged = stage_events(spark, sf_dir)
     views = (
-        event_stream(spark, staged, files_per_trigger=2)
+        event_stream(spark, staged, files_per_trigger=4)
         .filter(F.col("event_type") == "view")
         .select(
             F.col("user_id").alias("v_user"),
@@ -166,7 +182,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("view_ts", "2 hours")
     )
     buys = (
-        event_stream(spark, staged, files_per_trigger=2)
+        event_stream(spark, staged, files_per_trigger=4)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("b_user"),
@@ -185,12 +201,16 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state partition count is fixed at stream start from this conf —
     # size it for the stream (see docstring), then restore the batch value
     key = "spark.sql.shuffle.partitions"
+    nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    old_nodata = spark.conf.get(nodata, "true")
+    spark.conf.set(key, "4")
+    spark.conf.set(nodata, "false")
     try:
         return run_to_memory(j, "append")
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(nodata, old_nodata)
 
 
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
