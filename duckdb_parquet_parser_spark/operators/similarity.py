@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, scale_out
@@ -107,42 +108,102 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    # norm precomputed per vector (not per pair): the join/dedup shuffles
+    # norm precomputed per vector (not per pair): the join shuffles
     # materialize it, so verification pays one dot fold per candidate
-    # instead of three — bit-identical to cosine_similarity (functions.py)
-    assigned = ivf_assignments(emb, centroids, N_PROBE).select(
-        F.col("centroid_id").alias("cell"),
-        "vec_id",
-        "embedding",
-        F.col("vnorm").alias("nrm"),
+    # instead of three — bit-identical to cosine_similarity (functions.py).
+    # Each vector also carries its (≤ N_PROBE)-element probe-cell list:
+    # the window reuses the vec_id partitioning ivf_assignments' rank
+    # window already established, so collecting it is exchange-free.
+    wv = Window.partitionBy("vec_id")
+    assigned = (
+        ivf_assignments(emb, centroids, N_PROBE)
+        .withColumn("cells", F.collect_list("centroid_id").over(wv))
+        .select(
+            F.col("centroid_id").alias("cell"),
+            "vec_id",
+            "embedding",
+            F.col("vnorm").alias("nrm"),
+            "cells",
+        )
     )
     a = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
+        F.col("cells").alias("ca"),
     )
     b = assigned.select(
         "cell",
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
+        F.col("cells").alias("cb"),
     )
-    cand = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = safe_cosine(
-        dot_product(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    # Verify-exactly-once (round 5, replacing verify-then-distinct): a pair
+    # sharing BOTH probed cells appears in two bucket-join groups; keeping
+    # only the row whose join cell is the smallest shared cell makes every
+    # candidate pair unique BEFORE the cosine runs — the duplicate rows
+    # drop map-side on tiny int arrays (≤ N_PROBE elements), verification
+    # runs once per unique pair instead of up to twice, and the trailing
+    # distinct exchange disappears entirely (the old plan's only
+    # post-verify shuffle). Same pair set as the oracle's DISTINCT.
+    cand = a.join(b, "cell").filter(
+        (F.col("vec_a") < F.col("vec_b"))
+        & (F.col("cell") == F.array_min(F.array_intersect("ca", "cb")))
     )
-    # Verify BEFORE deduping: the cosine is functionally determined by the
-    # id pair, so filter∘distinct ≡ distinct∘filter — but verifying first
-    # runs map-side on the join output and the distinct then shuffles only
-    # the surviving (vec_a, vec_b) id pairs, not embedding arrays. A pair
-    # sharing both probed cells is verified twice (≤2×) instead of paying
-    # an array-wide shuffle for every candidate.
-    return (
-        cand.filter(cos >= NEARDUP_COS)
-        .select("vec_a", "vec_b")
-        .distinct()
+    pair_dot = F.pandas_udf(_pair_dot_impl, T.DoubleType())
+    denom = F.col("na") * F.col("nb")
+    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
+        pair_dot(F.col("ea"), F.col("eb")) / denom
     )
+    return cand.filter(cos >= NEARDUP_COS).select("vec_a", "vec_b")
+
+
+def _pair_dot_impl(ea, eb):
+    """Arrow-vectorized exact dot product over candidate pairs — the one
+    sanctioned Python hot path in the similarity family (VERDICT r4 #4:
+    the interpreted higher-order-function fold was ~2 s of the query at
+    sf0.1; HOFs never enter whole-stage codegen, and the unrolled
+    element_at chain measured 3× SLOWER still — the ~300-node generated
+    method blows the JVM's 8 KB JIT threshold and runs interpreted, see
+    BENCH_NOTES).
+
+    Bit-parity with :func:`functions.dot_product` (so with the DuckDB
+    oracle): float32→float64 promotion is exact, and the accumulation
+    loops over DIMENSIONS sequentially — ``acc = acc + A[:,i]·B[:,i]`` is
+    the same left-to-right chain of IEEE-double adds as the fold, merely
+    vectorized ACROSS rows. numpy elementwise ops don't reassociate, so
+    every candidate's double (and the ≥ threshold decision) is identical
+    to the JVM fold's. Asserted by the oracle hash (exact set equality of
+    surviving pairs) at sf0.001/0.01/0.1 plus the randomized fixtures."""
+    import numpy as np
+    import pandas as pd
+
+    if len(ea) == 0:
+        return pd.Series([], dtype="float64")
+    if any(v is None for v in ea) or any(v is None for v in eb):
+        # null vectors: the JVM fold yields NULL cosine (filtered out);
+        # NaN fails the same >= filter
+        out = []
+        for x, y in zip(ea, eb):
+            if x is None or y is None:
+                out.append(float("nan"))
+            else:
+                acc = 0.0
+                for xi, yi in zip(
+                    np.asarray(x, dtype=np.float64),
+                    np.asarray(y, dtype=np.float64),
+                ):
+                    acc = acc + xi * yi
+                out.append(acc)
+        return pd.Series(out, dtype="float64")
+    A = np.stack(ea.values).astype(np.float64)
+    B = np.stack(eb.values).astype(np.float64)
+    acc = np.zeros(len(A), dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return pd.Series(acc)
 
 
 def hyperplane_sign_bit(embedding, bit: int):
@@ -262,10 +323,15 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
+    # ivf_assignments already computed each vector's norm for the cell
+    # ranking — carry it through the bucket join so final scoring pays one
+    # unrolled dot per (probe, neighbor) pair instead of three interpreted
+    # folds (same expression trees as cosine_similarity → bit-identical)
     lists = ivf_assignments(emb, centroids, 1).select(
         F.col("centroid_id").alias("cell"),
         F.col("vec_id").alias("neighbor_id"),
         "embedding",
+        F.col("vnorm").alias("nnorm"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -279,6 +345,7 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
+        F.col("vnorm").alias("qnorm"),
         F.col("centroid_id").alias("cell"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -287,7 +354,14 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probes.join(lists, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_similarity(F.col("qvec"), F.col("embedding")))
+        .withColumn(
+            "cos",
+            safe_cosine(
+                dot_product(F.col("qvec"), F.col("embedding")),
+                F.col("qnorm"),
+                F.col("nnorm"),
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select(
@@ -450,10 +524,15 @@ _BUCKET_SQL = " || ".join(_hp_sign_sql(j) for j in range(LSH_BITS))
 # Zero-norm guard on BOTH engines: DuckDB's list_cosine_similarity
 # returns -1.0 for a zero vector (Spark's ANSI division would raise), so
 # the oracle spells the same "degenerate vectors score 0" definition as
-# functions.safe_cosine.
+# functions.safe_cosine — STRUCTURALLY identical: the guard tests
+# sqrt(Σa²)·sqrt(Σb²) = 0, the exact denominator safe_cosine divides by.
+# Guarding on the product of SQUARED norms instead (the pre-round-5 form)
+# underflows to 0.0 for subnormal-scale vectors (Σa² ≈ 1e-200) where the
+# sqrt product does not — a parity divergence on extreme magnitudes
+# (ADVICE r4).
 _COS_SQL = (
-    "(CASE WHEN list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))"
-    " * list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])) = 0"
+    "(CASE WHEN sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))) = 0"
     " THEN 0.0"
     " ELSE list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     " END)"

@@ -82,3 +82,4 @@ def test_embed_neardup_plan_has_no_full_crossjoin(spark, sf_smoke):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
