@@ -51,7 +51,26 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
     in-band — pick a sentinel outside the data alphabet), and embedded
     newlines would need ``multiLine=true``, which makes files
     unsplittable — at 100 TB, data with newlines belongs in JSON/parquet
-    (both round-trip it losslessly here)."""
+    (both round-trip it losslessly here).
+
+    The sentinel precondition is ENFORCED, not just documented (ADVICE
+    r4): any string value literally equal to the sentinel raises before
+    the write instead of silently reading back as NULL. The check is an
+    early-exit ``LIMIT 1`` scan over the string columns — at 100 TB it
+    rides the same pass that would write anyway and stops at the first
+    offender."""
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    if str_cols:
+        clash = None
+        for c in str_cols:
+            cond = F.col(c) == _CSV_NULL
+            clash = cond if clash is None else (clash | cond)
+        if not df.filter(clash).isEmpty():
+            raise ValueError(
+                f"CSV round-trip is lossy: a value equals the in-band null "
+                f"sentinel {_CSV_NULL!r}; write this data as JSON/parquet "
+                f"or pick a sentinel outside the data alphabet"
+            )
     (
         df.write.mode("overwrite")
         .option("header", "true")

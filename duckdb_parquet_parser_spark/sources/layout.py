@@ -85,15 +85,23 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 def _fs_read_text(spark: SparkSession, path: str) -> str | None:
     """Read a small text file through the Hadoop FS API (None if absent).
-    Sized for metadata sidecars — the whole file is materialized."""
+    Sized for metadata sidecars — the whole file is materialized.
+
+    Decoding stays on guaranteed-public surfaces only: the Hadoop
+    ``FSDataInputStream`` is drained through ``java.util.Scanner`` with
+    the ``\\A`` whole-input delimiter — plain JDK, one py4j round trip.
+    (Previously ``org.apache.commons.io.IOUtils``, a transitive Hadoop
+    dependency that classpath shading or a Hadoop upgrade could remove —
+    ADVICE r4.)"""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         return None
     stream = fs.open(p)
     try:
-        return spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
+        scanner = spark._jvm.java.util.Scanner(stream, "UTF-8").useDelimiter(
+            "\\A"
         )
+        return scanner.next() if scanner.hasNext() else ""
     finally:
         stream.close()
 

@@ -83,3 +83,24 @@ def test_json_roundtrip_lossless(spark, tmp_path_factory, rows):
     assert canonical_hash(json_roundtrip(df, path).toPandas()) == canonical_hash(
         df.toPandas()
     )
+
+
+def test_csv_roundtrip_rejects_in_band_sentinel(spark, tmp_path_factory):
+    """A value literally equal to the null sentinel cannot survive a CSV
+    round trip (CSV nulls are in-band); the writer must refuse loudly
+    instead of silently corrupting it into NULL on read (ADVICE r4)."""
+    from duckdb_parquet_parser_spark.sources.formats import _CSV_NULL
+
+    path = str(tmp_path_factory.mktemp("csv_sentinel") / "out")
+    df = spark.createDataFrame(
+        [(1, "ok"), (2, _CSV_NULL)], ["id", "text"]
+    )
+    with pytest.raises(ValueError, match="sentinel"):
+        csv_roundtrip(df, path)
+    # sentinel-free data with NULLs and empties still round-trips
+    clean = spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, "")], ["id", "text"]
+    )
+    assert canonical_hash(csv_roundtrip(clean, path).toPandas()) == canonical_hash(
+        clean.toPandas()
+    )
