@@ -73,21 +73,68 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-4 rotation (VERDICT r3 "Next round" #2): the 46 round-2-certified
-# tail queries move back to the HEAD this round so no certification ages
-# past two rounds; every query edited in round 4 (streaming_enrich,
-# ns_dedup_components, ns_contamination — all were already in the r2 tail
-# — plus ns_kmeans_embed, f1_clustered_prune, w_zorder_prune from the r3
-# set, and the new f1_regex_manifest) is in the head too. Parked here
-# instead: the 47 round-3-certified queries whose code and oracle are
-# untouched this round. Head = 96 + 1 new − 47 = exactly 50.
+# Round-5 rotation (VERDICT r4 #1). The head this round, in priority
+# order: (1) the five r2-certified queries whose certifications aged to
+# three rounds (rel_window_lag, rel_subquery, rel_percentiles,
+# rel_date_string_funcs, rel_json_map_funcs); (2) the eight round-4
+# additions that have never seen a driver window (rel_exists_q4,
+# rel_corr_scalar_q17, rel_group_in_q18, rel_window_range_time,
+# ns_dupgram_profile, ns_shared_ngrams, ns_common_token_ratio,
+# ns_quality_logit); (3) the fourteen queries whose plan or oracle
+# changed in round 5 — streaming_join (trigger/state sizing), the six
+# positional/prefix-sum queries + ns_seq_pack + r4_rowgroup_scan
+# (checkpoint_df + pre-checkpoint projection), ns_dedup_components
+# (checkpoint_df in connected_components), the four cosine-family
+# queries (sqrt-guard oracle change; ns_embed_neardup also got the
+# verify-once plan), and src_csv_roundtrip (sentinel guard) +
+# f1_regex_manifest (Scanner-based sidecar read); (4) twenty-three
+# r3-certified queries rotating back in. That fills all 50 slots.
+#
+# Parked below: everything r4-certified and untouched this round, plus
+# the EIGHTEEN remaining r3-certified queries (simple scan/filter/
+# set-op/grouping queries, code+oracle unchanged since round 3 —
+# r2_schema..rel_case_expr at the end of this list). Those 18 lead the
+# round-6 window before their certifications age past two rounds.
 ROTATION_TAIL = [
-    "udf_table_function",
-    "src_bucketed_join",
-    "streaming_join",
-    "ns_text_tokens",
-    "ns_text_quality",
-    "ns_text_langid",
+    # r4-certified, untouched in round 5
+    "ns_mm_meta",
+    "ns_mm_features",
+    "ns_mm_framesample",
+    "udf_scalar_pandas",
+    "udf_grouped_agg",
+    "w1_roundtrip",
+    "w1_roundtrip_zstd",
+    "w2_dict_decision",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_read",
+    "f1_clustered_prune",
+    "w_zorder_prune",
+    "r1_rowgroup_meta",
+    "r6_chunk_values",
+    "streaming_tumbling_rt",
+    "streaming_dedup",
+    "streaming_enrich",
+    "streaming_session_stateful",
+    "ns_pipeline_curate",
+    "ns_contamination",
+    "ns_sample_stratified",
+    "ns_text_fingerprint",
+    "ns_text_rollhash",
+    "ns_text_redact",
+    "ns_text_repetition",
+    "ns_vocab_topk",
+    "ns_mixture_weights",
+    "ns_doclen_histogram",
+    "ns_approx_distinct_hll",
+    "x1_chunk_greedy",
+    "f1_page_report",
+    "ns_dedup_exact",
+    "ns_ann_lsh_buckets",
+    "rel_outer_join",
+    "rel_pivot",
+    "stream_session",
+    # r3-certified, deferred to the round-6 window (18)
     "r2_schema",
     "r2_counts",
     "r3_full_column_scan",
@@ -97,24 +144,6 @@ ROTATION_TAIL = [
     "f1_regex_filter",
     "f1_regex_docs",
     "f1_neg_regex",
-    "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
-    "ns_dedup_simhash",
-    "ns_dedup_simhash_pairs",
-    "ns_ngram_jaccard",
-    # (ns_knn_bruteforce / ns_embed_neardup / ns_ann_lsh_buckets /
-    # ns_ann_ivf_topk moved BACK to the head late in round 4: the
-    # zero-norm cosine guard changed their plans, so their r3
-    # certifications no longer cover the shipped code.)
-    "rel_agg_q1",
-    "rel_join_q3",
-    "rel_merge_upsert",
-    "rel_join_q5",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_window_rank",
-    "rel_window_running",
-    "rel_sort_topk",
     "rel_union",
     "rel_intersect",
     "rel_except",
@@ -124,35 +153,4 @@ ROTATION_TAIL = [
     "rel_distinct",
     "rel_scalar_funcs",
     "rel_case_expr",
-    "rel_asof_join",
-    "rel_range_join",
-    "stream_tumbling",
-    "stream_sliding",
-    # (stream_session moved back to the head: its oracle's session-break
-    # rule changed to inclusive-at-gap in round 4.)
-    # Swapped INTO the tail to make room for the five round-4-changed
-    # queries above: five r2-certified queries whose code and oracle are
-    # verifiably untouched since round 2 (relational.py/scalars.py
-    # additions never modified these functions). Their certifications age
-    # to three rounds — the documented cost of recertifying CHANGED code
-    # first — and they are first in line for the round-5 window together
-    # with the six new queries below.
-    "rel_window_lag",
-    "rel_subquery",
-    "rel_percentiles",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    # NEW in round 4 (not yet driver-certified): the 50-slot window is
-    # fully spent on the round-2 re-certification rotation, so these six
-    # park here, carry local sf0.001/sf0.01 differential coverage
-    # (tests/test_oracle_parity.py) now, and enter the driver window in
-    # round 5.
-    "rel_exists_q4",
-    "rel_corr_scalar_q17",
-    "rel_group_in_q18",
-    "rel_window_range_time",
-    "ns_dupgram_profile",
-    "ns_shared_ngrams",
-    "ns_common_token_ratio",
-    "ns_quality_logit",
 ]

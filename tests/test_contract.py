@@ -54,3 +54,44 @@ def test_bench_headline_is_declared():
     assert bench.ORACLE_SKIP_AT_BENCH_SF <= set(bench.HEADLINE)
     # skipped-at-bench oracles still exist for the sf0.01 correctness gate
     assert all(n in oracles for n in bench.ORACLE_SKIP_AT_BENCH_SF)
+
+
+def test_cert_ledger_in_coverage_is_current():
+    """COVERAGE.md's certification-ledger table is GENERATED
+    (scripts/cert_ledger.py --write); a rotation or query edit that
+    forgets to refresh it would silently mislead the staleness audit
+    (VERDICT r4 #8)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import cert_ledger
+
+    expected = cert_ledger.build_table()
+    actual = open(os.path.join(repo, "COVERAGE.md")).read()
+    assert cert_ledger.BEGIN in actual, "ledger section missing"
+    got = actual[
+        actual.index(cert_ledger.BEGIN) : actual.index(cert_ledger.END)
+        + len(cert_ledger.END)
+    ]
+    assert got == expected, (
+        "COVERAGE.md ledger is stale — run scripts/cert_ledger.py --write"
+    )
+
+
+def test_never_certified_queries_sit_in_the_head():
+    """A query with no driver certification on record must be inside the
+    50-slot window so the next round certifies it."""
+    import sys, os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import cert_ledger
+
+    queries, _ = collect_queries()
+    names = list(queries)
+    head = set(names[:50])
+    certs = cert_ledger.latest_certs()
+    uncertified_parked = [n for n in names if n not in certs and n not in head]
+    assert uncertified_parked == []
