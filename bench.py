@@ -50,6 +50,16 @@ HEADLINE = [
     "ns_vocab_topk",
     "ns_seq_pack",
     "ns_kmeans_embed",
+    # round-4 families, benched from round 5 on (VERDICT r4 #5): TPC-H
+    # subquery shapes and the n-gram/quality text-statistics group
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_window_range_time",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
 ]
 
 
