@@ -38,15 +38,22 @@ SHARED_TOP_K = 20
 def _all_word_ngrams(ws, n: int):
     """ALL word n-grams of a split-text array (duplicates preserved — the
     duplication signal IS the duplicates; `text._word_ngrams` is the
-    distinct variant)."""
+    distinct variant).
+
+    Built as ``array_join(slice(ws, i+1, n), ' ')`` per position rather
+    than chaining n−1 ``element_at`` lookups into ``concat_ws``: one
+    slice + one join is a single pass over the window, while the chain
+    costs n−1 interpreted array probes PER POSITION — measured 4.3×
+    slower at n=12 (10.8 s vs 2.5 s map-side over sf0.1; BENCH_NOTES r5).
+    Identical output: ``split`` arrays contain no nulls, so concat_ws's
+    null-skip never fired and both spellings emit the same space-joined
+    window; the trailing ``when`` guard keeps only full windows."""
     return F.filter(
         F.transform(
             ws,
             lambda w, i: F.when(
                 i + n - 1 < F.size(ws),
-                F.concat_ws(
-                    " ", w, *[F.element_at(ws, i + k + 1) for k in range(1, n)]
-                ),
+                F.array_join(F.slice(ws, i + 1, n), " "),
             ),
         ),
         lambda x: x.isNotNull(),
