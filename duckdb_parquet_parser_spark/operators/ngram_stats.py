@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, scale_out
 
 DUP_N = 3  # intra-doc duplication gram size (Gopher uses 2-4)
 SHARED_N = 12  # cross-doc shared-run gram size (near-dup evidence)
@@ -64,8 +64,15 @@ def q_ns_dupgram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicate-n-gram fraction: 1 − distinct/total over the
     doc's word 3-grams — the quality signal repetition filters threshold
     on. The fraction is a ratio of two exact integers, so the double
-    division is bit-identical in both engines; no rounding needed."""
-    df = load_table(spark, sf_dir, "documents")
+    division is bit-identical in both engines; no rounding needed.
+
+    ``scale_out`` spreads the single-split fixture scan before the
+    per-row n-gram expressions — without it the whole HOF stage
+    serializes on one core (flat 3.2 s from 4→32 cores in the round-5
+    strong-scaling sweep, the same finding as ns_contamination in round
+    4); a real corpus scan already arrives in thousands of splits, where
+    the spread is a deliberate no-op."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     grams = _all_word_ngrams(ws, DUP_N)
     n_grams = F.size(grams)
@@ -84,8 +91,10 @@ def q_ns_shared_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document shared n-gram audit: the 12-grams appearing in ≥ 2
     distinct documents, top-20 by document count — the direct evidence a
     near-dup/boilerplate hunt starts from (a 12-word verbatim overlap is
-    never chance at real vocabulary sizes)."""
-    df = load_table(spark, sf_dir, "documents")
+    never chance at real vocabulary sizes). ``scale_out`` spreads the
+    single-split fixture scan below the gram generation (see
+    q_ns_dupgram_profile — flat 5.5 s across core counts without it)."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
     ws = F.split("text", " ")
     grams = df.select(
         "doc_id",

@@ -33,6 +33,9 @@ QUERIES = [
     "ns_text_tokens",
     "x1_chunk_index",
     "rel_join_q5",
+    # round-5 additions: the two data-bound n-gram statistics rows
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
 ]
 
 _CHILD = r"""
