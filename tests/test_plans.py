@@ -242,10 +242,17 @@ def test_range_window_stays_jvm_side(plans):
 
 
 def test_dupgram_profile_zero_shuffle(plans):
-    """The duplication profile is a pure per-row projection: no Exchange
-    anywhere — the embarrassingly-parallel shape it must keep at 100 TB."""
+    """The duplication profile is a pure per-row projection: the ONLY
+    permitted Exchange is scale_out's round-robin spread of the
+    single-split fixture scan (a no-op on real multi-split corpora —
+    round 5; without it the per-row n-gram stage serialized on one core).
+    No key-based shuffle anywhere — the embarrassingly-parallel shape it
+    must keep at 100 TB."""
     plan = plans("ns_dupgram_profile")
-    assert "Exchange" not in plan
+    tree = plan.split("\n\n")[0]  # node tree; details repeat node names
+    assert tree.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan
     assert "Python" not in plan
 
 
@@ -255,3 +262,34 @@ def test_shared_ngrams_single_gram_shuffle_topk(plans):
     plan = plans("ns_shared_ngrams")
     assert "TakeOrderedAndProject" in plan
     assert "partial" in plan.lower()
+
+
+def test_embed_neardup_verifies_once_no_post_verify_shuffle(plans):
+    """Round-5 shape: the exact-cosine verify is an Arrow-vectorized
+    pandas UDF over uniquified candidates (smallest-shared-cell rule), so
+    the plan has NO distinct/aggregate above the pair join — the old
+    verify-then-distinct shape paid an extra exchange on the survivors —
+    and no row-at-a-time Python anywhere."""
+    plan = plans("ns_embed_neardup")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # the pair join is the LAST exchange-consumer: no HashAggregate above
+    # it (the old distinct); the smallest-shared-cell filter dedupes
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1
+    assert "array_intersect" in plan
+    assert "HashAggregate" not in plan[:join_pos], (
+        "aggregate above the candidate join — the distinct came back"
+    )
+
+
+@pytest.mark.parametrize("name", ["ns_dupgram_profile", "ns_shared_ngrams"])
+def test_ngram_stats_spread_before_gram_generation(plans, name):
+    """The per-row n-gram stage must not serialize on a single input
+    split: scale_out plants a round-robin repartition below the gram
+    expressions on small fixtures (flat 4→32-core line without it,
+    round-5 scaling sweep). slice+array_join is the gram spelling — the
+    element_at probe chain was 4× slower."""
+    plan = plans(name)
+    assert "RoundRobinPartitioning" in plan
+    assert "slice(" in plan and "array_join" in plan
