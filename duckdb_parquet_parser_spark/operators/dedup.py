@@ -492,12 +492,16 @@ def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic baseline that MinHash approximates)."""
     df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     ws = F.split("text", " ")
+    # slice+array_join per position, not chained element_at probes — the
+    # spelling the round-5 n-gram profiling showed is the fast one
+    # (ngram_stats._all_word_ngrams); identical output on null-free
+    # split arrays
     tri = F.filter(
         F.transform(
             ws,
             lambda w, i: F.when(
                 i + 2 < F.size(ws),
-                F.concat_ws(" ", w, F.element_at(ws, i + 2), F.element_at(ws, i + 3)),
+                F.array_join(F.slice(ws, i + 1, 3), " "),
             ),
         ),
         lambda x: x.isNotNull(),
