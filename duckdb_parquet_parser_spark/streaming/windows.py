@@ -213,6 +213,39 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(nodata, old_nodata)
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Bounded-state streaming dedup — the 100 TB-safe variant of
+    ``q_streaming_dedup`` (library surface; SURVEY §2.5 streaming dedup).
+
+    ``dropDuplicates`` keeps ALL keys in state forever: correct, but on
+    an unbounded key space (event ids, request ids) state grows without
+    bound. ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes its event time + ``delay``: duplicates arriving
+    within the horizon are dropped, the state entry is then evicted, and
+    a recurrence AFTER the horizon is treated as a new event — exactly
+    the guarantee an at-least-once ingest pipeline needs (duplicates
+    cluster near the original; state is O(keys per horizon), not O(all
+    keys ever)). One asymmetry worth knowing: dropping within the
+    horizon is GUARANTEED, re-emission after it is best-effort — state
+    eviction runs at the END of a batch, so a recurrence arriving in the
+    same batch whose watermark first passed the key's expiry is still
+    suppressed; one batch later it is re-emitted. Both sides pinned in
+    tests/test_streaming.py::test_dedup_within_watermark_bounds_state.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: ``dropDuplicates`` over the event
     stream keeps the FIRST arrival of each (user_id, event_type) across

@@ -104,3 +104,71 @@ def test_watermark_sessionize_emits_without_flush(spark, sf_smoke):
         | (F.abs(F.col("e.session_value") - F.col("b.session_value")) > 1e-9)
     )
     assert bad.count() == 0
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    """Pin dropDuplicatesWithinWatermark semantics for the bounded-state
+    dedup library surface (streaming/windows.dedup_within_watermark):
+    a duplicate arriving within the watermark horizon of the first event
+    is dropped; once the watermark passes (event_time + delay) the state
+    entry is evicted and a later recurrence of the SAME key is emitted as
+    a new event — unlike dropDuplicates, whose state (and suppression)
+    is forever."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_spark.streaming.windows import (
+        dedup_within_watermark,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def write(name, rows, mtime):
+        table = pa.table(
+            {
+                "key": pa.array([r[0] for r in rows]),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        p = str(tmp_path / name)
+        pq.write_table(table, p)
+        os.utime(p, (mtime, mtime))
+        return p
+
+    base = 1_700_000_000
+    # batch 1: A first + A dup 10 min later (inside the 1 h horizon) + B
+    write("f1.parquet", [("A", t0), ("A", t0 + dt.timedelta(minutes=10)), ("B", t0)], base)
+    # batch 2: C far in the future — the NEXT batch's watermark jumps to
+    # (10 h − 1 h) = 9 h, far past A's (event_time + delay) expiry
+    write("f2.parquet", [("C", t0 + dt.timedelta(hours=10))], base + 1)
+    # batch 3: runs with watermark 9 h → A and B are evicted at the END
+    # of this batch (state eviction lags one batch behind the watermark
+    # jump: a recurrence in THIS batch would still be suppressed — the
+    # "may also drop events beyond the horizon" side of the contract)
+    write("f3.parquet", [("D", t0 + dt.timedelta(hours=10, minutes=30))], base + 2)
+    # batch 4: A recurs after the horizon, state entry gone → re-emitted
+    write("f4.parquet", [("A", t0 + dt.timedelta(hours=12))], base + 3)
+
+    schema = spark.read.parquet(str(tmp_path)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path))
+    )
+    out = run_to_memory(
+        dedup_within_watermark(stream, ["key"], "ts", "1 hour"), "append"
+    )
+    got = sorted((r["key"], r["ts"]) for r in out.collect())
+    assert got == sorted(
+        [
+            ("A", t0),
+            ("B", t0),
+            ("C", t0 + dt.timedelta(hours=10)),
+            ("D", t0 + dt.timedelta(hours=10, minutes=30)),
+            ("A", t0 + dt.timedelta(hours=12)),  # re-emitted post-horizon
+        ]
+    ), got
