@@ -153,9 +153,8 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cell") == F.array_min(F.array_intersect("ca", "cb")))
     )
     pair_dot = F.pandas_udf(_pair_dot_impl, T.DoubleType())
-    denom = F.col("na") * F.col("nb")
-    cos = F.when(denom == 0, F.lit(0.0)).otherwise(
-        pair_dot(F.col("ea"), F.col("eb")) / denom
+    cos = safe_cosine(
+        pair_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
     )
     return cand.filter(cos >= NEARDUP_COS).select("vec_a", "vec_b")
 
@@ -183,12 +182,14 @@ def _pair_dot_impl(ea, eb):
     if len(ea) == 0:
         return pd.Series([], dtype="float64")
     if any(v is None for v in ea) or any(v is None for v in eb):
-        # null vectors: the JVM fold yields NULL cosine (filtered out);
-        # NaN fails the same >= filter
+        # null vectors: the JVM fold yields a NULL dot (→ NULL cosine,
+        # filtered out). Return None — NOT NaN: Spark orders NaN ABOVE
+        # every numeric, so a NaN cosine would PASS the >= threshold and
+        # emit the pair (code-review r5 finding)
         out = []
         for x, y in zip(ea, eb):
             if x is None or y is None:
-                out.append(float("nan"))
+                out.append(None)
             else:
                 acc = 0.0
                 for xi, yi in zip(
@@ -197,7 +198,9 @@ def _pair_dot_impl(ea, eb):
                 ):
                     acc = acc + xi * yi
                 out.append(acc)
-        return pd.Series(out, dtype="float64")
+        # object dtype: a float64 Series would coerce None back to NaN;
+        # Arrow turns object-dtype None into a true SQL NULL
+        return pd.Series(out, dtype=object)
     A = np.stack(ea.values).astype(np.float64)
     B = np.stack(eb.values).astype(np.float64)
     acc = np.zeros(len(A), dtype=np.float64)

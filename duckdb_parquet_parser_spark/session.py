@@ -41,6 +41,13 @@ def checkpoint_df(df, eager: bool = True):
     Every lineage-cutting plan in the engine (connected-components round
     labels, the positional prefix-sum base) funnels through here, so a
     single conf flips the whole engine to cluster-safe materialization.
+
+    Cleanup: reliable checkpoint directories are deleted when their RDD
+    is garbage-collected IF ``spark.cleaner.referenceTracking
+    .cleanCheckpoints`` was set at context start (``get_spark`` sets it;
+    a foreign session that didn't should expect rdd-* directories to
+    accumulate under the checkpoint dir and reap them out-of-band —
+    GC-driven cleanup is best-effort either way).
     """
     spark = df.sparkSession
     ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
@@ -81,6 +88,11 @@ def get_spark(
         # like every other Python boundary in the engine (plan-asserted:
         # no BatchEvalPython anywhere, tests/test_plans.py).
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+        # reliable checkpoints (checkpoint_df with spark.graft.checkpointDir
+        # set) would otherwise accumulate rdd-* directories in the durable
+        # store forever; this cleans each one up when its RDD is GC'd.
+        # Context-level conf, so it must be set here, not at checkpoint time.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Nanosecond-free timestamps keep parity with DuckDB TIMESTAMP (us).

@@ -55,10 +55,13 @@ def csv_roundtrip(df: DataFrame, path: str) -> DataFrame:
 
     The sentinel precondition is ENFORCED, not just documented (ADVICE
     r4): any string value literally equal to the sentinel raises before
-    the write instead of silently reading back as NULL. The check is an
-    early-exit ``LIMIT 1`` scan over the string columns — at 100 TB it
-    rides the same pass that would write anyway and stops at the first
-    offender."""
+    the write instead of silently reading back as NULL. The check is a
+    SEPARATE early-exit ``LIMIT 1`` scan over the string columns — on
+    clean data that is one extra read of the input before the write's
+    own. At 100 TB, either accept the 2× read for the guarantee, fold
+    the validation into a pass the pipeline already makes (the check is
+    one boolean expression), or persist the frame across check+write —
+    this function keeps the simple honest form."""
     str_cols = [c for c, t in df.dtypes if t == "string"]
     if str_cols:
         clash = None

@@ -101,7 +101,14 @@ def _fs_read_text(spark: SparkSession, path: str) -> str | None:
         scanner = spark._jvm.java.util.Scanner(stream, "UTF-8").useDelimiter(
             "\\A"
         )
-        return scanner.next() if scanner.hasNext() else ""
+        text = scanner.next() if scanner.hasNext() else ""
+        # Scanner swallows read errors (hasNext() just returns false /
+        # next() stops early) — surface them instead of silently treating
+        # a truncated sidecar as its content (code-review r5)
+        err = scanner.ioException()
+        if err is not None:
+            raise IOError(f"reading {path}: {err}")
+        return text
     finally:
         stream.close()
 

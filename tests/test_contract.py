@@ -95,3 +95,35 @@ def test_never_certified_queries_sit_in_the_head():
     certs = cert_ledger.latest_certs()
     uncertified_parked = [n for n in names if n not in certs and n not in head]
     assert uncertified_parked == []
+
+
+def test_cert_ledger_round_parsing_is_numeric():
+    """Round extraction must compare numerically and newest-wins — glob
+    sort order would put r010/r10 before r02 and let an older round
+    clobber the newest certification (code-review r5)."""
+    import sys, os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import re
+    import cert_ledger
+
+    for fname, want in [
+        ("CORRECTNESS_r04.json", 4),
+        ("CORRECTNESS_r010.json", 10),
+        ("CORRECTNESS_r10.json", 10),
+        ("CORRECTNESS_r112.json", 112),
+    ]:
+        m = re.search(r"CORRECTNESS_r0*(\d+)\.json$", fname)
+        assert m and int(m.group(1)) == want, fname
+    # newest-wins on the real records: every cert round must be the MAX
+    # green round for that query across all files, not the last in glob order
+    import glob as g
+    import json
+
+    certs = cert_ledger.latest_certs()
+    for path in g.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r0*(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                assert certs[name][0] >= rnd, (name, certs[name], rnd)

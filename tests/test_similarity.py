@@ -83,3 +83,32 @@ def test_embed_neardup_plan_has_no_full_crossjoin(spark, sf_smoke):
     )
     assert "CartesianProduct" not in plan
 
+
+
+def test_pair_dot_null_vector_yields_null_not_nan(spark):
+    """A NULL embedding must produce a NULL dot (→ NULL cosine, filtered
+    by any threshold), NOT NaN — Spark orders NaN ABOVE every numeric, so
+    a NaN cosine would PASS a >= threshold and emit the pair
+    (code-review r5)."""
+    from pyspark.sql import types as T
+
+    from duckdb_parquet_parser_spark.operators.similarity import (
+        _pair_dot_impl,
+    )
+
+    pair_dot = F.pandas_udf(_pair_dot_impl, T.DoubleType())
+    schema = T.StructType(
+        [
+            T.StructField("a", T.ArrayType(T.FloatType()), True),
+            T.StructField("b", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0]), (None, [3.0, 4.0]), ([1.0, 2.0], None)],
+        schema,
+    ).select(pair_dot("a", "b").alias("d"))
+    rows = df.collect()
+    assert rows[0]["d"] == 11.0
+    assert rows[1]["d"] is None and rows[2]["d"] is None
+    # and a NULL never survives a >= filter (the near-dup emission path)
+    assert df.filter(F.col("d") >= -1e9).count() == 1
