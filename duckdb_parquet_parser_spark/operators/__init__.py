@@ -87,8 +87,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (checkpoint_df in connected_components), the four cosine-family
 # queries (sqrt-guard oracle change; ns_embed_neardup also got the
 # verify-once plan), and src_csv_roundtrip (sentinel guard) +
-# f1_regex_manifest (Scanner-based sidecar read); (4) twenty-three
-# r3-certified queries rotating back in. That fills all 50 slots.
+# f1_regex_manifest (Scanner-based sidecar read); (4) twenty-two
+# r3-certified queries rotating back in (stream_sliding was displaced
+# late in the round by the ns_ann_lsh_buckets integer-quantization fix —
+# the seed sweep found its DECIMAL sign bits engine-dependent on
+# subnormal vectors). That fills all 50 slots.
 #
 # Parked below: everything r4-certified and untouched this round, plus
 # the EIGHTEEN remaining r3-certified queries (simple scan/filter/
@@ -130,11 +133,13 @@ ROTATION_TAIL = [
     "x1_chunk_greedy",
     "f1_page_report",
     "ns_dedup_exact",
-    "ns_ann_lsh_buckets",
     "rel_outer_join",
     "rel_pivot",
     "stream_session",
-    # r3-certified, deferred to the round-6 window (18)
+    # r3-certified, deferred to the round-6 window (19 — stream_sliding
+    # displaced late in round 5 when the seed sweep's LSH quantization fix
+    # forced ns_ann_lsh_buckets back into the head)
+    "stream_sliding",
     "r2_schema",
     "r2_counts",
     "r3_full_column_scan",

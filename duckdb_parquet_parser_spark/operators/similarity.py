@@ -64,8 +64,17 @@ def q_ns_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Rank on the 6-decimal-quantized cosine (the same grid the output
+    # column reports): the RAW doubles differ between engines in the last
+    # ulp — Spark computes dot/(sqrt(na2)*sqrt(nb2)), DuckDB's
+    # list_cosine_similarity dot/sqrt(na2*nb2) — and the randomized
+    # fixtures' planted duplicate vectors produce cosine near-ties where
+    # that ulp flips the order (found by the round-5 seed sweep, seed
+    # 932). Quantized scores tie exactly on both engines and break by
+    # neighbor_id deterministically; a 1e-6 quantum is far below any ANN
+    # semantic difference.
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+        F.round("cos", 6).desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -209,10 +218,28 @@ def _pair_dot_impl(ea, eb):
     return pd.Series(acc)
 
 
+LSH_QUANTUM = 1e9  # sign bits defined on 1e-9-quantized micro-units
+
+
 def hyperplane_sign_bit(embedding, bit: int):
     """Sign bit of <embedding, h_bit> where h_bit[i] = ±1 from the high bit
-    of hex digit (i mod 32) of md5('hp:bit:i'). Accumulates in DECIMAL so
-    the sign is order-independent (see module docstring)."""
+    of hex digit (i mod 32) of md5('hp:bit:i').
+
+    The dot accumulates as INTEGER micro-units — each component quantized
+    to ``round(x · 1e9)`` BEFORE summing — so the sign is exact,
+    order-independent, and cross-engine deterministic. The previous
+    DECIMAL(28,10) accumulation was order-independent but not
+    engine-independent: the double→decimal cast rounds differently in the
+    two engines' last retained digit, and the round-5 seed sweep (seed
+    965) found subnormal-scale vectors (|x| ~ 1e-7, 64 cancelling terms)
+    whose sign flipped between them. IEEE multiplication by the exactly-
+    representable 1e9 and round-half-away-from-zero (both engines'
+    ``round``) give bit-identical integers, and integer sums cannot
+    diverge. Resolution 1e-9 per term is the bucket DEFINITION, not an
+    approximation — values below it (and the zero vector) quantize to 0
+    identically on both engines. Headroom: |x| ≤ ~1e5 per component
+    keeps the 64-term bigint sum far from overflow; scale the quantum
+    down for wider-range embeddings."""
     # Hyperplane components are constants — fold them driver-side.
     import hashlib
 
@@ -224,12 +251,13 @@ def hyperplane_sign_bit(embedding, bit: int):
         F.zip_with(
             embedding,
             F.array(*[F.lit(s) for s in signs]),
-            lambda x, s: (x.cast("double") * s).cast("decimal(28,10)"),
+            lambda x, s: F.round(x.cast("double") * F.lit(LSH_QUANTUM)).cast(
+                "long"
+            )
+            * s,
         ),
-        F.lit(0).cast("decimal(38,10)"),
-        # keep the accumulator type closed under addition (Spark widens
-        # decimal sums to (38,9) otherwise, breaking the fold signature)
-        lambda acc, x: (acc + x).cast("decimal(38,10)"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
     return (dot >= 0).cast("int")
 
@@ -293,8 +321,9 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, rank_limit: int) -> Da
     """
     e = emb.withColumn("vnorm", l2_norm(F.col("embedding")))
     c = centroids.withColumn("_cnorm", l2_norm(F.col("cvec")))
+    # quantized ranking — see q_ns_knn_bruteforce (cross-engine ulp ties)
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("cell_cos").desc(), F.col("centroid_id")
+        F.round("cell_cos", 6).desc(), F.col("centroid_id")
     )
     return (
         e.crossJoin(F.broadcast(c))
@@ -351,8 +380,9 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vnorm").alias("qnorm"),
         F.col("centroid_id").alias("cell"),
     )
+    # quantized ranking — see q_ns_knn_bruteforce (cross-engine ulp ties)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+        F.round("cos", 6).desc(), F.col("neighbor_id")
     )
     return (
         probes.join(lists, "cell")
@@ -401,7 +431,14 @@ def _assign_clusters(
         else emb.withColumn("_vn", l2_norm(F.col("embedding")))
     )
     c = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
-    fields = [F.col("cos"), (-F.col("cluster")).alias("_nc"), F.col("cluster")]
+    # argmax on the 6-decimal-quantized cosine — raw doubles differ from
+    # the oracle engine's in the last ulp and flip near-ties (see
+    # q_ns_knn_bruteforce); the reported score is the same quantized value
+    fields = [
+        F.round(F.col("cos"), 6).alias("cos"),
+        (-F.col("cluster")).alias("_nc"),
+        F.col("cluster"),
+    ]
     if carry_embedding:
         fields.append(F.col("embedding"))
     best = F.max(F.struct(*fields)).alias("m")
@@ -507,7 +544,10 @@ QUERIES = {
 
 
 def _hp_sign_sql(bit: int) -> str:
-    """DuckDB expression for the same deterministic hyperplane sign bit."""
+    """DuckDB expression for the same deterministic hyperplane sign bit:
+    identical 1e-9 integer quantization (see hyperplane_sign_bit — both
+    engines' ``round`` is half-away-from-zero on bit-identical IEEE
+    products, so the bigint terms, their exact sum, and the sign agree)."""
     import hashlib
 
     terms = []
@@ -515,7 +555,8 @@ def _hp_sign_sql(bit: int) -> str:
         h = hashlib.md5(f"hp:{bit}:{i}".encode()).hexdigest()
         sign = "+" if h[i % 32] >= "8" else "-"
         terms.append(
-            f"{sign} CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(28,10))"
+            f"{sign} CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * {LSH_QUANTUM:.1f}) AS BIGINT)"
         )
     return (
         "CASE WHEN (" + " ".join(terms) + ") >= 0 THEN '1' ELSE '0' END"
@@ -556,7 +597,7 @@ ORACLES = {
         ranked AS (
             SELECT query_id, neighbor_id,
                    CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                        ORDER BY round(cos, 6) DESC, neighbor_id) AS INT) AS rank,
                    round(cos, 6) AS cos
             FROM scored
         )
@@ -571,7 +612,7 @@ ORACLES = {
         assigned AS (
             SELECT e.vec_id, c.centroid_id AS cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                       ORDER BY round({_COS_SQL.format(a="e.embedding", b="c.cvec")}, 6)
                            DESC, c.centroid_id) AS cell_rank
             FROM embeddings e, centroids c
         ),
@@ -602,7 +643,7 @@ ORACLES = {
         assigned AS (
             SELECT e.vec_id, e.embedding, c.centroid_id,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                       ORDER BY round({_COS_SQL.format(a="e.embedding", b="c.cvec")}, 6)
                            DESC, c.centroid_id) AS cell_rank
             FROM embeddings e, centroids c
         ),
@@ -624,7 +665,7 @@ ORACLES = {
         ranked AS (
             SELECT query_id, neighbor_id,
                    CAST(row_number() OVER (PARTITION BY query_id
-                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                        ORDER BY round(cos, 6) DESC, neighbor_id) AS INT) AS rank,
                    round(cos, 6) AS cos
             FROM scored
         )
@@ -642,7 +683,7 @@ ORACLES = {
             SELECT vec_id, cluster FROM (
                 SELECT e.vec_id, c.cluster,
                        row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                           ORDER BY round({_COS_SQL.format(a="e.embedding", b="c.cvec")}, 6)
                                DESC, c.cluster) AS r
                 FROM embeddings e, init c
             ) WHERE r = 1
@@ -665,7 +706,7 @@ ORACLES = {
                 SELECT e.vec_id, c.cluster,
                        {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS cos,
                        row_number() OVER (PARTITION BY e.vec_id
-                           ORDER BY {_COS_SQL.format(a="e.embedding", b="c.cvec")}
+                           ORDER BY round({_COS_SQL.format(a="e.embedding", b="c.cvec")}, 6)
                                DESC, c.cluster) AS r
                 FROM embeddings e, cent2 c
             ) WHERE r = 1
