@@ -226,7 +226,12 @@ class _PageHeader:
 @dataclass
 class PageInfo:
     """One page of one column chunk (reference PageIndexEntry analog,
-    parquet_reader.hpp:12-24)."""
+    parquet_reader.hpp:12-24). ``offset`` is the page HEADER's byte
+    offset; the page data starts at ``offset + header_size`` and spans
+    ``compressed_size`` bytes — so ``header_size + compressed_size``
+    summed over a chunk's pages equals the footer's
+    ``total_compressed_size`` (both per the Parquet spec include
+    headers), the invariant ``r7_chunk_bytes`` certifies."""
 
     row_group: int
     column: int
@@ -236,6 +241,7 @@ class PageInfo:
     compressed_size: int
     uncompressed_size: int
     offset: int
+    header_size: int = 0
 
 
 _PAGE_TYPE_NAMES = {0: "DATA_PAGE", 1: "INDEX_PAGE", 2: "DICTIONARY_PAGE", 3: "DATA_PAGE_V2"}
@@ -273,6 +279,7 @@ def walk_pages(path: str) -> list[PageInfo]:
                         compressed_size=hdr.compressed_size,
                         uncompressed_size=hdr.uncompressed_size,
                         offset=offset,
+                        header_size=hdr.header_size,
                     )
                 )
                 if hdr.page_type in (_PAGE_TYPE_DATA, _PAGE_TYPE_DATA_V2):
@@ -319,6 +326,166 @@ def page_stats(path: str) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# Global data-page index + raw page access — R6 (bytes), R7, R8
+# ---------------------------------------------------------------------------
+#
+# The reference's raw-page layer (parquet_reader.cpp:182-278, build index
+# :559-605) assigns a GLOBAL id to every DATA page (dictionary pages are
+# walked but get no id), indexed by {data_offset, data_size, row_group,
+# column} where data_offset points PAST the page header and data_size is
+# the compressed page size. On top of that index it offers:
+#   - read_page_data(id)                     -> one page's raw bytes (R6)
+#   - read_pages_chunk(start, end, max_bytes)-> inclusive page range,
+#     concatenated, truncated MID-PAGE once max_bytes is reached (R7,
+#     parquet_reader.cpp:194-231)
+#   - PageIterator(start, end) half-open, has_next/next/reset, yielding
+#     RawPage{page_id, row_group, column, data} (R8, :242-278)
+#
+# These are physical single-file APIs with no distributed analog (Spark's
+# vectorized reader pipelines pages internally); we provide them as
+# driver-side utilities for parity, backed by the same Thrift header walk
+# the certified r6_chunk_values query exercises. Index construction reads
+# only headers (O(pages) seeks, no column data); page bytes are read
+# lazily per call, so even a huge file costs only what you iterate.
+
+
+@dataclass
+class PageIndexEntry:
+    """Reference PageIndexEntry (parquet_reader.hpp:12-24) + the header
+    metadata the byte-accounting oracle needs (header_size, num_values —
+    a documented superset; the reference keeps num_values only long
+    enough to terminate the chunk walk)."""
+
+    page_id: int
+    row_group: int
+    column: int
+    data_offset: int  # first byte PAST the page header
+    data_size: int  # compressed page bytes (header excluded)
+    header_size: int
+    num_values: int
+
+
+def build_page_index(path: str) -> list[PageIndexEntry]:
+    """Global DATA-page index (parquet_reader.cpp:559-605): data pages in
+    file-walk order get consecutive global ids; dictionary pages are
+    skipped without an id, exactly like the reference."""
+    entries: list[PageIndexEntry] = []
+    for p in walk_pages(path):
+        if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2"):
+            entries.append(
+                PageIndexEntry(
+                    page_id=len(entries),
+                    row_group=p.row_group,
+                    column=p.column,
+                    data_offset=p.offset + p.header_size,
+                    data_size=p.compressed_size,
+                    header_size=p.header_size,
+                    num_values=p.num_values,
+                )
+            )
+    return entries
+
+
+def read_page_data(
+    path: str, page_id: int, index: list[PageIndexEntry] | None = None
+) -> bytes:
+    """R6: one data page's raw (compressed) bytes
+    (ParquetReader::read_page_data, parquet_reader.cpp:186-192)."""
+    index = build_page_index(path) if index is None else index
+    if not 0 <= page_id < len(index):
+        raise IndexError(f"global page id {page_id} out of range")
+    entry = index[page_id]
+    with open(path, "rb") as fh:
+        fh.seek(entry.data_offset)
+        return fh.read(entry.data_size)
+
+
+def read_pages_chunk(
+    path: str,
+    start_page_id: int,
+    end_page_id: int,
+    max_bytes: int,
+    index: list[PageIndexEntry] | None = None,
+) -> bytes:
+    """R7: concatenated bytes of the INCLUSIVE page range
+    [start_page_id, end_page_id], truncated once the running total hits
+    ``max_bytes`` — the final page is cut mid-page rather than dropped,
+    mirroring ParquetReader::read_pages_chunk (parquet_reader.cpp:194-231,
+    ``to_read = min(entry.data_size, remaining)``)."""
+    index = build_page_index(path) if index is None else index
+    if not 0 <= start_page_id < len(index):
+        raise IndexError(f"start page id {start_page_id} out of range")
+    if not 0 <= end_page_id < len(index):
+        raise IndexError(f"end page id {end_page_id} out of range")
+    if start_page_id > end_page_id:
+        raise ValueError("start page id must be <= end page id")
+    out = bytearray()
+    with open(path, "rb") as fh:
+        for i in range(start_page_id, end_page_id + 1):
+            remaining = max_bytes - len(out)
+            if remaining <= 0:
+                break
+            entry = index[i]
+            fh.seek(entry.data_offset)
+            out += fh.read(min(entry.data_size, remaining))
+    return bytes(out)
+
+
+@dataclass
+class RawPage:
+    """Reference RawPage (parquet_reader.hpp; PageIterator::next
+    parquet_reader.cpp:249-260)."""
+
+    page_id: int
+    row_group: int
+    column: int
+    data: bytes
+
+
+class PageIterator:
+    """R8: lazy ``has_next/next/reset`` over the half-open global-id range
+    [start, end) (parquet_reader.cpp:242-278). The index (headers only) is
+    built once up front; page BYTES are read lazily per ``next()``, so
+    iterating metadata-heavy prefixes of a large file never touches the
+    rest of the file's data."""
+
+    def __init__(self, path: str, start: int = 0, end: int | None = None):
+        self._path = path
+        self._index = build_page_index(path)
+        n = len(self._index)
+        end = n if end is None else end
+        if start > n or end > n:
+            raise IndexError("page iterator range out of bounds")
+        if start > end:
+            raise ValueError("start must be <= end")
+        self._start, self._end, self._current = start, end, start
+
+    def has_next(self) -> bool:
+        return self._current < self._end
+
+    def next(self) -> RawPage:
+        if not self.has_next():
+            raise StopIteration("PageIterator: no more pages")
+        entry = self._index[self._current]
+        page = RawPage(
+            page_id=entry.page_id,
+            row_group=entry.row_group,
+            column=entry.column,
+            data=read_page_data(self._path, entry.page_id, self._index),
+        )
+        self._current += 1
+        return page
+
+    def reset(self) -> None:
+        self._current = self._start
+
+    # Pythonic sugar over the reference's explicit protocol
+    def __iter__(self):
+        while self.has_next():
+            yield self.next()
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
 
@@ -357,6 +524,77 @@ def q_r6_chunk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def q_r7_chunk_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 byte-accounting certification: the byte arithmetic
+    ``read_pages_chunk`` caps on (header_size + compressed page bytes,
+    walked page by page) must tile each column chunk exactly — per the
+    Parquet spec the footer's total_compressed_size/total_uncompressed_size
+    include page headers, so our walked sums must equal DuckDB's
+    parquet_metadata() view of the same chunks. Runs on the multi-row-group
+    fixture so the per-chunk aggregation spans many (row_group, column)
+    cells."""
+    path = multi_rowgroup_documents(sf_dir)
+    meta = file_metadata(path)
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    agg: dict[tuple[int, int], list[int]] = {}
+    for p in walk_pages(path):
+        cell = agg.setdefault((p.row_group, p.column), [0, 0])
+        cell[0] += p.header_size + p.compressed_size
+        cell[1] += p.header_size + p.uncompressed_size
+    rows = [
+        (rg, names[col], agg[(rg, col)][0], agg[(rg, col)][1])
+        for rg, col in sorted(agg)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("row_group", T.IntegerType(), False),
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("compressed_bytes", T.LongType(), False),
+            T.StructField("uncompressed_bytes", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def q_r8_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 end-to-end: drive the full PageIterator (reading every data
+    page's raw bytes), check each page's bytes match its index entry, and
+    report per chunk the index-derived facts DuckDB can independently
+    compute from the footer: total data-page values (= chunk num_values)
+    and the first data page's header offset (= data_page_offset)."""
+    path = multi_rowgroup_documents(sf_dir)
+    meta = file_metadata(path)
+    names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+    it = PageIterator(path)
+    index = it._index
+    agg: dict[tuple[int, int], list[int]] = {}
+    for page in it:
+        entry = index[page.page_id]
+        if len(page.data) != entry.data_size:
+            raise ValueError(
+                f"page {page.page_id}: read {len(page.data)} bytes, "
+                f"index says {entry.data_size}"
+            )
+        cell = agg.setdefault(
+            (page.row_group, page.column), [0, entry.data_offset - entry.header_size]
+        )
+        cell[0] += entry.num_values
+        cell[1] = min(cell[1], entry.data_offset - entry.header_size)
+    rows = [
+        (rg, names[col], agg[(rg, col)][0], agg[(rg, col)][1])
+        for rg, col in sorted(agg)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("row_group", T.IntegerType(), False),
+            T.StructField("column_name", T.StringType(), False),
+            T.StructField("data_values", T.LongType(), False),
+            T.StructField("first_data_page_offset", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _oracle_path(table: str) -> str:
     # Oracle SQL cannot take parameters; the driver registers views per
     # sf_dir but parquet_metadata needs the file path. The driver runs
@@ -364,9 +602,13 @@ def _oracle_path(table: str) -> str:
     return f"/root/testdata/sf0.01/{table}.parquet"
 
 
+_MRG_ORACLE_PATH = os.path.join(MRG_ROOT, "sf0.01", "documents_mrg.parquet")
+
 QUERIES = {
     "r1_rowgroup_meta": q_r1_rowgroup_meta,
     "r6_chunk_values": q_r6_chunk_values,
+    "r7_chunk_bytes": q_r7_chunk_bytes,
+    "r8_page_index": q_r8_page_index,
 }
 
 ORACLES = {
@@ -382,5 +624,19 @@ ORACLES = {
                path_in_schema AS column_name,
                CAST(num_values AS BIGINT) AS num_values
         FROM parquet_metadata('{_oracle_path("documents")}')
+    """,
+    "r7_chunk_bytes": f"""
+        SELECT CAST(row_group_id AS INT) AS row_group,
+               path_in_schema AS column_name,
+               CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+               CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+        FROM parquet_metadata('{_MRG_ORACLE_PATH}')
+    """,
+    "r8_page_index": f"""
+        SELECT CAST(row_group_id AS INT) AS row_group,
+               path_in_schema AS column_name,
+               CAST(num_values AS BIGINT) AS data_values,
+               CAST(data_page_offset AS BIGINT) AS first_data_page_offset
+        FROM parquet_metadata('{_MRG_ORACLE_PATH}')
     """,
 }

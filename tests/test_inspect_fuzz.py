@@ -230,3 +230,128 @@ def test_walker_handles_nested_schemas(tmp_path):
                     and p.page_type in ("DATA_PAGE", "DATA_PAGE_V2")
                 )
                 assert data_values == col.num_values, (dpv, rg_idx, col_idx)
+
+
+# ---------------------------------------------------------------------------
+# Raw-page layer (R6 bytes / R7 byte-capped chunk read / R8 iterator)
+# ---------------------------------------------------------------------------
+
+from duckdb_parquet_parser_spark.inspect import (  # noqa: E402
+    PageIterator,
+    build_page_index,
+    read_page_data,
+    read_pages_chunk,
+)
+
+
+@pytest.mark.parametrize(
+    "codec,dpv,use_dict,page_size,rg_size", CONFIGS,
+    ids=[f"{c}-v{v}-dict{d}-ps{p}-rg{r}" for c, v, d, p, r in CONFIGS],
+)
+def test_page_index_matches_footer_and_file_bytes(
+    tmp_path, codec, dpv, use_dict, page_size, rg_size
+):
+    """The global data-page index (parquet_reader.cpp:559-605 analog):
+    ids are consecutive and data-page-only; per-chunk value sums match the
+    footer; every entry's [data_offset, +data_size) slice is exactly what
+    read_page_data returns."""
+    path = str(tmp_path / "raw.parquet")
+    seed = hash(("raw", codec, dpv, use_dict, page_size, rg_size)) & 0xFFFF
+    pq.write_table(
+        _table(seed), path, compression=codec, data_page_version=dpv,
+        use_dictionary=use_dict, data_page_size=page_size,
+        row_group_size=rg_size,
+    )
+    meta = pq.ParquetFile(path).metadata
+    index = build_page_index(path)
+    with open(path, "rb") as fh:
+        blob = fh.read()
+
+    assert [e.page_id for e in index] == list(range(len(index)))
+    for rg_idx in range(meta.num_row_groups):
+        rg = meta.row_group(rg_idx)
+        for col_idx in range(rg.num_columns):
+            col = rg.column(col_idx)
+            mine = [e for e in index if (e.row_group, e.column) == (rg_idx, col_idx)]
+            assert sum(e.num_values for e in mine) == col.num_values
+            # dict pages carry no global id: first indexed page of the
+            # chunk is the first DATA page (footer's data_page_offset
+            # points at its header)
+            assert mine[0].data_offset - mine[0].header_size == col.data_page_offset
+
+    # spot-check raw reads against the file bytes (shared index: one walk)
+    for e in index[:: max(1, len(index) // 7)]:
+        assert read_page_data(path, e.page_id, index) == blob[
+            e.data_offset : e.data_offset + e.data_size
+        ]
+
+
+def test_read_pages_chunk_cap_semantics(tmp_path):
+    """R7 mirrors the reference exactly (parquet_reader.cpp:194-231):
+    inclusive page range, cumulative cap, final page TRUNCATED mid-page
+    (not dropped) once max_bytes is reached."""
+    path = str(tmp_path / "cap.parquet")
+    pq.write_table(_table(11, n=600), path, compression="none",
+                   use_dictionary=False, data_page_size=256,
+                   row_group_size=300)
+    index = build_page_index(path)
+    assert len(index) >= 6, "fixture must split into many pages"
+    full = b"".join(read_page_data(path, i, index) for i in range(3))
+
+    # cap >= total: whole inclusive range [0, 2]
+    assert read_pages_chunk(path, 0, 2, 10**9, index) == full
+    # cap of exactly the range size: unchanged
+    assert read_pages_chunk(path, 0, 2, len(full), index) == full
+    # mid-page cap: exact byte prefix, last page truncated not dropped
+    cut = index[0].data_size + index[1].data_size // 2
+    assert read_pages_chunk(path, 0, 2, cut, index) == full[:cut]
+    # cap 0: nothing
+    assert read_pages_chunk(path, 0, 2, 0, index) == b""
+    # single-page range is read_page_data
+    assert read_pages_chunk(path, 4, 4, 10**9, index) == read_page_data(path, 4, index)
+
+    with pytest.raises(IndexError):
+        read_pages_chunk(path, 0, len(index), 10, index)
+    with pytest.raises(IndexError):
+        read_pages_chunk(path, -1, 2, 10, index)
+    with pytest.raises(ValueError):
+        read_pages_chunk(path, 3, 1, 10, index)
+
+
+def test_page_iterator_protocol(tmp_path):
+    """R8: half-open [start, end), has_next/next/reset, RawPage fields
+    (parquet_reader.cpp:242-278)."""
+    path = str(tmp_path / "iter.parquet")
+    pq.write_table(_table(12, n=500), path, compression="snappy",
+                   data_page_size=512, row_group_size=250)
+    index = build_page_index(path)
+    n = len(index)
+    assert n >= 4
+
+    it = PageIterator(path)
+    seen = [p for p in it]
+    assert [p.page_id for p in seen] == list(range(n))
+    assert not it.has_next()
+    with pytest.raises(StopIteration):
+        it.next()
+    # reset replays the identical sequence (including bytes)
+    it.reset()
+    replay = [p for p in it]
+    assert [(p.page_id, p.row_group, p.column, p.data) for p in replay] == [
+        (p.page_id, p.row_group, p.column, p.data) for p in seen
+    ]
+    # RawPage carries the owning chunk and the exact page bytes
+    for p in seen:
+        e = index[p.page_id]
+        assert (p.row_group, p.column) == (e.row_group, e.column)
+        assert len(p.data) == e.data_size
+
+    # half-open subrange
+    sub = PageIterator(path, 1, 3)
+    assert [p.page_id for p in sub] == [1, 2]
+    # empty range is legal, like the reference's (k, k) iterator
+    assert [p.page_id for p in PageIterator(path, 2, 2)] == []
+    with pytest.raises(ValueError):
+        PageIterator(path, 3, 1)
+    with pytest.raises(IndexError):
+        PageIterator(path, 0, n + 1)

@@ -12,7 +12,7 @@ QUERIES, ORACLES = collect_queries()
 
 # Metadata-inspection oracles embed the sf0.01 file path (parquet_metadata()
 # can't read from a view), so those pairs must run at sf0.01 locally too.
-SF_PINNED = {"r1_rowgroup_meta", "r6_chunk_values"}
+SF_PINNED = {"r1_rowgroup_meta", "r6_chunk_values", "r7_chunk_bytes", "r8_page_index"}
 
 
 def test_every_query_has_oracle_or_is_flagged():
