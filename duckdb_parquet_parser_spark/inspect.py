@@ -486,6 +486,68 @@ class PageIterator:
 
 
 # ---------------------------------------------------------------------------
+# Distributed fleet audit — the 100 TB shape of R1/R6
+# ---------------------------------------------------------------------------
+
+
+def fleet_page_audit(spark: SparkSession, paths: list[str]) -> DataFrame:
+    """Run the page-header walker over MANY parquet files as a Spark job —
+    the cluster-scale form of the reference's single-file inspection
+    (parquet_reader.cpp:14-61,559-605 applied per file).
+
+    Each executor task walks the footers + page headers of its files
+    (O(pages) metadata reads, never column data) and emits one small stats
+    row per file, so auditing a 100 TB lake moves only O(files) rows to
+    the driver while the header I/O fans out across the cluster. One file
+    per task (``repartition(len(paths))``): header walks are short and
+    uniform, so max parallelism beats batching.
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("file_name", T.StringType(), False),
+            T.StructField("n_chunks", T.LongType(), False),
+            T.StructField("num_values", T.LongType(), False),
+            T.StructField("compressed_bytes", T.LongType(), False),
+            T.StructField("uncompressed_bytes", T.LongType(), False),
+        ]
+    )
+
+    def _audit(batches):
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                chunks: set[tuple[int, int]] = set()
+                values = comp = uncomp = 0
+                for p in walk_pages(path):
+                    chunks.add((p.row_group, p.column))
+                    comp += p.header_size + p.compressed_size
+                    uncomp += p.header_size + p.uncompressed_size
+                    if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2"):
+                        values += p.num_values
+                rows.append((path, len(chunks), values, comp, uncomp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType(), False)])
+    ).repartition(len(paths))
+    return files.mapInPandas(_audit, schema=out_schema)
+
+
+def q_r6_fleet_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit of every table in the scale-factor directory, computed
+    executor-side; oracled against DuckDB parquet_metadata() over the same
+    glob."""
+    from .catalog import TABLES
+
+    paths = sorted(table_path(sf_dir, t) for t in TABLES)
+    return fleet_page_audit(spark, paths)
+
+
+# ---------------------------------------------------------------------------
 # Driver-contract queries
 # ---------------------------------------------------------------------------
 
@@ -609,6 +671,7 @@ QUERIES = {
     "r6_chunk_values": q_r6_chunk_values,
     "r7_chunk_bytes": q_r7_chunk_bytes,
     "r8_page_index": q_r8_page_index,
+    "r6_fleet_audit": q_r6_fleet_audit,
 }
 
 ORACLES = {
@@ -638,5 +701,14 @@ ORACLES = {
                CAST(num_values AS BIGINT) AS data_values,
                CAST(data_page_offset AS BIGINT) AS first_data_page_offset
         FROM parquet_metadata('{_MRG_ORACLE_PATH}')
+    """,
+    "r6_fleet_audit": """
+        SELECT file_name,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(num_values) AS BIGINT) AS num_values,
+               CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+               CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes
+        FROM parquet_metadata('/root/testdata/sf0.01/*.parquet')
+        GROUP BY file_name
     """,
 }
