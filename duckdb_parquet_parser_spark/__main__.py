@@ -14,6 +14,10 @@ Mirrors the three invocations a duckdb-parquet-parser user runs
     # chunked inverted index (``./index_test <file> <column>``)
     python -m duckdb_parquet_parser_spark FILE --index-column C
 
+    # distributed per-file layout audit (round-5 extension; one stats
+    # line per parquet file, header walks run executor-side)
+    python -m duckdb_parquet_parser_spark DIR --audit
+
 Design notes:
 
 - The schema/page dump is served ENTIRELY from this package's pure-Python
@@ -153,6 +157,36 @@ def index_report(path: str, column: str, out=sys.stdout) -> None:
         )
 
 
+def audit_report(path: str, out=sys.stdout) -> None:
+    """``--audit``: distributed layout audit — one stats line per parquet
+    file under ``path`` (a directory) or for ``path`` itself (a file),
+    computed executor-side by ``inspect.fleet_page_audit``. The CLI shape
+    of auditing a whole lake: header walks fan out, stats come back."""
+    import glob as globlib
+    import os
+
+    from .inspect import fleet_page_audit
+    from .session import get_spark
+
+    if os.path.isdir(path):
+        paths = sorted(globlib.glob(os.path.join(path, "*.parquet")))
+    else:
+        paths = [path]
+    if not paths:
+        raise SystemExit(f"no parquet files under {path!r}")
+    spark = get_spark(app_name="parser-cli")
+    rows = fleet_page_audit(spark, paths).orderBy("file_name").collect()
+    print(f"audited {len(rows)} files:", file=out)
+    for r in rows:
+        ratio = r["uncompressed_bytes"] / max(r["compressed_bytes"], 1)
+        print(
+            f"  {r['file_name']}: chunks={r['n_chunks']} "
+            f"values={r['num_values']} bytes={r['compressed_bytes']} "
+            f"(x{ratio:.2f} uncompressed)",
+            file=out,
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m duckdb_parquet_parser_spark",
@@ -165,10 +199,18 @@ def main(argv: list[str] | None = None) -> int:
         "--neg-regex", action="store_true", help="invert the match (NOT LIKE)"
     )
     ap.add_argument("--index-column", help="build the chunked inverted index")
+    ap.add_argument(
+        "--audit",
+        action="store_true",
+        help="distributed per-file layout audit (file, or every *.parquet "
+        "in a directory)",
+    )
     args = ap.parse_args(argv)
     if (args.regex_column is None) != (args.regex is None):
         ap.error("--regex-column and --regex must be used together")
-    if args.regex_column:
+    if args.audit:
+        audit_report(args.file)
+    elif args.regex_column:
         regex_report(args.file, args.regex_column, args.regex, args.neg_regex)
     elif args.index_column:
         index_report(args.file, args.index_column)

@@ -504,6 +504,8 @@ def fleet_page_audit(spark: SparkSession, paths: list[str]) -> DataFrame:
     """
     import pandas as pd
 
+    if not paths:
+        raise ValueError("fleet_page_audit: no paths given")
     out_schema = T.StructType(
         [
             T.StructField("file_name", T.StringType(), False),

@@ -63,3 +63,35 @@ def test_cli_index_report_totals(spark, sf_smoke):
     n = spark.read.parquet(path).filter("text IS NOT NULL").count()
     assert f"{n} values" in s
     assert "packed into" in s
+
+
+def test_cli_audit_report_matches_walker(spark, sf_smoke):
+    """--audit totals per file must equal the single-file page walker's
+    own per-chunk accounting (same invariants r6_fleet_audit certifies
+    against DuckDB)."""
+    import re
+
+    from duckdb_parquet_parser_spark.__main__ import audit_report
+    from duckdb_parquet_parser_spark.inspect import walk_pages
+
+    out = io.StringIO()
+    audit_report(sf_smoke, out=out)
+    s = out.getvalue()
+    assert "audited 10 files:" in s
+    m = re.search(
+        r"documents\.parquet: chunks=(\d+) values=(\d+) bytes=(\d+)", s
+    )
+    assert m, s
+    pages = list(walk_pages(os.path.join(sf_smoke, "documents.parquet")))
+    chunks = {(p.row_group, p.column) for p in pages}
+    values = sum(
+        p.num_values
+        for p in pages
+        if p.page_type in ("DATA_PAGE", "DATA_PAGE_V2")
+    )
+    comp = sum(p.header_size + p.compressed_size for p in pages)
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(chunks),
+        values,
+        comp,
+    )

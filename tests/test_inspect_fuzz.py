@@ -355,3 +355,38 @@ def test_page_iterator_protocol(tmp_path):
         PageIterator(path, 3, 1)
     with pytest.raises(IndexError):
         PageIterator(path, 0, n + 1)
+
+
+def test_read_pages_chunk_property(tmp_path):
+    """Property: for ANY (start, end, cap), read_pages_chunk equals the
+    cap-truncated concatenation of read_page_data over the inclusive
+    range — the executable spec of parquet_reader.cpp:194-231."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis unavailable")
+    import os as _os
+
+    path = str(tmp_path / "prop.parquet")
+    pq.write_table(_table(13, n=800), path, compression="snappy",
+                   data_page_size=300, row_group_size=200)
+    index = build_page_index(path)
+    n = len(index)
+    assert n >= 8
+    total = sum(e.data_size for e in index)
+    n_examples = 40 * int(_os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+
+    @settings(max_examples=n_examples, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def _prop(data):
+        start = data.draw(st.integers(0, n - 1))
+        end = data.draw(st.integers(start, n - 1))
+        cap = data.draw(st.integers(0, total + 7))
+        want = b"".join(
+            read_page_data(path, i, index) for i in range(start, end + 1)
+        )[:cap]
+        assert read_pages_chunk(path, start, end, cap, index) == want
+
+    _prop()
