@@ -30,7 +30,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         udfs,
         windows,
     )
-    from ..sources import formats, layout, writer
+    from ..sources import formats, layout, pywriter, writer
     from .. import inspect as inspect_mod
     from ..streaming import stateful as streaming_stateful
     from ..streaming import windows as streaming_windows
@@ -41,6 +41,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal,
         udfs,
         writer,
+        pywriter,
         formats,
         layout,
         inspect_mod,
@@ -87,28 +88,31 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (checkpoint_df in connected_components), the four cosine-family
 # queries (sqrt-guard oracle change; ns_embed_neardup also got the
 # verify-once plan), and src_csv_roundtrip (sentinel guard) +
-# f1_regex_manifest (Scanner-based sidecar read); (4) the three NEW
-# raw-page queries (r7_chunk_bytes, r8_page_index, r6_fleet_audit);
-# (5) nineteen r3-certified queries rotating back in (stream_sliding
-# was displaced late in the round by the ns_ann_lsh_buckets
-# integer-quantization fix — the seed sweep found its DECIMAL sign bits
-# engine-dependent on subnormal vectors — and rel_join_semi/
-# rel_join_anti/rel_sort_topk by the raw-page additions). That fills
-# all 50 slots.
+# f1_regex_manifest (Scanner-based sidecar read); (4) the four NEW
+# queries (r7_chunk_bytes, r8_page_index, r6_fleet_audit,
+# w4_pywriter_roundtrip); (5) eighteen r3-certified queries rotating
+# back in (stream_sliding was displaced late in the round by the
+# ns_ann_lsh_buckets integer-quantization fix — the seed sweep found
+# its DECIMAL sign bits engine-dependent on subnormal vectors — and
+# rel_join_semi/rel_join_anti/rel_sort_topk/rel_window_running by the
+# raw-page, fleet-audit and byte-writer additions). That fills all 50
+# slots.
 #
 # Late round-5 swap: the R7/R8 raw-page layer (inspect.py) added three
 # NEW queries — r7_chunk_bytes, r8_page_index, and the distributed
-# r6_fleet_audit; to certify them this round (never-certified debt
-# outranks stale-cert debt, VERDICT r4), three r3-certified queries
-# (rel_join_semi, rel_join_anti, rel_sort_topk — code+oracle unchanged
-# since round 3) park here and join the round-6 must-lead set.
+# r6_fleet_audit — and the byte-level reference-style writer
+# (sources/pywriter.py) added w4_pywriter_roundtrip; to certify them
+# this round (never-certified debt outranks stale-cert debt, VERDICT
+# r4), four r3-certified queries (rel_join_semi, rel_join_anti,
+# rel_sort_topk, rel_window_running — code+oracle unchanged since
+# round 3) park here and join the round-6 must-lead set.
 #
 # Parked below: everything r4-certified and untouched this round, plus
-# the TWENTY-TWO remaining r3-certified queries (simple scan/filter/
-# set-op/grouping/join/sort queries, code+oracle unchanged since round
-# 3 — stream_sliding..rel_sort_topk at the end of this list). Those 22
-# lead the round-6 window before their certifications age past two
-# rounds.
+# the TWENTY-THREE remaining r3-certified queries (simple scan/filter/
+# set-op/grouping/join/sort/window queries, code+oracle unchanged since
+# round 3 — stream_sliding..rel_window_running at the end of this
+# list). Those 23 lead the round-6 window before their certifications
+# age past two rounds.
 ROTATION_TAIL = [
     # r4-certified, untouched in round 5
     "ns_mm_meta",
@@ -147,11 +151,11 @@ ROTATION_TAIL = [
     "rel_outer_join",
     "rel_pivot",
     "stream_session",
-    # r3-certified, deferred to the round-6 window (22 — stream_sliding
+    # r3-certified, deferred to the round-6 window (23 — stream_sliding
     # displaced late in round 5 when the seed sweep's LSH quantization fix
     # forced ns_ann_lsh_buckets back into the head; rel_join_semi/
-    # rel_join_anti/rel_sort_topk displaced by the new raw-page and
-    # fleet-audit queries)
+    # rel_join_anti/rel_sort_topk/rel_window_running displaced by the
+    # new raw-page, fleet-audit and byte-writer queries)
     "stream_sliding",
     "r2_schema",
     "r2_counts",
@@ -174,4 +178,5 @@ ROTATION_TAIL = [
     "rel_join_semi",
     "rel_join_anti",
     "rel_sort_topk",
+    "rel_window_running",
 ]
