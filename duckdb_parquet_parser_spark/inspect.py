@@ -247,56 +247,86 @@ class PageInfo:
 _PAGE_TYPE_NAMES = {0: "DATA_PAGE", 1: "INDEX_PAGE", 2: "DICTIONARY_PAGE", 3: "DATA_PAGE_V2"}
 
 
+# Initial per-header read window. Headers are usually tens of bytes
+# (hundreds with statistics); the window doubles on demand, so an
+# oversized header costs extra seeks, never a wrong parse — every byte
+# the parser consumes is the true file byte at (offset + pos), and an
+# exhausted window surfaces as IndexError before any field is misread.
+_HEADER_READ_SIZE = 4096
+
+
+def _read_header_at(fh, offset: int, file_size: int) -> "_PageHeader":
+    window = _HEADER_READ_SIZE
+    while True:
+        fh.seek(offset)
+        buf = fh.read(min(window, file_size - offset))
+        try:
+            return _CompactReader(buf, 0).read_page_header()
+        except IndexError:
+            if window >= file_size - offset:
+                raise ValueError(
+                    f"truncated page header at offset {offset} "
+                    f"(file is {file_size} bytes)"
+                ) from None
+            window *= 2
+
+
 def walk_pages(path: str) -> list[PageInfo]:
     """Walk every page header of every column chunk (parquet_reader.cpp:559-605).
+
+    Header-bounded I/O: one seek + small read per page header — column
+    data is never touched, so walking a huge file costs O(pages), not
+    O(bytes). (This is the property fleet_page_audit's 100 TB pitch
+    rests on.)
 
     Unlike the reference, DATA_PAGE_V2 values count toward termination, so
     V2 files don't loop (SURVEY.md §3.1 quirk — deliberately not copied).
     """
     meta = file_metadata(path)
-    with open(path, "rb") as fh:
-        data = fh.read()
+    file_size = os.path.getsize(path)
     pages: list[PageInfo] = []
-    for rg_idx in range(meta.num_row_groups):
-        rg = meta.row_group(rg_idx)
-        for col_idx in range(rg.num_columns):
-            col = rg.column(col_idx)
-            offset = col.data_page_offset
-            if col.has_dictionary_page and col.dictionary_page_offset is not None:
-                offset = min(offset, col.dictionary_page_offset)
-            values_read = 0
-            page_in_chunk = 0
-            while values_read < col.num_values:
-                reader = _CompactReader(data, offset)
-                hdr = reader.read_page_header()
-                pages.append(
-                    PageInfo(
-                        row_group=rg_idx,
-                        column=col_idx,
-                        page_in_chunk=page_in_chunk,
-                        page_type=_PAGE_TYPE_NAMES.get(hdr.page_type, str(hdr.page_type)),
-                        num_values=hdr.num_values,
-                        compressed_size=hdr.compressed_size,
-                        uncompressed_size=hdr.uncompressed_size,
-                        offset=offset,
-                        header_size=hdr.header_size,
+    with open(path, "rb") as fh:
+        for rg_idx in range(meta.num_row_groups):
+            rg = meta.row_group(rg_idx)
+            for col_idx in range(rg.num_columns):
+                col = rg.column(col_idx)
+                offset = col.data_page_offset
+                if col.has_dictionary_page and col.dictionary_page_offset is not None:
+                    offset = min(offset, col.dictionary_page_offset)
+                values_read = 0
+                page_in_chunk = 0
+                while values_read < col.num_values:
+                    hdr = _read_header_at(fh, offset, file_size)
+                    pages.append(
+                        PageInfo(
+                            row_group=rg_idx,
+                            column=col_idx,
+                            page_in_chunk=page_in_chunk,
+                            page_type=_PAGE_TYPE_NAMES.get(
+                                hdr.page_type, str(hdr.page_type)
+                            ),
+                            num_values=hdr.num_values,
+                            compressed_size=hdr.compressed_size,
+                            uncompressed_size=hdr.uncompressed_size,
+                            offset=offset,
+                            header_size=hdr.header_size,
+                        )
                     )
-                )
-                if hdr.page_type in (_PAGE_TYPE_DATA, _PAGE_TYPE_DATA_V2):
-                    values_read += hdr.num_values
-                stride = hdr.header_size + hdr.compressed_size
-                # Forward-progress guard: a corrupt header can decode a
-                # negative (zigzag) compressed_size, making the stride
-                # non-positive — the walk would revisit the same offset
-                # forever (the reference's infinite-loop failure class,
-                # SURVEY.md §3.1). Fail loudly instead.
-                if stride <= 0 or offset + stride > len(data):
-                    raise ValueError(
-                        f"corrupt page header at offset {offset}: "
-                        f"stride {stride} outside file of {len(data)} bytes"
-                    )
-                offset += stride
-                page_in_chunk += 1
+                    if hdr.page_type in (_PAGE_TYPE_DATA, _PAGE_TYPE_DATA_V2):
+                        values_read += hdr.num_values
+                    stride = hdr.header_size + hdr.compressed_size
+                    # Forward-progress guard: a corrupt header can decode a
+                    # negative (zigzag) compressed_size, making the stride
+                    # non-positive — the walk would revisit the same offset
+                    # forever (the reference's infinite-loop failure class,
+                    # SURVEY.md §3.1). Fail loudly instead.
+                    if stride <= 0 or offset + stride > file_size:
+                        raise ValueError(
+                            f"corrupt page header at offset {offset}: "
+                            f"stride {stride} outside file of {file_size} bytes"
+                        )
+                    offset += stride
+                    page_in_chunk += 1
     return pages
 
 
@@ -390,7 +420,12 @@ def read_page_data(
     path: str, page_id: int, index: list[PageIndexEntry] | None = None
 ) -> bytes:
     """R6: one data page's raw (compressed) bytes
-    (ParquetReader::read_page_data, parquet_reader.cpp:186-192)."""
+    (ParquetReader::read_page_data, parquet_reader.cpp:186-192).
+
+    Pass a shared ``index`` from build_page_index when reading more than
+    one page — without it every call re-walks the file's headers to
+    rebuild the index (O(pages) per call). PageIterator does this (and
+    holds one file handle) for you."""
     index = build_page_index(path) if index is None else index
     if not 0 <= page_id < len(index):
         raise IndexError(f"global page id {page_id} out of range")
@@ -445,9 +480,11 @@ class RawPage:
 class PageIterator:
     """R8: lazy ``has_next/next/reset`` over the half-open global-id range
     [start, end) (parquet_reader.cpp:242-278). The index (headers only) is
-    built once up front; page BYTES are read lazily per ``next()``, so
-    iterating metadata-heavy prefixes of a large file never touches the
-    rest of the file's data."""
+    built once up front; page BYTES are read lazily per ``next()`` through
+    ONE file handle held for the iterator's lifetime (the reference keeps
+    its ifstream open the same way), so iterating metadata-heavy prefixes
+    of a large file never touches the rest of the file's data and never
+    re-opens the file per page."""
 
     def __init__(self, path: str, start: int = 0, end: int | None = None):
         self._path = path
@@ -459,6 +496,7 @@ class PageIterator:
         if start > end:
             raise ValueError("start must be <= end")
         self._start, self._end, self._current = start, end, start
+        self._fh = open(path, "rb")
 
     def has_next(self) -> bool:
         return self._current < self._end
@@ -467,14 +505,18 @@ class PageIterator:
         if not self.has_next():
             raise StopIteration("PageIterator: no more pages")
         entry = self._index[self._current]
+        self._fh.seek(entry.data_offset)
         page = RawPage(
             page_id=entry.page_id,
             row_group=entry.row_group,
             column=entry.column,
-            data=read_page_data(self._path, entry.page_id, self._index),
+            data=self._fh.read(entry.data_size),
         )
         self._current += 1
         return page
+
+    def close(self) -> None:
+        self._fh.close()
 
     def reset(self) -> None:
         self._current = self._start

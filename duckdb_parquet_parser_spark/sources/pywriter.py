@@ -35,7 +35,10 @@ spec — the reference writes one byte per value (parquet_writer.cpp:
 200-204), which its own reader (bit-packed, column_reader.cpp:197-212)
 and every standard reader reject; (2) BOOLEAN columns never
 dictionary-encode — the format forbids dict pages for BOOLEAN, and the
-reference's 1/5 rule would otherwise always trigger on them.
+reference's 1/5 rule would otherwise always trigger on them; (3) float/
+double dictionary keys are BIT-exact (packed IEEE bytes), so -0.0/+0.0
+and NaN payloads round-trip — the reference's std::map on double
+conflates signed zeros into whichever was seen first.
 """
 
 from __future__ import annotations
@@ -77,6 +80,14 @@ def _zigzag(n: int) -> int:
     return (n << 1) ^ (n >> 63)
 
 
+def _append_uvarint(buf: bytearray, v: int) -> None:
+    """ULEB128 — the one varint loop all three encoders share."""
+    while v >= 0x80:
+        buf.append((v & 0x7F) | 0x80)
+        v >>= 7
+    buf.append(v)
+
+
 class _ThriftCompactWriter:
     """Minimal Thrift compact-protocol serializer (thrift_writer.cpp
     analog): field-delta headers, zigzag varints, nested-struct field-id
@@ -87,10 +98,7 @@ class _ThriftCompactWriter:
         self._last = [0]
 
     def _varint(self, v: int) -> None:
-        while v >= 0x80:
-            self.b.append((v & 0x7F) | 0x80)
-            v >>= 7
-        self.b.append(v)
+        _append_uvarint(self.b, v)
 
     def _hdr(self, fid: int, ctype: int) -> None:
         delta = fid - self._last[-1]
@@ -174,10 +182,22 @@ def _plain_encode(values, typ: str) -> bytes:
         if pack:
             out += struct.pack(pack, v)
         else:  # byte_array: u32 length prefix + bytes
-            data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            data = _byte_array_value(v)
             out += struct.pack("<I", len(data))
             out += data
     return bytes(out)
+
+
+def _byte_array_value(v) -> bytes:
+    """Only str/bytes/bytearray are legal BYTE_ARRAY values — anything
+    else (e.g. an int, for which bytes(7) would silently produce seven
+    NUL bytes) must fail the write, matching struct.pack's strictness on
+    the numeric types."""
+    if isinstance(v, str):
+        return v.encode("utf-8")
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    raise TypeError(f"byte_array value must be str/bytes, got {type(v).__name__}")
 
 
 def _estimate_size(v, typ: str) -> int:
@@ -191,8 +211,7 @@ def _estimate_size(v, typ: str) -> int:
         return 4
     if typ in ("int64", "double"):
         return 8
-    data = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-    return 4 + len(data)
+    return 4 + len(_byte_array_value(v))
 
 
 def _rle_encode_levels(levels: list[int], bit_width: int) -> bytes:
@@ -205,11 +224,7 @@ def _rle_encode_levels(levels: list[int], bit_width: int) -> bytes:
         run = 1
         while i + run < len(levels) and levels[i + run] == levels[i]:
             run += 1
-        header = run << 1
-        while header >= 0x80:
-            out.append((header & 0x7F) | 0x80)
-            header >>= 7
-        out.append(header)
+        _append_uvarint(out, run << 1)
         val = levels[i]
         for _ in range(nbytes):
             out.append(val & 0xFF)
@@ -232,10 +247,7 @@ class _RleBpEncoder:
         self.bp: list[int] = []
 
     def _varint(self, v: int) -> None:
-        while v >= 0x80:
-            self.out.append((v & 0x7F) | 0x80)
-            v >>= 7
-        self.out.append(v)
+        _append_uvarint(self.out, v)
 
     def _flush_rle(self) -> None:
         self._varint(self.rle_count << 1)
@@ -293,11 +305,24 @@ def _bit_width(max_value: int) -> int:
     return max(1, max_value.bit_length())
 
 
+def _dict_key(v, typ: str):
+    """Bit-exact dict identity for floats (divergence (3)): Python's ==
+    and hash conflate -0.0 with 0.0 and every NaN with nothing, so key
+    on the packed IEEE bytes instead — exactly what lands in the dict
+    page."""
+    if typ == "double":
+        return struct.pack("<d", v)
+    if typ == "float":
+        return struct.pack("<f", v)
+    return v
+
+
 def analyze_dictionary(values, typ: str):
     """The reference's dict decision (parquet_writer.cpp:253-280): build
     first-seen uniques over non-nulls; fall back to PLAIN when empty or
     ``dict_size > num_non_null // 5``. Returns (dict_values, index_map)
-    or None for PLAIN. BOOLEAN never dict-encodes (divergence (2))."""
+    — index_map keyed by ``_dict_key`` — or None for PLAIN. BOOLEAN
+    never dict-encodes (divergence (2))."""
     if typ == "boolean":
         return None
     dict_values: list = []
@@ -307,8 +332,9 @@ def analyze_dictionary(values, typ: str):
         if v is None:
             continue
         num_non_null += 1
-        if v not in index:
-            index[v] = len(dict_values)
+        k = _dict_key(v, typ)
+        if k not in index:
+            index[k] = len(dict_values)
             dict_values.append(v)
     if not dict_values or len(dict_values) > num_non_null // 5:
         return None
@@ -429,7 +455,7 @@ class ReferenceParquetWriter:
                     enc = _RleBpEncoder(bw)
                     for v in sl:
                         if v is not None:
-                            enc.write(index[v])
+                            enc.write(index[_dict_key(v, spec.type)])
                     payload += enc.finish()
                     self._fh.write(
                         _data_page_header(len(payload), count, _ENC_RLE_DICT)
@@ -517,11 +543,22 @@ class ReferenceParquetWriter:
         self._fh.write(b"PAR1")
         self._fh.close()
 
+    def abort(self) -> None:
+        """Close the file WITHOUT writing a footer — the half-written
+        file stays invalid (no trailing PAR1), so no reader can mistake
+        it for a complete table."""
+        if not self._closed:
+            self._closed = True
+            self._fh.close()
+
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
-        self.close()
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
 
 
 def write_reference_bytes(path: str, specs: list[ColumnSpec], columns: list[list]) -> str:

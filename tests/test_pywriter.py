@@ -238,3 +238,44 @@ def test_fuzz_roundtrip(tmp_path):
             assert t.column(s.name).to_pylist() == expect, s.name
 
     _prop()
+
+
+def test_dict_preserves_signed_zero_and_nan_bits(tmp_path):
+    """Bit-exact float dict keys (docstring divergence (3)): -0.0 and
+    +0.0 are distinct dictionary entries, NaNs dict to ONE entry, and
+    all round-trip bit-for-bit."""
+    import math
+    import struct as _struct
+
+    vals = ([0.0, -0.0, float("nan"), 1.5] * 10)[:40]  # 4 uniques <= 40//5
+    path = str(tmp_path / "zero.parquet")
+    write_reference_bytes(path, [ColumnSpec("x", "double")], [vals])
+    meta = pq.ParquetFile(path).metadata
+    assert meta.row_group(0).column(0).has_dictionary_page
+    back = pq.read_table(path).column("x").to_pylist()
+    for got, want in zip(back, vals):
+        assert _struct.pack("<d", got) == _struct.pack("<d", want)
+    assert math.copysign(1.0, back[1]) == -1.0
+
+
+def test_exit_on_exception_aborts_without_footer(tmp_path):
+    """A with-body failure must NOT produce a valid parquet file — the
+    footer is only written on clean exit."""
+    path = str(tmp_path / "abort.parquet")
+    with pytest.raises(ValueError):
+        with ReferenceParquetWriter(path, [ColumnSpec("a", "int32", "required")]) as w:
+            w.write_row_group([[1, 2, 3]])
+            raise ValueError("boom")
+    raw = open(path, "rb").read()
+    assert not raw.endswith(b"PAR1")  # no footer -> unreadable as a table
+    with pytest.raises(Exception):
+        pq.read_table(path)
+
+
+def test_byte_array_rejects_non_string_values(tmp_path):
+    with pytest.raises(TypeError):
+        write_reference_bytes(
+            str(tmp_path / "bad.parquet"),
+            [ColumnSpec("s", "byte_array")],
+            [["ok", 7, "also-ok"]],
+        )
