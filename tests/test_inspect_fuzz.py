@@ -390,3 +390,17 @@ def test_read_pages_chunk_property(tmp_path):
         assert read_pages_chunk(path, start, end, cap, index) == want
 
     _prop()
+
+
+def test_header_window_doubles_when_too_small(tmp_path, monkeypatch):
+    """_read_header_at must grow its read window until the header parses
+    — shrink the initial window to 1 byte and the walk must still return
+    byte-identical results (every header exercises the doubling path)."""
+    import duckdb_parquet_parser_spark.inspect as insp
+
+    path = str(tmp_path / "w.parquet")
+    pq.write_table(_table(21, n=400), path, compression="snappy",
+                   data_page_size=512, row_group_size=200)
+    normal = walk_pages(path)
+    monkeypatch.setattr(insp, "_HEADER_READ_SIZE", 1)
+    assert walk_pages(path) == normal and len(normal) > 4
