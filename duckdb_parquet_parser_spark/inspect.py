@@ -526,6 +526,14 @@ class PageIterator:
         while self.has_next():
             yield self.next()
 
+    # Context-manager support so callers can't leak the held file handle
+    # (ADVICE r5): ``with PageIterator(path) as it: ...``
+    def __enter__(self) -> "PageIterator":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
 
 # ---------------------------------------------------------------------------
 # Distributed fleet audit — the 100 TB shape of R1/R6
@@ -671,21 +679,22 @@ def q_r8_page_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = multi_rowgroup_documents(sf_dir)
     meta = file_metadata(path)
     names = [meta.schema.column(i).name for i in range(meta.num_columns)]
-    it = PageIterator(path)
-    index = it._index
     agg: dict[tuple[int, int], list[int]] = {}
-    for page in it:
-        entry = index[page.page_id]
-        if len(page.data) != entry.data_size:
-            raise ValueError(
-                f"page {page.page_id}: read {len(page.data)} bytes, "
-                f"index says {entry.data_size}"
+    with PageIterator(path) as it:
+        index = it._index
+        for page in it:
+            entry = index[page.page_id]
+            if len(page.data) != entry.data_size:
+                raise ValueError(
+                    f"page {page.page_id}: read {len(page.data)} bytes, "
+                    f"index says {entry.data_size}"
+                )
+            cell = agg.setdefault(
+                (page.row_group, page.column),
+                [0, entry.data_offset - entry.header_size],
             )
-        cell = agg.setdefault(
-            (page.row_group, page.column), [0, entry.data_offset - entry.header_size]
-        )
-        cell[0] += entry.num_values
-        cell[1] = min(cell[1], entry.data_offset - entry.header_size)
+            cell[0] += entry.num_values
+            cell[1] = min(cell[1], entry.data_offset - entry.header_size)
     rows = [
         (rg, names[col], agg[(rg, col)][0], agg[(rg, col)][1])
         for rg, col in sorted(agg)

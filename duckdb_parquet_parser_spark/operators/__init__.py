@@ -74,71 +74,78 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-5 rotation (VERDICT r4 #1). The head this round, in priority
-# order: (1) the five r2-certified queries whose certifications aged to
-# three rounds (rel_window_lag, rel_subquery, rel_percentiles,
-# rel_date_string_funcs, rel_json_map_funcs); (2) the eight round-4
-# additions that have never seen a driver window (rel_exists_q4,
-# rel_corr_scalar_q17, rel_group_in_q18, rel_window_range_time,
-# ns_dupgram_profile, ns_shared_ngrams, ns_common_token_ratio,
-# ns_quality_logit); (3) the fourteen queries whose plan or oracle
-# changed in round 5 — streaming_join (trigger/state sizing), the six
-# positional/prefix-sum queries + ns_seq_pack + r4_rowgroup_scan
-# (checkpoint_df + pre-checkpoint projection), ns_dedup_components
-# (checkpoint_df in connected_components), the four cosine-family
-# queries (sqrt-guard oracle change; ns_embed_neardup also got the
-# verify-once plan), and src_csv_roundtrip (sentinel guard) +
-# f1_regex_manifest (Scanner-based sidecar read); (4) the four NEW
-# queries (r7_chunk_bytes, r8_page_index, r6_fleet_audit,
-# w4_pywriter_roundtrip); (5) eighteen r3-certified queries rotating
-# back in (stream_sliding was displaced late in the round by the
-# ns_ann_lsh_buckets integer-quantization fix — the seed sweep found
-# its DECIMAL sign bits engine-dependent on subnormal vectors — and
-# rel_join_semi/rel_join_anti/rel_sort_topk/rel_window_running by the
-# raw-page, fleet-audit and byte-writer additions). That fills all 50
-# slots.
+# Round-6 rotation (VERDICT r5 #1). The head this round, in priority
+# order: (1) the TWENTY-THREE r3-certified queries whose certifications
+# aged to three rounds while parked (stream_sliding, r2_schema,
+# r2_counts, r3_full_column_scan, r9_projection, f2_null_semantics,
+# f3_string_columns, f1_regex_filter/docs/neg, rel_union/intersect/
+# except, rel_rollup/cube/grouping_sets, rel_distinct, rel_scalar_funcs,
+# rel_case_expr, rel_join_semi, rel_join_anti, rel_sort_topk,
+# rel_window_running) — the entire must-rotate set the generated ledger
+# named after round 5; (2) the queries whose plan changed in round 6:
+# ns_contamination (text._word_ngrams rewritten slice+array_join, the
+# round-5 recorded TODO), ns_embed_neardup (null-masked vectorized
+# pair-dot, ADVICE r5), r8_page_index (PageIterator context-manager +
+# leak fix, ADVICE r5), ns_dedup_components (per-round job trim,
+# VERDICT r5 #3); (3) twenty-three r4-certified queries rotated back in
+# EARLY — their certifications age to two rounds when the round-6 driver
+# runs, and rotating most of them now leaves only twelve for the
+# round-7 window instead of thirty-six. That fills all 50 slots.
 #
-# Late round-5 swap: the R7/R8 raw-page layer (inspect.py) added three
-# NEW queries — r7_chunk_bytes, r8_page_index, and the distributed
-# r6_fleet_audit — and the byte-level reference-style writer
-# (sources/pywriter.py) added w4_pywriter_roundtrip; to certify them
-# this round (never-certified debt outranks stale-cert debt, VERDICT
-# r4), four r3-certified queries (rel_join_semi, rel_join_anti,
-# rel_sort_topk, rel_window_running — code+oracle unchanged since
-# round 3) park here and join the round-6 must-lead set.
-#
-# Parked below: everything r4-certified and untouched this round, plus
-# the TWENTY-THREE remaining r3-certified queries (simple scan/filter/
-# set-op/grouping/join/sort/window queries, code+oracle unchanged since
-# round 3 — stream_sliding..rel_window_running at the end of this
-# list). Those 23 lead the round-6 window before their certifications
-# age past two rounds.
+# Parked below: the 47 r5-certified queries untouched this round
+# (stale in round 8), then the TWELVE r4-certified queries that did not
+# fit (ns_text_redact .. stream_session at the end of this list) —
+# those twelve MUST lead the round-7 window.
 ROTATION_TAIL = [
-    # r4-certified, untouched in round 5
-    "ns_mm_meta",
-    "ns_mm_features",
-    "ns_mm_framesample",
-    "udf_scalar_pandas",
-    "udf_grouped_agg",
-    "w1_roundtrip",
-    "w1_roundtrip_zstd",
-    "w2_dict_decision",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_partitioned_read",
-    "f1_clustered_prune",
-    "w_zorder_prune",
-    "r1_rowgroup_meta",
-    "r6_chunk_values",
-    "streaming_tumbling_rt",
-    "streaming_dedup",
-    "streaming_enrich",
-    "streaming_session_stateful",
-    "ns_pipeline_curate",
-    "ns_contamination",
-    "ns_sample_stratified",
-    "ns_text_fingerprint",
-    "ns_text_rollhash",
+    # r5-certified, untouched in round 6 (rotate by round 8)
+    "udf_table_function",
+    "w4_pywriter_roundtrip",
+    "src_csv_roundtrip",
+    "f1_regex_manifest",
+    "src_bucketed_join",
+    "r7_chunk_bytes",
+    "r6_fleet_audit",
+    "streaming_join",
+    "ns_text_tokens",
+    "ns_text_quality",
+    "ns_text_langid",
+    "ns_seq_pack",
+    "r10_positional_stream",
+    "r10_file_order",
+    "x1_chunk_index",
+    "x1_tuple_to_chunk",
+    "r4_rowgroup_scan",
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_ngram_jaccard",
+    "ns_knn_bruteforce",
+    "ns_ann_lsh_buckets",
+    "ns_ann_ivf_topk",
+    "ns_kmeans_embed",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
+    "rel_agg_q1",
+    "rel_join_q3",
+    "rel_merge_upsert",
+    "rel_join_q5",
+    "rel_window_rank",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_window_lag",
+    "rel_subquery",
+    "rel_percentiles",
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_window_range_time",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
+    "stream_tumbling",
+    # r4-certified, did not fit the round-6 window — MUST lead round 7
     "ns_text_redact",
     "ns_text_repetition",
     "ns_vocab_topk",
@@ -151,32 +158,4 @@ ROTATION_TAIL = [
     "rel_outer_join",
     "rel_pivot",
     "stream_session",
-    # r3-certified, deferred to the round-6 window (23 — stream_sliding
-    # displaced late in round 5 when the seed sweep's LSH quantization fix
-    # forced ns_ann_lsh_buckets back into the head; rel_join_semi/
-    # rel_join_anti/rel_sort_topk/rel_window_running displaced by the
-    # new raw-page, fleet-audit and byte-writer queries)
-    "stream_sliding",
-    "r2_schema",
-    "r2_counts",
-    "r3_full_column_scan",
-    "r9_projection",
-    "f2_null_semantics",
-    "f3_string_columns",
-    "f1_regex_filter",
-    "f1_regex_docs",
-    "f1_neg_regex",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_distinct",
-    "rel_scalar_funcs",
-    "rel_case_expr",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_sort_topk",
-    "rel_window_running",
 ]

@@ -190,32 +190,31 @@ def _pair_dot_impl(ea, eb):
 
     if len(ea) == 0:
         return pd.Series([], dtype="float64")
-    if any(v is None for v in ea) or any(v is None for v in eb):
-        # null vectors: the JVM fold yields a NULL dot (→ NULL cosine,
-        # filtered out). Return None — NOT NaN: Spark orders NaN ABOVE
-        # every numeric, so a NaN cosine would PASS the >= threshold and
-        # emit the pair (code-review r5 finding)
-        out = []
-        for x, y in zip(ea, eb):
-            if x is None or y is None:
-                out.append(None)
-            else:
-                acc = 0.0
-                for xi, yi in zip(
-                    np.asarray(x, dtype=np.float64),
-                    np.asarray(y, dtype=np.float64),
-                ):
-                    acc = acc + xi * yi
-                out.append(acc)
-        # object dtype: a float64 Series would coerce None back to NaN;
-        # Arrow turns object-dtype None into a true SQL NULL
-        return pd.Series(out, dtype=object)
-    A = np.stack(ea.values).astype(np.float64)
-    B = np.stack(eb.values).astype(np.float64)
+    # null vectors: the JVM fold yields a NULL dot (→ NULL cosine,
+    # filtered out). Mask them out and run the vectorized accumulation on
+    # the non-null rows only — one null in a batch must not demote the
+    # whole batch to an interpreted loop (ADVICE r5). Emit None — NOT
+    # NaN: Spark orders NaN ABOVE every numeric, so a NaN cosine would
+    # PASS the >= threshold and emit the pair (code-review r5 finding).
+    valid = np.fromiter(
+        (x is not None and y is not None for x, y in zip(ea, eb)),
+        dtype=bool,
+        count=len(ea),
+    )
+    if not valid.any():
+        return pd.Series([None] * len(ea), dtype=object)
+    A = np.stack(ea.values[valid]).astype(np.float64)
+    B = np.stack(eb.values[valid]).astype(np.float64)
     acc = np.zeros(len(A), dtype=np.float64)
     for i in range(A.shape[1]):
         acc = acc + A[:, i] * B[:, i]
-    return pd.Series(acc)
+    if valid.all():
+        return pd.Series(acc)
+    # object dtype: a float64 Series would coerce None back to NaN;
+    # Arrow turns object-dtype None into a true SQL NULL
+    out = np.full(len(ea), None, dtype=object)
+    out[valid] = acc
+    return pd.Series(out, dtype=object)
 
 
 LSH_QUANTUM = 1e9  # sign bits defined on 1e-9-quantized micro-units

@@ -53,9 +53,14 @@ def checkpoint_df(df, eager: bool = True):
     ckpt_dir = spark.conf.get(CHECKPOINT_DIR_CONF, None)
     if ckpt_dir:
         sc = spark.sparkContext
-        # idempotent: repeated set with the same path is a cheap mkdir;
-        # RDD checkpoints write into per-RDD subdirectories
-        sc.setCheckpointDir(ckpt_dir)
+        # setCheckpointDir is NOT idempotent: every call creates a fresh
+        # <dir>/<UUID> subdirectory and points the context at it, so
+        # calling it per checkpoint_df would scatter lineage cuts across
+        # one empty UUID dir per call (ADVICE r5). Set it once per
+        # (context, base-dir); re-set only if the conf changed mid-session.
+        if getattr(sc, "_graft_ckpt_base", None) != ckpt_dir:
+            sc.setCheckpointDir(ckpt_dir)
+            sc._graft_ckpt_base = ckpt_dir
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 
