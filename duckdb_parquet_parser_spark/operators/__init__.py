@@ -118,7 +118,6 @@ ROTATION_TAIL = [
     "ns_dedup_minhash",
     "ns_dedup_minhash_salted",
     "ns_dedup_simhash",
-    "ns_dedup_simhash_pairs",
     "ns_ngram_jaccard",
     "ns_knn_bruteforce",
     "ns_ann_lsh_buckets",
@@ -146,6 +145,7 @@ ROTATION_TAIL = [
     "ns_quality_logit",
     "stream_tumbling",
     # r4-certified, did not fit the round-6 window — MUST lead round 7
+    "ns_text_rollhash",
     "ns_text_redact",
     "ns_text_repetition",
     "ns_vocab_topk",

