@@ -99,30 +99,134 @@ def embed_neardup_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VERIFY_SLAB_PAIRS = 4_000_000  # per-slab pair cap in _verify_cell_impl
+
+
+def _verify_cell_impl(pdf):
+    """Generate + verify one IVF cell's candidate pairs inside a single
+    Arrow batch (the ``applyInPandas`` kernel behind
+    :func:`q_ns_embed_neardup`).
+
+    Every vector of the cell arrives ONCE (id, embedding, norm, probe-cell
+    list); pairs are generated as index arrays and verified with numpy —
+    the previous pair-join plan shipped BOTH embeddings per candidate
+    pair through Arrow (~250 MB per run at sf0.1 for 481 K candidates),
+    which dominated the query. Per-cell transfer is |cell| rows (~1 MB
+    total), a 100×+ reduction (round 6).
+
+    Exactly-once rule, bitmask form: a pair sharing several probed cells
+    would be generated by each shared cell's group; it is kept only where
+    the group's cell is the SMALLEST shared cell. With N_CELLS ≤ 64 each
+    probe list packs into a uint64 bitmask, so "smallest shared cell ==
+    this cell" is ``(m_a & m_b) & -(m_a & m_b) == 1 << cell`` — fully
+    vectorized, correct for any N_PROBE.
+
+    Bit-parity with the DuckDB oracle (and the old JVM fold): embeddings
+    promote float32→float64 per element, the dot accumulates DIMENSION BY
+    DIMENSION left-to-right (``acc = acc + A[ia,d] * A[ib,d]`` — the same
+    chain of IEEE-double adds as ``functions.dot_product``; numpy
+    elementwise ops never reassociate), the norms are the JVM-computed
+    ``vnorm`` doubles, and zero-norm pairs score 0.0 (``safe_cosine``).
+    Asserted by the oracle hash (exact set equality of surviving pairs)
+    at sf0.001/0.01/0.1 plus the randomized fixtures.
+
+    Memory: pair index arrays are generated in slabs of rows so peak
+    allocation stays ~``VERIFY_SLAB_PAIRS`` pairs regardless of cell
+    size — a skewed fat cell degrades to more slab iterations, not an
+    OOM. The gathers are 1-D per dimension (never a pairs×dims matrix).
+    """
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+        }
+    )
+    # a NULL embedding scores a NULL cosine in both engines and can never
+    # pass the >= threshold — drop those rows before stacking
+    pdf = pdf[[e is not None for e in pdf["embedding"]]]
+    n = len(pdf)
+    if n < 2:
+        return empty
+    cell = int(pdf["cell"].iloc[0])
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids)
+    pdf = pdf.iloc[order]
+    ids = ids[order]
+    masks = np.zeros(n, dtype=np.uint64)
+    for k, cs in enumerate(pdf["cells"]):
+        m = 0
+        for c in cs:
+            m |= 1 << int(c)
+        masks[k] = m
+    cell_bit = np.uint64(1 << cell)
+    A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+    rows_per_slab = max(1, VERIFY_SLAB_PAIRS // n)
+    out_a, out_b = [], []
+    for i0 in range(0, n - 1, rows_per_slab):
+        i1 = min(i0 + rows_per_slab, n - 1)
+        # pairs (i, j) with i in [i0, i1), j > i
+        ia, jb = np.meshgrid(
+            np.arange(i0, i1), np.arange(0, n), indexing="ij"
+        )
+        sel = jb > ia
+        ia, jb = ia[sel], jb[sel]
+        shared = masks[ia] & masks[jb]
+        keep = (shared & (~shared + np.uint64(1))) == cell_bit
+        ia, jb = ia[keep], jb[keep]
+        if len(ia) == 0:
+            continue
+        acc = np.zeros(len(ia), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc = acc + A[ia, d] * A[jb, d]
+        denom = nrm[ia] * nrm[jb]
+        cos = np.zeros(len(ia), dtype=np.float64)
+        np.divide(acc, denom, out=cos, where=denom != 0)
+        good = cos >= NEARDUP_COS
+        out_a.append(ids[ia[good]])
+        out_b.append(ids[jb[good]])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_a": np.concatenate(out_a),
+            "vec_b": np.concatenate(out_b),
+        }
+    )
+
+
 def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via cluster-then-join (the SemDeDup
+    """Embedding near-duplicate pairs via cluster-then-verify (the SemDeDup
     shape): coarse-quantize every vector into its ``N_PROBE`` nearest IVF
-    cells, generate candidate pairs only within a shared cell (equi-join on
-    the cell id), then verify each candidate with the exact cosine.
+    cells, then generate AND verify candidate pairs per cell in one
+    Arrow-batched ``applyInPandas`` stage (:func:`_verify_cell_impl`).
 
     Scale design: the only crossJoin is against the broadcast N_CELLS
-    centroid table (one narrow pass per vector); candidate generation is a
-    bucket equi-join, so work is O(Σ cell²) not O(n²) — with real
-    (clustered) embeddings and K ∝ √n cells this is the standard
-    sub-quadratic embedding-dedup plan. Recall vs the all-pairs baseline is
-    measured in tests/test_similarity.py; the oracle replicates the same
-    candidate generation, so the differential check is exact.
+    centroid table (one narrow pass per vector); pair work is O(Σ cell²)
+    not O(n²) — with real (clustered) embeddings and K ∝ √n cells this is
+    the standard sub-quadratic embedding-dedup plan. Each vector is
+    shuffled once per probed cell (≤ N_PROBE rows) and its embedding
+    crosses the Python boundary once per cell — NOT once per candidate
+    pair, which is what the previous bucket-equi-join + per-pair-UDF plan
+    paid (round 6: 3.1-4.4 s → 1.2-1.6 s at sf0.1, identical output).
+    Parallelism is bounded by the number of cells (∝ √n at scale; 16 at
+    the fixture SFs — the documented strong-scaling plateau). Recall vs
+    the all-pairs baseline is measured in tests/test_similarity.py; the
+    oracle replicates the same candidate generation, so the differential
+    check is exact.
     """
     emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
-    # norm precomputed per vector (not per pair): the join shuffles
-    # materialize it, so verification pays one dot fold per candidate
-    # instead of three — bit-identical to cosine_similarity (functions.py).
-    # Each vector also carries its (≤ N_PROBE)-element probe-cell list:
-    # the window reuses the vec_id partitioning ivf_assignments' rank
-    # window already established, so collecting it is exchange-free.
+    # norm precomputed per vector (not per pair) — bit-identical to
+    # cosine_similarity (functions.py). Each vector also carries its
+    # (≤ N_PROBE)-element probe-cell list: the window reuses the vec_id
+    # partitioning ivf_assignments' rank window already established, so
+    # collecting it is exchange-free.
     wv = Window.partitionBy("vec_id")
     assigned = (
         ivf_assignments(emb, centroids, N_PROBE)
@@ -135,47 +239,26 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cells",
         )
     )
-    a = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-        F.col("cells").alias("ca"),
+    return assigned.groupBy("cell").applyInPandas(
+        _verify_cell_impl, "vec_a long, vec_b long"
     )
-    b = assigned.select(
-        "cell",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-        F.col("cells").alias("cb"),
-    )
-    # Verify-exactly-once (round 5, replacing verify-then-distinct): a pair
-    # sharing BOTH probed cells appears in two bucket-join groups; keeping
-    # only the row whose join cell is the smallest shared cell makes every
-    # candidate pair unique BEFORE the cosine runs — the duplicate rows
-    # drop map-side on tiny int arrays (≤ N_PROBE elements), verification
-    # runs once per unique pair instead of up to twice, and the trailing
-    # distinct exchange disappears entirely (the old plan's only
-    # post-verify shuffle). Same pair set as the oracle's DISTINCT.
-    cand = a.join(b, "cell").filter(
-        (F.col("vec_a") < F.col("vec_b"))
-        & (F.col("cell") == F.array_min(F.array_intersect("ca", "cb")))
-    )
-    pair_dot = F.pandas_udf(_pair_dot_impl, T.DoubleType())
-    cos = safe_cosine(
-        pair_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
-    )
-    return cand.filter(cos >= NEARDUP_COS).select("vec_a", "vec_b")
 
 
 def _pair_dot_impl(ea, eb):
-    """Arrow-vectorized exact dot product over candidate pairs — the one
-    sanctioned Python hot path in the similarity family (VERDICT r4 #4:
-    the interpreted higher-order-function fold was ~2 s of the query at
-    sf0.1; HOFs never enter whole-stage codegen, and the unrolled
-    element_at chain measured 3× SLOWER still — the ~300-node generated
-    method blows the JVM's 8 KB JIT threshold and runs interpreted, see
-    BENCH_NOTES).
+    """Arrow-vectorized exact dot product over candidate PAIRS — the
+    pair-shaped verify primitive for pipelines whose candidates arrive as
+    (vec_a, vec_b) rows (an external candidate list, a pre-joined bucket
+    table). ``q_ns_embed_neardup`` stopped using it in round 6 — its
+    candidates are generated per cell, where :func:`_verify_cell_impl`
+    ships each embedding once per cell instead of once per pair — but the
+    primitive stays: NULL semantics are pinned by
+    tests/test_similarity.py (a NULL dot, never NaN — Spark orders NaN
+    above every numeric, so a NaN cosine would pass a >= threshold).
+    History: the interpreted higher-order-function fold was ~2 s of the
+    query at sf0.1 (HOFs never enter whole-stage codegen), and the
+    unrolled element_at chain measured 3× slower still — the ~300-node
+    generated method blows the JVM's 8 KB JIT threshold and runs
+    interpreted (BENCH_NOTES r5).
 
     Bit-parity with :func:`functions.dot_product` (so with the DuckDB
     oracle): float32→float64 promotion is exact, and the accumulation

@@ -264,23 +264,21 @@ def test_shared_ngrams_single_gram_shuffle_topk(plans):
     assert "partial" in plan.lower()
 
 
-def test_embed_neardup_verifies_once_no_post_verify_shuffle(plans):
-    """Round-5 shape: the exact-cosine verify is an Arrow-vectorized
-    pandas UDF over uniquified candidates (smallest-shared-cell rule), so
-    the plan has NO distinct/aggregate above the pair join — the old
-    verify-then-distinct shape paid an extra exchange on the survivors —
-    and no row-at-a-time Python anywhere."""
+def test_embed_neardup_per_cell_verify_no_pair_join(plans):
+    """Round-6 shape: candidate generation AND exact-cosine verification
+    run per IVF cell inside one Arrow-batched applyInPandas kernel
+    (similarity._verify_cell_impl), so the plan has NO pair-level join at
+    all — each embedding crosses the Python boundary once per probed
+    cell, never once per candidate pair (the round-5 plan's dominant
+    cost) — and no row-at-a-time Python anywhere. The only non-equi join
+    left is the broadcast N_CELLS centroid assignment."""
     plan = plans("ns_embed_neardup")
-    assert "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
-    # the pair join is the LAST exchange-consumer: no HashAggregate above
-    # it (the old distinct); the smallest-shared-cell filter dedupes
-    join_pos = plan.find("SortMergeJoin")
-    assert join_pos != -1
-    assert "array_intersect" in plan
-    assert "HashAggregate" not in plan[:join_pos], (
-        "aggregate above the candidate join — the distinct came back"
-    )
+    # the old pair-level shuffle join (and any distinct above it) is gone
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 @pytest.mark.parametrize("name", ["ns_dupgram_profile", "ns_shared_ngrams"])
