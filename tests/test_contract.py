@@ -127,3 +127,35 @@ def test_cert_ledger_round_parsing_is_numeric():
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and row.get("hash_match"):
                 assert certs[name][0] >= rnd, (name, certs[name], rnd)
+
+
+def test_cert_ledger_forecast_names_parked_stale_only():
+    """The round-N+2 must-rotate forecast (VERDICT r5 #7) must name
+    exactly the parked queries whose certification will be ≥2 rounds old
+    after the upcoming driver run — never anything in the current head
+    (those get re-certified), never anything certified in the latest
+    round."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import cert_ledger
+
+    queries, _ = collect_queries()
+    names = list(queries)
+    head = set(names[:50])
+    certs = cert_ledger.latest_certs()
+    rounds = sorted({r for r, _ in certs.values()})
+    latest = rounds[-1] if rounds else 0
+    forecast = cert_ledger.forecast_next_round(names, head, certs, latest)
+    assert set(forecast).isdisjoint(head)
+    for n in forecast:
+        assert certs.get(n, (0, "-"))[0] <= latest - 1, n
+    # completeness: every parked query certified <= latest-1 is forecast
+    expected = [
+        n
+        for n in names
+        if n not in head and certs.get(n, (0, "-"))[0] <= latest - 1
+    ]
+    assert forecast == expected
