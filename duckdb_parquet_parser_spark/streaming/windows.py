@@ -50,15 +50,35 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
+def _run_windowed_agg(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Complete-mode run with stream-sized state (round 6 — the
+    q_streaming_enrich finding applied to the two window aggregations
+    that still ran 8 × 32 state commits: a stateful agg pays one
+    state-store commit per (microbatch × state partition) regardless of
+    data volume, and these aggregates hold only #windows × #types groups.
+    4 files per trigger × 8 partitions produces identical output —
+    complete mode is the full aggregation either way — while still
+    exercising cross-microbatch state handoff; measured 6.4 s → ~1.3 s
+    at sf0.1 for tumbling. At 100 TB the conf scales with the cluster;
+    the state stays #groups-sized either way."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try:
+        return run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set(key, old)
+
+
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complete-mode tumbling aggregation — batch-equivalent final state."""
-    src = event_stream(spark, stage_events(spark, sf_dir))
-    return run_to_memory(tumbling_agg(src), "complete")
+    src = event_stream(spark, stage_events(spark, sf_dir), files_per_trigger=4)
+    return _run_windowed_agg(tumbling_agg(src), spark)
 
 
 def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = event_stream(spark, stage_events(spark, sf_dir))
-    return run_to_memory(sliding_agg(src), "complete")
+    src = event_stream(spark, stage_events(spark, sf_dir), files_per_trigger=4)
+    return _run_windowed_agg(sliding_agg(src), spark)
 
 
 def streaming_tumbling_append(
