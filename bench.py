@@ -60,6 +60,9 @@ HEADLINE = [
     "ns_shared_ngrams",
     "ns_common_token_ratio",
     "ns_quality_logit",
+    # round-6 additions: RAG chunk manifest + per-doc TF-IDF salience
+    "ns_chunk_split",
+    "ns_tfidf_topterms",
 ]
 
 

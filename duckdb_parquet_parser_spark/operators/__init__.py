@@ -145,6 +145,8 @@ ROTATION_TAIL = [
     "ns_quality_logit",
     "stream_tumbling",
     # r4-certified, did not fit the round-6 window — MUST lead round 7
+    "ns_text_fingerprint",
+    "ns_sample_stratified",
     "ns_text_rollhash",
     "ns_text_redact",
     "ns_text_repetition",

@@ -247,7 +247,52 @@ def q_ns_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_WIDTH = 500  # chars per chunk
+CHUNK_STRIDE = 400  # start-to-start distance (=> 100-char overlap)
+
+
+def q_ns_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking of every document — the
+    RAG/embedding-prep splitter (chunk k covers chars
+    [1 + k·STRIDE, 1 + k·STRIDE + WIDTH), so consecutive chunks share
+    WIDTH − STRIDE chars of context). Emits per chunk its index, start
+    offset, actual length (the tail chunk is short), and content hash —
+    the compact manifest an embedding or retrieval indexer consumes.
+
+    Scale shape: one narrow projection + an explode of a per-row
+    ``sequence`` — no shuffle at all, embarrassingly parallel, and the
+    chunk count is derived arithmetic so no second pass over the text.
+    Offsets are CHARACTER-based on both engines (substr semantics
+    match), so multi-byte text chunks identically.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_chunks = F.floor((n - F.lit(1)) / CHUNK_STRIDE) + F.lit(1)
+    chunk = F.expr(f"substr(text, chunk_start, {CHUNK_WIDTH})")
+    return (
+        df.filter(F.col("text").isNotNull() & (n >= 1))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (n_chunks - 1).cast("long"))
+            ).alias("chunk_idx"),
+        )
+        .withColumn(
+            "chunk_start", (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("long")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 QUERIES = {
+    "ns_chunk_split": q_ns_chunk_split,
     "ns_vocab_topk": q_ns_vocab_topk,
     "ns_seq_pack": q_ns_seq_pack,
     "ns_mixture_weights": q_ns_mixture_weights,
@@ -261,6 +306,29 @@ _NT_SQL = (
 )
 
 ORACLES = {
+    "ns_chunk_split": f"""
+        WITH base AS (
+            SELECT doc_id, text, length(text) AS n
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) >= 1
+        ),
+        idx AS (
+            -- scalar generate_series returns a LIST, so unnest fans out
+            -- per row (the table-function form rejects lateral columns)
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       CAST(floor((n - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS k
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(k AS BIGINT) AS chunk_idx,
+               CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT) AS chunk_start,
+               CAST(length(substr(text, CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT),
+                                  {CHUNK_WIDTH})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(k * {CHUNK_STRIDE} + 1 AS BIGINT),
+                          {CHUNK_WIDTH})) AS chunk_hash
+        FROM idx
+    """,
     "ns_vocab_topk": f"""
         WITH words AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS word

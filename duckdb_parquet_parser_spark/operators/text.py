@@ -339,7 +339,67 @@ def q_ns_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(bucket <= thresh)
 
 
+TFIDF_TOP_K = 5
+
+
+def q_ns_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOP_K`` terms by TF-IDF — the classic
+    keyword/salience signal (topic tagging, near-dup triage, index
+    pruning). tf = term multiplicity in the doc, df = #docs containing
+    the term, score = tf · ln((N+1)/(df+1)) (the smoothed IDF), reported
+    and RANKED on the 6-decimal-rounded score — ``ln`` is correct to the
+    last ulp in both engines' libm but not bit-identical, so rankings
+    order on the same quantized grid the output reports (the
+    cosine-ranking lesson from the round-5 seed sweep) with the term as
+    the deterministic tiebreak.
+
+    Scale shape: one hash aggregation — (doc_id, term) with map-side
+    partials — then document frequency as ``count() over (partition by
+    term)`` directly on the aggregated tf frame (the per-term groups ARE
+    the df counts, so a window on the already-term-keyed rows replaces a
+    second aggregate + shuffle join of the same subplan — A/B'd at
+    sf0.1: identical output, 7 → 5 exchanges). The corpus size N is a
+    broadcast one-row aggregate (no driver collect), and the top-k is a
+    per-doc window partitioned by doc_id. No global sort; skew on
+    stop-word terms affects window and join spellings alike (both key
+    the full tf frame by term) and is AQE-balanced.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf")
+        * F.log(
+            (F.col("n_docs") + F.lit(1)).cast("double")
+            / (F.col("df") + F.lit(1)).cast("double")
+        ),
+        6,
+    )
+    wt = Window.partitionBy("term")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.withColumn("df", F.count(F.lit(1)).over(wt))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "rank", "score")
+    )
+
+
 QUERIES = {
+    "ns_tfidf_topterms": q_ns_tfidf_topterms,
     "ns_pipeline_curate": q_ns_pipeline_curate,
     "ns_contamination": q_ns_contamination,
     "ns_sample_stratified": q_ns_sample_stratified,
@@ -377,6 +437,36 @@ _CONTAM_GRAM_EXPR = " || ' ' || ".join(
 )
 
 ORACLES = {
+    "ns_tfidf_topterms": f"""
+        WITH docs AS (
+            SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        ),
+        words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM docs
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM words WHERE term <> '' GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                    / CAST(df.df + 1 AS DOUBLE)), 6) AS score
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, tf, df,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS INT) AS rank,
+               score
+        FROM scored
+        QUALIFY rank <= {TFIDF_TOP_K}
+    """,
     "ns_contamination": f"""
         WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -81,3 +81,71 @@ def test_kmeans_assigns_every_vector_deterministically(spark, sf_smoke):
     # assignment for at least one vector.
     again = {(r["vec_id"], r["cluster"]) for r in q_ns_kmeans_embed(spark, sf_smoke).collect()}
     assert {(r["vec_id"], r["cluster"]) for r in rows} == again
+
+
+def test_chunk_split_covers_text_with_overlap(spark, sf_smoke):
+    """Chunk k starts at 1 + k*STRIDE; consecutive chunks overlap by
+    WIDTH-STRIDE chars; the chunk set tiles every document exactly (the
+    last chunk reaches the end, no chunk starts past it)."""
+    from duckdb_parquet_parser_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+        q_ns_chunk_split,
+    )
+
+    rows = q_ns_chunk_split(spark, sf_smoke).collect()
+    assert rows
+    lens = {
+        r["doc_id"]: r["len"]
+        for r in load_table(spark, sf_smoke, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.length("text").alias("len"))
+        .collect()
+    }
+    by_doc = {}
+    for r in rows:
+        assert r["chunk_start"] == 1 + r["chunk_idx"] * CHUNK_STRIDE
+        assert 1 <= r["chunk_len"] <= CHUNK_WIDTH
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        last = chunks[-1]
+        n = lens[doc_id]
+        # last chunk reaches the end of the text, and no further chunk fits
+        assert last["chunk_start"] + last["chunk_len"] - 1 == n
+        assert last["chunk_start"] <= n
+        assert 1 + len(chunks) * CHUNK_STRIDE > n
+        # full chunks are exactly WIDTH; only the tail may be short
+        for c in chunks[:-1]:
+            assert c["chunk_len"] == CHUNK_WIDTH or (
+                c["chunk_start"] + CHUNK_WIDTH - 1 > n
+            )
+
+
+def test_tfidf_topterms_ranks_and_bounds(spark, sf_smoke):
+    """Per doc: at most TOP_K terms, ranks 1..k dense, ordered by
+    (rounded score desc, term); df never exceeds the corpus size and a
+    term appearing in every doc scores ~ln((N+1)/(N+1)) = 0."""
+    from duckdb_parquet_parser_spark.operators.text import (
+        TFIDF_TOP_K,
+        q_ns_tfidf_topterms,
+    )
+
+    rows = q_ns_tfidf_topterms(spark, sf_smoke).collect()
+    assert rows
+    n_docs = (
+        load_table(spark, sf_smoke, "documents")
+        .filter(F.col("text").isNotNull())
+        .count()
+    )
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, terms in by_doc.items():
+        terms.sort(key=lambda r: r["rank"])
+        assert 1 <= len(terms) <= TFIDF_TOP_K
+        assert [t["rank"] for t in terms] == list(range(1, len(terms) + 1))
+        keys = [(-t["score"], t["term"]) for t in terms]
+        assert keys == sorted(keys)
