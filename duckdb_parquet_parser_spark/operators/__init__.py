@@ -74,28 +74,35 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-6 rotation (VERDICT r5 #1). The head this round, in priority
-# order: (1) the TWENTY-THREE r3-certified queries whose certifications
-# aged to three rounds while parked (stream_sliding, r2_schema,
-# r2_counts, r3_full_column_scan, r9_projection, f2_null_semantics,
+# Round-6 rotation (VERDICT r5 #1). Head composition (50 slots, counts
+# verified against the generated ledger — scripts/cert_ledger.py):
+# (1) the TWENTY-THREE r3-certified queries whose certifications aged to
+# three rounds while parked (stream_sliding, r2_schema, r2_counts,
+# r3_full_column_scan, r9_projection, f2_null_semantics,
 # f3_string_columns, f1_regex_filter/docs/neg, rel_union/intersect/
 # except, rel_rollup/cube/grouping_sets, rel_distinct, rel_scalar_funcs,
 # rel_case_expr, rel_join_semi, rel_join_anti, rel_sort_topk,
-# rel_window_running) — the entire must-rotate set the generated ledger
-# named after round 5; (2) the queries whose plan changed in round 6:
-# ns_contamination (text._word_ngrams rewritten slice+array_join, the
-# round-5 recorded TODO), ns_embed_neardup (null-masked vectorized
-# pair-dot, ADVICE r5), r8_page_index (PageIterator context-manager +
-# leak fix, ADVICE r5), ns_dedup_components (per-round job trim,
-# VERDICT r5 #3); (3) twenty-three r4-certified queries rotated back in
-# EARLY — their certifications age to two rounds when the round-6 driver
-# runs, and rotating most of them now leaves only twelve for the
-# round-7 window instead of thirty-six. That fills all 50 slots.
+# rel_window_running) — the entire must-rotate set the ledger named
+# after round 5; (2) FOUR queries whose plan changed in round 6:
+# ns_embed_neardup (per-cell applyInPandas verify), r8_page_index
+# (PageIterator context-manager + leak fix), ns_dedup_simhash_pairs +
+# ns_dedup_components (materialized signature frame, checkpoint
+# cadence); (3) TWO queries whose shared expressions changed:
+# ns_contamination (slice+array_join _word_ngrams) and
+# streaming_tumbling_rt (stream-sized state, files_per_trigger 4);
+# (4) TWO new round-6 queries, never certified: ns_chunk_split,
+# ns_tfidf_topterms; (5) EIGHTEEN further r4-certified queries rotated
+# back EARLY — their certifications age to two rounds when the round-6
+# driver runs, and rotating most now shrinks the round-7 obligation.
+# 23 + 5 + 2 + 2 + 18 = 50.
 #
-# Parked below: the 47 r5-certified queries untouched this round
-# (stale in round 8), then the TWELVE r4-certified queries that did not
-# fit (ns_text_redact .. stream_session at the end of this list) —
-# those twelve MUST lead the round-7 window.
+# Parked below: the 45 r5-certified queries untouched this round (they
+# go stale in round 8), then the SIXTEEN r4-certified queries that did
+# not fit (ns_pipeline_curate, ns_text_fingerprint .. stream_session
+# at the end of this list; SIXTEEN) — those MUST lead the round-7
+# window. The generated
+# ledger's forecast line (COVERAGE.md) names exactly this set; trust the
+# ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
     # r5-certified, untouched in round 6 (rotate by round 8)
     "udf_table_function",
@@ -118,7 +125,6 @@ ROTATION_TAIL = [
     "ns_dedup_minhash",
     "ns_dedup_minhash_salted",
     "ns_dedup_simhash",
-    "ns_ngram_jaccard",
     "ns_knn_bruteforce",
     "ns_ann_lsh_buckets",
     "ns_ann_ivf_topk",
@@ -145,6 +151,7 @@ ROTATION_TAIL = [
     "ns_quality_logit",
     "stream_tumbling",
     # r4-certified, did not fit the round-6 window — MUST lead round 7
+    "ns_pipeline_curate",
     "ns_text_fingerprint",
     "ns_sample_stratified",
     "ns_text_rollhash",

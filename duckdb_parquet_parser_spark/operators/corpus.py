@@ -264,10 +264,21 @@ def q_ns_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk count is derived arithmetic so no second pass over the text.
     Offsets are CHARACTER-based on both engines (substr semantics
     match), so multi-byte text chunks identically.
+
+    Chunk count is ``max(1, ceil((n − overlap) / stride))`` — chunking
+    STOPS once a chunk reaches the end of the document. The naive
+    "every start position ≤ n" rule emits a final chunk that is a strict
+    suffix of the previous one whenever (n−1) mod stride < overlap
+    (~25% of lengths at these constants): pure duplicate content, i.e. a
+    wasted duplicate embedding per such doc for the downstream indexer
+    (code-review r6).
     """
     df = load_table(spark, sf_dir, "documents")
     n = F.length("text")
-    n_chunks = F.floor((n - F.lit(1)) / CHUNK_STRIDE) + F.lit(1)
+    overlap = CHUNK_WIDTH - CHUNK_STRIDE
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(CHUNK_STRIDE))
+    )
     chunk = F.expr(f"substr(text, chunk_start, {CHUNK_WIDTH})")
     return (
         df.filter(F.col("text").isNotNull() & (n >= 1))
@@ -314,10 +325,14 @@ ORACLES = {
         ),
         idx AS (
             -- scalar generate_series returns a LIST, so unnest fans out
-            -- per row (the table-function form rejects lateral columns)
+            -- per row (the table-function form rejects lateral columns);
+            -- chunk count = max(1, ceil((n - overlap) / stride)) — stop
+            -- once a chunk reaches the end of the document
             SELECT doc_id, text,
                    unnest(generate_series(0,
-                       CAST(floor((n - 1) / {CHUNK_STRIDE}) AS BIGINT))) AS k
+                       CAST(greatest(1, ceil((n - {CHUNK_WIDTH - CHUNK_STRIDE})
+                           / CAST({CHUNK_STRIDE} AS DOUBLE))) AS BIGINT) - 1))
+                       AS k
             FROM base
         )
         SELECT doc_id,

@@ -517,24 +517,16 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard over all pairs of a small doc subset (the exact
     quadratic baseline that MinHash approximates)."""
+    from .ngram_stats import _all_word_ngrams
+
     df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
     ws = F.split("text", " ")
-    # slice+array_join per position, not chained element_at probes — the
-    # spelling the round-5 n-gram profiling showed is the fast one
-    # (ngram_stats._all_word_ngrams); identical output on null-free
-    # split arrays
-    tri = F.filter(
-        F.transform(
-            ws,
-            lambda w, i: F.when(
-                i + 2 < F.size(ws),
-                F.array_join(F.slice(ws, i + 1, 3), " "),
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    # one definition of the full-window slice+array_join expression
+    # (ngram_stats._all_word_ngrams — the spelling the round-5 profiling
+    # showed is 4.3x faster than chained element_at probes)
     grams = df.select(
-        "doc_id", F.explode(F.array_distinct(tri)).alias("g")
+        "doc_id",
+        F.explode(F.array_distinct(_all_word_ngrams(ws, 3))).alias("g"),
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ga = grams.select(F.col("doc_id").alias("doc_a"), "g")

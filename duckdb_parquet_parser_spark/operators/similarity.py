@@ -159,6 +159,15 @@ def _verify_cell_impl(pdf):
     for k, cs in enumerate(pdf["cells"]):
         m = 0
         for c in cs:
+            if not 0 <= int(c) < 64:
+                # the uint64 packing holds 64 cells; a wider IVF (cells
+                # ∝ √n at corpus scale) needs multi-word masks — fail
+                # loudly here instead of overflowing numpy's uint64
+                # deep inside an executor batch (code-review r6)
+                raise ValueError(
+                    f"cell id {int(c)} exceeds the 64-cell bitmask; "
+                    "widen _verify_cell_impl's mask packing"
+                )
             m |= 1 << int(c)
         masks[k] = m
     cell_bit = np.uint64(1 << cell)

@@ -252,29 +252,14 @@ CONTAM_MIN_SHARED = 2
 
 
 def _word_ngrams(ws, n: int):
-    """Distinct word n-grams of a split-text array, as a column expression
-    (transform over positions + filter — no explode until the caller asks).
+    """Distinct word n-grams of a split-text array — the distinct variant
+    of ``ngram_stats._all_word_ngrams`` (ONE definition of the subtle
+    full-window slice+array_join expression; a third inline copy in
+    ``dedup.q_ns_ngram_jaccard`` was also collapsed onto it,
+    code-review r6)."""
+    from .ngram_stats import _all_word_ngrams
 
-    Spelled ``array_join(slice(ws, i+1, n), ' ')`` per position, the same
-    single-pass window read as ``ngram_stats._all_word_ngrams`` — the
-    previous chain of n−1 ``element_at`` probes per position measured
-    4.3× slower at n=12 (BENCH_NOTES r5). Output is identical: ``split``
-    arrays contain no nulls, so concat_ws's null-skip never fired and
-    both spellings emit the same space-joined window; the ``when`` guard
-    keeps only full windows, and ``array_distinct`` makes this the
-    distinct variant."""
-    return F.array_distinct(
-        F.filter(
-            F.transform(
-                ws,
-                lambda w, i: F.when(
-                    i + n - 1 < F.size(ws),
-                    F.array_join(F.slice(ws, i + 1, n), " "),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
+    return F.array_distinct(_all_word_ngrams(ws, n))
 
 
 def q_ns_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,6 +62,55 @@ def session_agg(events: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     )
 
 
+def enrich_agg(events: DataFrame, cust: DataFrame) -> DataFrame:
+    """Stream-static enrichment plan, shared by the streaming query
+    (streaming/windows.q_streaming_enrich) and its batch twin
+    (scripts/streaming_batch_floor.py): broadcast-join the customer
+    dimension, aggregate per (segment, event_type). One definition so the
+    published streaming-vs-batch denominator can never drift from the
+    streaming plan (code-review r6). ``cust`` must already be projected
+    to (user_id, segment)."""
+    return (
+        events.join(F.broadcast(cust), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )
+
+
+def view_purchase_projections(
+    events: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """(views, buys) projections for the attribution join — shared by
+    streaming (which adds watermarks on top) and batch."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").cast("timestamp").alias("view_ts"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("buy_ts"),
+    )
+    return views, buys
+
+
+ATTRIBUTION_WINDOW = "30 MINUTES"
+
+
+def attribution_join(views: DataFrame, buys: DataFrame) -> DataFrame:
+    """Views matched to purchases by the same user within the attribution
+    window — the event-time-bounded join both the stream-stream query and
+    its batch twin execute (one definition, code-review r6)."""
+    return views.join(
+        buys,
+        F.expr(
+            "v_user = b_user AND buy_ts >= view_ts"
+            f" AND buy_ts <= view_ts + INTERVAL {ATTRIBUTION_WINDOW}"
+        ),
+    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_agg(load_table(spark, sf_dir, "events"))
 

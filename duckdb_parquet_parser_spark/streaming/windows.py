@@ -129,27 +129,16 @@ def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..catalog import load_table
-    from ..functions import dsum
+    from ..operators.windows import enrich_agg
 
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
     src = event_stream(spark, stage_events(spark, sf_dir), files_per_trigger=4)
-    agg = (
-        src.join(F.broadcast(cust), "user_id")
-        .groupBy("segment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
-    )
-    # state partition count is fixed at stream start from this conf —
-    # size it for the stream (see docstring), then restore the batch value
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try:
-        return run_to_memory(agg, "complete")
-    finally:
-        spark.conf.set(key, old)
+    # plan shared with the batch twin (operators.windows.enrich_agg);
+    # _run_windowed_agg sizes the state partitions for the stream
+    return _run_windowed_agg(enrich_agg(src, cust), spark)
 
 
 def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,36 +177,21 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits matches eagerly within their data batch, and eviction is
     pointless in a run that stops on completion — batch parity asserted
     as always by the oracle)."""
-    from pyspark.sql import functions as F
+    from ..operators.windows import attribution_join, view_purchase_projections
 
     staged = stage_events(spark, sf_dir)
-    views = (
+    # projections + join predicate shared with the batch twin
+    # (operators.windows); the stream adds the watermarks on top
+    views, _ = view_purchase_projections(
         event_stream(spark, staged, files_per_trigger=4)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").cast("timestamp").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "2 hours")
     )
-    buys = (
+    _, buys = view_purchase_projections(
         event_stream(spark, staged, files_per_trigger=4)
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("b_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").cast("timestamp").alias("buy_ts"),
-        )
-        .withWatermark("buy_ts", "2 hours")
     )
-    j = views.join(
-        buys,
-        F.expr(
-            "v_user = b_user AND buy_ts >= view_ts"
-            " AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
-        ),
-    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    j = attribution_join(
+        views.withWatermark("view_ts", "2 hours"),
+        buys.withWatermark("buy_ts", "2 hours"),
+    )
     # state partition count is fixed at stream start from this conf —
     # size it for the stream (see docstring), then restore the batch value
     key = "spark.sql.shuffle.partitions"

@@ -28,8 +28,12 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from duckdb_parquet_parser_spark.catalog import load_table  # noqa: E402
-from duckdb_parquet_parser_spark.functions import dsum  # noqa: E402
-from duckdb_parquet_parser_spark.operators.windows import tumbling_agg  # noqa: E402
+from duckdb_parquet_parser_spark.operators.windows import (  # noqa: E402
+    attribution_join,
+    enrich_agg,
+    tumbling_agg,
+    view_purchase_projections,
+)
 from duckdb_parquet_parser_spark.session import get_spark  # noqa: E402
 from duckdb_parquet_parser_spark.streaming.source import stage_events  # noqa: E402
 from duckdb_parquet_parser_spark.streaming.windows import (  # noqa: E402
@@ -37,6 +41,11 @@ from duckdb_parquet_parser_spark.streaming.windows import (  # noqa: E402
     q_streaming_join,
     q_streaming_tumbling_rt,
 )
+
+# The batch twins BUILD THE SAME PLAN as the streaming queries — the
+# aggregation/join definitions live once in operators.windows and both
+# paths call them (code-review r6: hand-copied twins guarded only by a
+# row-count assert could silently diverge from an edited streaming plan).
 
 
 def batch_tumbling(spark, sf_dir):
@@ -50,34 +59,13 @@ def batch_enrich(spark, sf_dir):
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    return (
-        spark.read.parquet(staged)
-        .join(F.broadcast(cust), "user_id")
-        .groupBy("segment", "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
-    )
+    return enrich_agg(spark.read.parquet(staged), cust)
 
 
 def batch_join(spark, sf_dir):
     staged = stage_events(spark, sf_dir)
-    ev = spark.read.parquet(staged)
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("v_user"),
-        F.col("event_id").alias("view_id"),
-        F.col("ts").cast("timestamp").alias("view_ts"),
-    )
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("b_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").cast("timestamp").alias("buy_ts"),
-    )
-    return views.join(
-        buys,
-        F.expr(
-            "v_user = b_user AND buy_ts >= view_ts"
-            " AND buy_ts <= view_ts + INTERVAL 30 MINUTES"
-        ),
-    ).select(F.col("v_user").alias("user_id"), "view_id", "purchase_id")
+    views, buys = view_purchase_projections(spark.read.parquet(staged))
+    return attribution_join(views, buys)
 
 
 PAIRS = [

@@ -112,15 +112,18 @@ def test_chunk_split_covers_text_with_overlap(spark, sf_smoke):
         assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
         last = chunks[-1]
         n = lens[doc_id]
-        # last chunk reaches the end of the text, and no further chunk fits
+        # last chunk reaches the end of the text ...
         assert last["chunk_start"] + last["chunk_len"] - 1 == n
         assert last["chunk_start"] <= n
-        assert 1 + len(chunks) * CHUNK_STRIDE > n
+        # ... and is NOT redundant: the previous chunk must not already
+        # cover the end (the naive every-start-position rule emitted a
+        # strict-suffix duplicate tail for ~25% of lengths, code-review r6)
+        if len(chunks) >= 2:
+            prev = chunks[-2]
+            assert prev["chunk_start"] + CHUNK_WIDTH - 1 < n
         # full chunks are exactly WIDTH; only the tail may be short
         for c in chunks[:-1]:
-            assert c["chunk_len"] == CHUNK_WIDTH or (
-                c["chunk_start"] + CHUNK_WIDTH - 1 > n
-            )
+            assert c["chunk_len"] == CHUNK_WIDTH
 
 
 def test_tfidf_topterms_ranks_and_bounds(spark, sf_smoke):
