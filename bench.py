@@ -60,9 +60,11 @@ HEADLINE = [
     "ns_shared_ngrams",
     "ns_common_token_ratio",
     "ns_quality_logit",
-    # round-6 additions: RAG chunk manifest + per-doc TF-IDF salience
+    # round-6 additions: RAG chunk manifest, per-doc TF-IDF salience,
+    # TPC-H Q19 disjunctive pushdown
     "ns_chunk_split",
     "ns_tfidf_topterms",
+    "rel_disjunctive_q19",
 ]
 
 

@@ -442,7 +442,54 @@ def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(updates, "o_orderkey", "left_anti").unionByName(updates)
 
 
+Q19_BRANCHES = (
+    # (brand, max p_size, quantity lo, quantity hi) — three conjunctive
+    # branches OR'd together, TPC-H Q19's shape on this fixture's columns
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#4", 15, 20, 30),
+)
+
+
+def q_rel_disjunctive_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): a disjunction of conjunctive
+    predicates spanning BOTH join sides — the classic test of how an
+    optimizer handles OR across a join. One row out: total revenue and
+    the matched line count.
+
+    Scale shape: part is the broadcast dimension; Catalyst splits the
+    OR into per-table implied filters (each branch constrains p_brand /
+    p_size on one side and l_quantity on the other, so a superset
+    disjunction of single-table conjuncts is inferred and pushed below
+    the join on both sides — `PushedFilters: [Or(And(...)))]` on BOTH
+    scans, asserted in tests/test_plans.py), then evaluates the exact
+    predicate once per joined row. The aggregate is a DECIMAL-cast sum
+    (order-independent, engine-identical — the dsum convention)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = None
+    for brand, size_hi, q_lo, q_hi in Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
+    "rel_disjunctive_q19": q_rel_disjunctive_q19,
     "rel_agg_q1": q_rel_agg_q1,
     "rel_join_q3": q_rel_join_q3,
     "rel_merge_upsert": q_rel_merge_upsert,
@@ -470,7 +517,20 @@ QUERIES = {
     "rel_percentiles": q_rel_percentiles,
 }
 
+_Q19_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+    f" AND l_quantity BETWEEN {lo} AND {hi})"
+    for b, s, lo, hi in Q19_BRANCHES
+)
+
 ORACLES = {
+    "rel_disjunctive_q19": f"""
+        SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {_Q19_PRED}
+    """,
     "rel_join_q3": f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
                CAST(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -291,3 +291,29 @@ def test_ngram_stats_spread_before_gram_generation(plans, name):
     plan = plans(name)
     assert "RoundRobinPartitioning" in plan
     assert "slice(" in plan and "array_join" in plan
+
+
+def test_disjunctive_q19_pushes_or_to_both_scans(plans):
+    """The OR-across-the-join must be split into per-table superset
+    disjunctions and pushed into BOTH parquet scans (quantity ranges to
+    lineitem, brand/size conjuncts to part) — the point of the Q19
+    shape; a plan that evaluates the predicate only above the join reads
+    both tables in full."""
+    plan = plans("rel_disjunctive_q19")
+    # formatted explain: one "(n) Scan parquet" node per table, each with
+    # its own PushedFilters line in the details section
+    scans = [b for b in plan.split("Scan parquet") if "PushedFilters" in b]
+    pushed = {}
+    for b in scans:
+        lines = b.splitlines()
+        filt = next(ln for ln in lines if "PushedFilters" in ln)
+        schema = next(ln for ln in lines if "ReadSchema" in ln)
+        key = "lineitem" if "l_quantity" in schema else (
+            "part" if "p_brand" in schema else "?"
+        )
+        pushed[key] = filt
+    assert "lineitem" in pushed and "part" in pushed, pushed
+    assert "Or(" in pushed["lineitem"]
+    assert "Or(" in pushed["part"]
+    # part is the broadcast side — no shuffle join for a dimension table
+    assert "BroadcastHashJoin" in plan
