@@ -50,6 +50,10 @@ DOC_QUERIES = [
     "ns_dedup_minhash",
     "ns_dedup_simhash",
     "ns_ngram_jaccard",
+    # round-6 additions — chunk manifests and TF-IDF rankings exercise
+    # substr boundaries / ln-quantization edges the fixed fixture lacks
+    "ns_chunk_split",
+    "ns_tfidf_topterms",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",

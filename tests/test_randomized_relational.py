@@ -44,6 +44,8 @@ REL_QUERIES = [
     "rel_exists_q4",
     "rel_corr_scalar_q17",
     "rel_group_in_q18",
+    # round-6: disjunctive pushdown over the NULL-key/NULL-measure lineitem
+    "rel_disjunctive_q19",
 ]
 
 _STATUSES = ["F", "O", "P"]
