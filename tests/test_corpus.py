@@ -152,3 +152,32 @@ def test_tfidf_topterms_ranks_and_bounds(spark, sf_smoke):
         assert [t["rank"] for t in terms] == list(range(1, len(terms) + 1))
         keys = [(-t["score"], t["term"]) for t in terms]
         assert keys == sorted(keys)
+
+
+def test_chunk_formula_tiles_every_length_exhaustively():
+    """Pure-arithmetic exhaustive check of the chunk-count formula for
+    every document length 1..2000 (no Spark round-trip): chunks cover
+    [1, n] with the declared overlap, the last chunk reaches n, no chunk
+    is contained in its predecessor, and every non-tail chunk is exactly
+    WIDTH long."""
+    import math
+
+    from duckdb_parquet_parser_spark.operators.corpus import (
+        CHUNK_STRIDE,
+        CHUNK_WIDTH,
+    )
+
+    overlap = CHUNK_WIDTH - CHUNK_STRIDE
+    for n in range(1, 2001):
+        m = max(1, math.ceil((n - overlap) / CHUNK_STRIDE))
+        starts = [1 + k * CHUNK_STRIDE for k in range(m)]
+        ends = [min(s + CHUNK_WIDTH - 1, n) for s in starts]
+        assert starts[0] == 1
+        assert ends[-1] == n, n
+        for k in range(1, m):
+            # no gap: chunk k starts inside (or adjacent to) chunk k-1
+            assert starts[k] <= ends[k - 1] + 1, n
+            # no containment: predecessor must not already cover the end
+            assert ends[k - 1] < n, n
+        for k in range(m - 1):
+            assert ends[k] - starts[k] + 1 == CHUNK_WIDTH, n
