@@ -65,6 +65,7 @@ HEADLINE = [
     "ns_chunk_split",
     "ns_tfidf_topterms",
     "rel_disjunctive_q19",
+    "ns_heavy_hitters_cms",
 ]
 
 

@@ -90,17 +90,17 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # cadence); (3) TWO queries whose shared expressions changed:
 # ns_contamination (slice+array_join _word_ngrams) and
 # streaming_tumbling_rt (stream-sized state, files_per_trigger 4);
-# (4) THREE new round-6 queries, never certified: ns_chunk_split,
-# ns_tfidf_topterms, rel_disjunctive_q19; (5) SEVENTEEN further
-# r4-certified queries rotated back EARLY — their certifications age to two rounds when the round-6
+# (4) FOUR new round-6 queries, never certified: ns_chunk_split,
+# ns_tfidf_topterms, rel_disjunctive_q19, ns_heavy_hitters_cms;
+# (5) SIXTEEN further r4-certified queries rotated back EARLY — their certifications age to two rounds when the round-6
 # driver runs, and rotating most now shrinks the round-7 obligation.
-# 23 + 5 + 2 + 3 + 17 = 50.
+# 23 + 5 + 2 + 4 + 16 = 50.
 #
 # Parked below: the 45 r5-certified queries untouched this round (they
-# go stale in round 8), then the SEVENTEEN r4-certified queries that did
-# not fit (streaming_session_stateful, ns_pipeline_curate,
-# ns_text_fingerprint .. stream_session at the end of this list;
-# SEVENTEEN) — those MUST lead the round-7 window. The generated
+# go stale in round 8), then the EIGHTEEN r4-certified queries that did
+# not fit (streaming_dedup, streaming_session_stateful,
+# ns_pipeline_curate, ns_text_fingerprint .. stream_session at the
+# end of this list; EIGHTEEN) — those MUST lead the round-7 window. The generated
 # ledger's forecast line (COVERAGE.md) names exactly this set; trust the
 # ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
@@ -151,6 +151,7 @@ ROTATION_TAIL = [
     "ns_quality_logit",
     "stream_tumbling",
     # r4-certified, did not fit the round-6 window — MUST lead round 7
+    "streaming_dedup",
     "streaming_session_stateful",
     "ns_pipeline_curate",
     "ns_text_fingerprint",

