@@ -61,7 +61,7 @@ HEADLINE = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     # round-6 additions: RAG chunk manifest, per-doc TF-IDF salience,
-    # TPC-H Q19 disjunctive pushdown
+    # TPC-H Q19 disjunctive pushdown, count-min heavy hitters
     "ns_chunk_split",
     "ns_tfidf_topterms",
     "rel_disjunctive_q19",

@@ -258,11 +258,20 @@ def _cms_hx_sql(i: int, col: str = "word") -> str:
 
 
 def _cms_bucket_sql(col: str) -> str:
-    """Portable SQL: first md5 hex pair of column ``col`` → 0..W-1."""
-    return (
-        f"(({_hex_digit_sql(col, 1)} * 16 + {_hex_digit_sql(col, 2)})"
-        f" % {CMS_WIDTH})"
-    )
+    """Portable SQL: leading md5 hex digits of ``col`` → 0..WIDTH-1,
+    using exactly as many digits as WIDTH needs (one per 4 bits) — a
+    fixed two-digit read would both waste an md5+CASE per word when one
+    digit suffices AND silently cap a widened sketch at 256 buckets
+    (code-review r6). WIDTH must be a power of 16-compatible modulus of
+    the digits read; the assert keeps the digit count honest."""
+    import math
+
+    n_digits = max(1, math.ceil(math.log(CMS_WIDTH, 16)))
+    assert CMS_WIDTH <= 16 ** n_digits
+    acc = _hex_digit_sql(col, 1)
+    for i in range(2, n_digits + 1):
+        acc = f"({acc} * 16 + {_hex_digit_sql(col, i)})"
+    return f"({acc} % {CMS_WIDTH})"
 
 
 def q_ns_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,7 +297,7 @@ def q_ns_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle runs the identical sketch, value for value.
 
     Scale shape: the sketch aggregates with map-side partials into
-    DEPTH×WIDTH = 1024 rows TOTAL regardless of corpus size — constant
+    DEPTH×WIDTH = 64 rows TOTAL regardless of corpus size — constant
     state, the whole point; the only unbounded aggregation is the exact
     top-k, which exists here to certify the sketch (at production scale
     the exact pass is the thing the sketch replaces). Top-k is

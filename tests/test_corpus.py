@@ -183,22 +183,54 @@ def test_chunk_formula_tiles_every_length_exhaustively():
             assert ends[k] - starts[k] + 1 == CHUNK_WIDTH, n
 
 
-def test_cms_estimates_never_undercount_and_min_is_tight(spark, sf_smoke):
-    """Count-min property: estimate >= exact for every reported word
-    (collisions only ADD); with the deliberately narrow width at least
-    one word must actually collide (estimate > exact) or the sketch
-    certifies nothing; and every estimate equals the min over that
-    word's DEPTH counters by construction (re-derived independently)."""
+def test_cms_estimates_match_pure_python_reference(spark, sf_smoke):
+    """Count-min properties against a fully independent pure-Python
+    sketch (hashlib md5, collections.Counter — no Spark, no DuckDB):
+    every reported (exact, estimate) pair must equal the reference's,
+    estimate >= exact always (collisions only ADD), and with the
+    deliberately narrow width at least one word must actually collide
+    or the sketch certifies nothing."""
+    import hashlib
+    from collections import Counter
+
     from duckdb_parquet_parser_spark.operators.corpus import (
+        CMS_DEPTH,
+        CMS_WIDTH,
         q_ns_heavy_hitters_cms,
     )
 
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    words = [
+        w
+        for r in docs
+        if r["text"] is not None
+        for w in r["text"].split(" ")
+    ]
+    counters = [Counter() for _ in range(CMS_DEPTH)]
+    n_digits = 1
+    while 16**n_digits < CMS_WIDTH:
+        n_digits += 1
+
+    def bucket(i, w):
+        hx = hashlib.md5(f"cm{i}:{w}".encode()).hexdigest()
+        return int(hx[:n_digits], 16) % CMS_WIDTH
+
+    for w in words:
+        for i in range(CMS_DEPTH):
+            counters[i][bucket(i, w)] += 1
+    exact = Counter(words)
+
     rows = q_ns_heavy_hitters_cms(spark, sf_smoke).collect()
     assert len(rows) > 0
-    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
-    assert any(r["cms_estimate"] > r["exact_count"] for r in rows)
     for r in rows:
+        assert r["exact_count"] == exact[r["word"]]
+        ref_est = min(
+            counters[i][bucket(i, r["word"])] for i in range(CMS_DEPTH)
+        )
+        assert r["cms_estimate"] == ref_est, r["word"]
+        assert r["cms_estimate"] >= r["exact_count"]
         expected = round(
             (r["cms_estimate"] - r["exact_count"]) / r["exact_count"], 6
         )
         assert abs(r["rel_error"] - expected) < 1e-12
+    assert any(r["cms_estimate"] > r["exact_count"] for r in rows)

@@ -44,7 +44,9 @@ REL_QUERIES = [
     "rel_exists_q4",
     "rel_corr_scalar_q17",
     "rel_group_in_q18",
-    # round-6: disjunctive pushdown over the NULL-key/NULL-measure lineitem
+    # round-6: disjunctive pushdown; the generator plants NULL
+    # l_quantity (predicate → NULL → dropped) and NULL l_extendedprice
+    # (skipped by the sum) to stress the OR under three-valued logic
     "rel_disjunctive_q19",
 ]
 
@@ -132,12 +134,26 @@ def _make_fixture(tmp_path, seed: int) -> str:
             "l_linenumber": pa.array(
                 [rng.randrange(1, 8) for _ in range(n_li)], pa.int64()
             ),
+            # NULL quantities: the disjunctive q19 predicate must treat a
+            # NULL range test as NULL (row dropped) identically in both
+            # engines, and sum/avg aggregates must skip them
             "l_quantity": pa.array(
-                [rng.choice([1.0, 5.0, 25.0, 50.0, 50.0]) for _ in range(n_li)],
+                [
+                    None
+                    if rng.random() < 0.04
+                    else rng.choice([1.0, 5.0, 25.0, 50.0, 50.0])
+                    for _ in range(n_li)
+                ],
                 pa.float64(),
             ),
+            # NULL measures: sum(price*(1-disc)) must skip them identically
             "l_extendedprice": pa.array(
-                [round(rng.uniform(10, 9000), 2) for _ in range(n_li)],
+                [
+                    None
+                    if rng.random() < 0.03
+                    else round(rng.uniform(10, 9000), 2)
+                    for _ in range(n_li)
+                ],
                 pa.float64(),
             ),
             "l_discount": pa.array(
