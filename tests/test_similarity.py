@@ -112,3 +112,109 @@ def test_pair_dot_null_vector_yields_null_not_nan(spark):
     assert rows[1]["d"] is None and rows[2]["d"] is None
     # and a NULL never survives a >= filter (the near-dup emission path)
     assert df.filter(F.col("d") >= -1e9).count() == 1
+
+
+def test_verify_cell_kernel_matches_bruteforce_reference():
+    """_verify_cell_impl (pair gen + bitmask exactly-once rule + bit-exact
+    cosine) against a naive pure-Python reference over a synthetic cell:
+    unsorted ids, a null embedding, a zero vector, and probe lists that
+    make the smallest-shared-cell rule both keep and drop pairs."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_parquet_parser_spark.operators.similarity import (
+        NEARDUP_COS,
+        _verify_cell_impl,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 40
+    cell = 3
+    ids = rng.permutation(np.arange(100, 100 + n)).astype("int64")
+    embs = [rng.normal(size=8).astype(np.float32) for _ in range(n)]
+    embs[5] = None  # null embedding: never emits
+    embs[7] = np.zeros(8, dtype=np.float32)  # zero norm: cosine 0.0
+    # half the rows also probe cell 1 (< cell) or cell 9 (> cell)
+    cells = []
+    for k in range(n):
+        other = 1 if k % 4 == 0 else (9 if k % 4 == 1 else 5)
+        cells.append([cell, other])
+    nrm = [
+        float(np.sqrt(np.sum(np.asarray(e, dtype=np.float64) ** 2)))
+        if e is not None
+        else None
+        for e in embs
+    ]
+    pdf = pd.DataFrame(
+        {
+            "cell": [cell] * n,
+            "vec_id": ids,
+            "embedding": embs,
+            "nrm": nrm,
+            "cells": cells,
+        }
+    )
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in _verify_cell_impl(pdf).itertuples(index=False)
+    }
+
+    # naive reference
+    want = set()
+    order = np.argsort(ids)
+    for a in range(n):
+        for b in range(n):
+            ia, ib = order[a], order[b]
+            if ids[ia] >= ids[ib]:
+                continue
+            if embs[ia] is None or embs[ib] is None:
+                continue
+            shared = sorted(set(cells[ia]) & set(cells[ib]))
+            if not shared or shared[0] != cell:
+                continue
+            x = np.asarray(embs[ia], dtype=np.float64)
+            y = np.asarray(embs[ib], dtype=np.float64)
+            dot = 0.0
+            for d in range(8):
+                dot = dot + x[d] * y[d]
+            denom = nrm[ia] * nrm[ib]
+            cos = 0.0 if denom == 0 else dot / denom
+            if cos >= NEARDUP_COS:
+                want.add((ids[ia], ids[ib]))
+    assert got == want
+    assert len(want) > 0  # the fixture must actually emit pairs
+
+
+def test_verify_cell_kernel_slab_path_identical(monkeypatch):
+    """Forcing a tiny slab size must not change the emitted pair set —
+    the memory-bounding loop is pure mechanics."""
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_parquet_parser_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    n = 30
+    embs = [rng.normal(size=6).astype(np.float32) for _ in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "cell": [0] * n,
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": embs,
+            "nrm": [
+                float(np.sqrt(np.sum(np.asarray(e, dtype=np.float64) ** 2)))
+                for e in embs
+            ],
+            "cells": [[0]] * n,
+        }
+    )
+    big = {
+        (r.vec_a, r.vec_b)
+        for r in similarity._verify_cell_impl(pdf).itertuples(index=False)
+    }
+    monkeypatch.setattr(similarity, "VERIFY_SLAB_PAIRS", 7)
+    small = {
+        (r.vec_a, r.vec_b)
+        for r in similarity._verify_cell_impl(pdf).itertuples(index=False)
+    }
+    assert big == small and len(big) > 0
