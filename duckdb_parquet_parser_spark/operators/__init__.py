@@ -74,64 +74,79 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-6 rotation (VERDICT r5 #1). Head composition (50 slots, counts
-# verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the TWENTY-THREE r3-certified queries whose certifications aged to
-# three rounds while parked (stream_sliding, r2_schema, r2_counts,
-# r3_full_column_scan, r9_projection, f2_null_semantics,
-# f3_string_columns, f1_regex_filter/docs/neg, rel_union/intersect/
-# except, rel_rollup/cube/grouping_sets, rel_distinct, rel_scalar_funcs,
-# rel_case_expr, rel_join_semi, rel_join_anti, rel_sort_topk,
-# rel_window_running) — the entire must-rotate set the ledger named
-# after round 5; (2) FOUR queries whose plan changed in round 6:
-# ns_embed_neardup (per-cell applyInPandas verify), r8_page_index
-# (PageIterator context-manager + leak fix), ns_dedup_simhash_pairs +
-# ns_dedup_components (materialized signature frame, checkpoint
-# cadence); (3) TWO queries whose shared expressions changed:
-# ns_contamination (slice+array_join _word_ngrams) and
-# streaming_tumbling_rt (stream-sized state, files_per_trigger 4);
-# (4) FOUR new round-6 queries, never certified: ns_chunk_split,
-# ns_tfidf_topterms, rel_disjunctive_q19, ns_heavy_hitters_cms;
-# (5) SIXTEEN further r4-certified queries rotated back EARLY — their certifications age to two rounds when the round-6
-# driver runs, and rotating most now shrinks the round-7 obligation.
-# 23 + 5 + 2 + 4 + 16 = 50.
+# Round-8 rotation (VERDICT r7 #1 — the certification-bulge triage).
+# 63 parked queries hold certs ≥2 rounds old (18 r4 + 45 r5), more than
+# one 50-slot window can absorb. Head composition (50 slots, verified
+# against the generated ledger — scripts/cert_ledger.py):
+# (1) the EIGHTEEN r4-certified queries whose certs are 3 driver rounds
+# old (streaming_dedup .. stream_session — the full must-rotate set the
+# r6/r7 ledgers named); (2) THREE new round-8 queries, never certified:
+# rel_multi_exists_q21, ns_quantile_sketch, ns_dedup_incremental;
+# (3) TWO queries edited in round 8: ns_dedup_components (CC round
+# budget + oracle stages changed) and ns_dedup_simhash_pairs (shared
+# memo lifecycle changed); (4) the TWENTY-SEVEN oldest-parked
+# r5-certified queries (udf_table_function .. rel_agg_q1 — includes
+# ns_dedup_minhash/_salted, whose band expression was refactored this
+# round). 18 + 3 + 2 + 27 = 50.
 #
-# Parked below: the 45 r5-certified queries untouched this round (they
-# go stale in round 8), then the EIGHTEEN r4-certified queries that did
-# not fit (streaming_dedup, streaming_session_stateful,
-# ns_pipeline_curate, ns_text_fingerprint .. stream_session at the
-# end of this list; EIGHTEEN) — those MUST lead the round-7 window. The generated
-# ledger's forecast line (COVERAGE.md) names exactly this set; trust the
-# ledger over this prose if they ever disagree.
+# Parked below: the 48 queries the r7 driver certified (fresh, parked
+# one round), then the EIGHTEEN youngest r5-certified queries that did
+# not fit (rel_join_q3 .. stream_tumbling) — their certs will be THREE
+# rounds old after the r8 driver run, so they MUST lead the round-9
+# window; the r9 forecast in the generated ledger names exactly this
+# residue. Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r5-certified, untouched in round 6 (rotate by round 8)
-    "udf_table_function",
-    "w4_pywriter_roundtrip",
-    "src_csv_roundtrip",
-    "f1_regex_manifest",
-    "src_bucketed_join",
-    "r7_chunk_bytes",
-    "r6_fleet_audit",
-    "streaming_join",
-    "ns_text_tokens",
-    "ns_text_quality",
-    "ns_text_langid",
-    "ns_seq_pack",
-    "r10_positional_stream",
-    "r10_file_order",
-    "x1_chunk_index",
-    "x1_tuple_to_chunk",
-    "r4_rowgroup_scan",
-    "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
-    "ns_dedup_simhash",
-    "ns_knn_bruteforce",
-    "ns_ann_lsh_buckets",
-    "ns_ann_ivf_topk",
-    "ns_kmeans_embed",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    "rel_agg_q1",
+    # r7-certified this round, untouched in round 8 — parked
+    "ns_mm_meta",
+    "ns_mm_features",
+    "ns_mm_framesample",
+    "udf_scalar_pandas",
+    "udf_grouped_agg",
+    "w1_roundtrip",
+    "w1_roundtrip_zstd",
+    "w2_dict_decision",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_read",
+    "f1_clustered_prune",
+    "w_zorder_prune",
+    "r1_rowgroup_meta",
+    "r6_chunk_values",
+    "r8_page_index",
+    "streaming_tumbling_rt",
+    "streaming_enrich",
+    "ns_tfidf_topterms",
+    "ns_contamination",
+    "ns_heavy_hitters_cms",
+    "ns_chunk_split",
+    "r2_schema",
+    "r2_counts",
+    "r3_full_column_scan",
+    "r9_projection",
+    "f2_null_semantics",
+    "f3_string_columns",
+    "f1_regex_filter",
+    "f1_regex_docs",
+    "f1_neg_regex",
+    "ns_ngram_jaccard",
+    "ns_embed_neardup",
+    "rel_disjunctive_q19",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_window_running",
+    "rel_sort_topk",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_distinct",
+    "rel_scalar_funcs",
+    "rel_case_expr",
+    "stream_sliding",
+    # r5-certified, youngest-parked — did NOT fit the round-8 window;
+    # certs go 3 rounds stale after the r8 driver run: MUST lead round 9
     "rel_join_q3",
     "rel_merge_upsert",
     "rel_join_q5",
@@ -150,23 +165,4 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
-    # r4-certified, did not fit the round-6 window — MUST lead round 7
-    "streaming_dedup",
-    "streaming_session_stateful",
-    "ns_pipeline_curate",
-    "ns_text_fingerprint",
-    "ns_sample_stratified",
-    "ns_text_rollhash",
-    "ns_text_redact",
-    "ns_text_repetition",
-    "ns_vocab_topk",
-    "ns_mixture_weights",
-    "ns_doclen_histogram",
-    "ns_approx_distinct_hll",
-    "x1_chunk_greedy",
-    "f1_page_report",
-    "ns_dedup_exact",
-    "rel_outer_join",
-    "rel_pivot",
-    "stream_session",
 ]

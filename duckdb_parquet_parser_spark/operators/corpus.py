@@ -354,6 +354,89 @@ def q_ns_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QS_BUCKET = 8  # histogram-sketch bucket width (tokens)
+QS_MAX_BUCKET = 63  # open-ended top bucket → 64 counters total
+QS_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_ns_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate token-count quantiles from a bounded histogram sketch
+    (equi-width, 64 counters), next to the exact quantile and the
+    resolution error — completing the sketch family (HLL cardinality,
+    CMS frequency, this one rank/quantile). The estimate for quantile q
+    is the inclusive upper edge of the first bucket whose cumulative
+    count reaches rank ``ceil(q·N)`` — a KLL-style rank query answered
+    from constant state; bucket width trades error for memory exactly
+    like CMS width does.
+
+    Scale shape: the sketch aggregates with map-side partials into ≤64
+    rows TOTAL regardless of corpus size; cumulative sums and the
+    rank→bucket joins run on those 64 rows plus one 5-row quantile
+    frame (non-equi joins here are BNLJ over bounded literal-sized
+    frames — deliberate, documented, nothing data-sized). The exact
+    baseline (groupBy token-count, bounded by distinct integer lengths)
+    exists to certify the sketch, the same role exact top-k plays in
+    the CMS row. Determinism: integer bucket arithmetic + one
+    ``ceil(q·N)`` both engines evaluate on the same doubles; empty-doc
+    zero lengths are included so N matches the corpus row count."""
+    df = load_table(spark, sf_dir, "documents")
+    nt = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    ).otherwise(F.lit(0)).cast("long")
+    nts = df.select(nt.alias("nt"))
+
+    # The sketch: 64 bounded counters, cumulative within one tiny window.
+    bucket = F.least(F.floor(F.col("nt") / QS_BUCKET), F.lit(QS_MAX_BUCKET))
+    hist = nts.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum_hist = hist.select("bucket", F.sum("n").over(wcum).alias("cum"))
+
+    # Exact integer quantiles: smallest nt with cumulative count ≥ rank.
+    vals = nts.groupBy("nt").agg(F.count(F.lit(1)).alias("n"))
+    wval = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
+    cum_vals = vals.select("nt", F.sum("n").over(wval).alias("cum"))
+
+    total = nts.agg(F.count(F.lit(1)).alias("n_total"))
+    qdf = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)) for q in QS_QUANTILES])
+        ).alias("q")
+    )
+    ranks = qdf.crossJoin(F.broadcast(total)).select(
+        "q", F.ceil(F.col("q") * F.col("n_total")).cast("long").alias("rank")
+    )
+    est = (
+        ranks.join(F.broadcast(cum_hist), F.col("cum") >= F.col("rank"))
+        .groupBy("q", "rank")
+        .agg(F.min("bucket").alias("b"))
+        .select(
+            "q",
+            "rank",
+            ((F.col("b") + 1) * QS_BUCKET - 1).cast("long").alias(
+                "sketch_tokens"
+            ),
+        )
+    )
+    exact = (
+        ranks.join(F.broadcast(cum_vals), F.col("cum") >= F.col("rank"))
+        .groupBy("q")
+        .agg(F.min("nt").alias("exact_tokens"))
+    )
+    return est.join(exact, "q").select(
+        "q",
+        "rank",
+        "exact_tokens",
+        "sketch_tokens",
+        F.round(
+            (F.col("sketch_tokens") - F.col("exact_tokens"))
+            / F.greatest(F.col("exact_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
 CHUNK_WIDTH = 500  # chars per chunk
 CHUNK_STRIDE = 400  # start-to-start distance (=> 100-char overlap)
 
@@ -410,6 +493,7 @@ def q_ns_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ns_quantile_sketch": q_ns_quantile_sketch,
     "ns_heavy_hitters_cms": q_ns_heavy_hitters_cms,
     "ns_chunk_split": q_ns_chunk_split,
     "ns_vocab_topk": q_ns_vocab_topk,
@@ -430,7 +514,56 @@ _CMS_UNION = " UNION ALL ".join(
     for i in range(CMS_DEPTH)
 )
 
+_QS_VALUES = ", ".join(f"({float(q)!r})" for q in QS_QUANTILES)
+
 ORACLES = {
+    "ns_quantile_sketch": f"""
+        WITH nts AS (
+            SELECT CAST({_NT_SQL} AS BIGINT) AS nt FROM documents
+        ),
+        hist AS (
+            SELECT least(nt // {QS_BUCKET}, {QS_MAX_BUCKET}) AS bucket,
+                   count(*) AS n
+            FROM nts GROUP BY 1
+        ),
+        cum_hist AS (
+            SELECT bucket,
+                   sum(n) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM hist
+        ),
+        vals AS (SELECT nt, count(*) AS n FROM nts GROUP BY nt),
+        cum_vals AS (
+            SELECT nt,
+                   sum(n) OVER (ORDER BY nt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM vals
+        ),
+        total AS (SELECT count(*) AS n_total FROM nts),
+        ranks AS (
+            SELECT q, CAST(ceil(q * n_total) AS BIGINT) AS rank
+            FROM (VALUES {_QS_VALUES}) AS qs(q), total
+        ),
+        est AS (
+            SELECT r.q, r.rank,
+                   CAST((min(c.bucket) + 1) * {QS_BUCKET} - 1 AS BIGINT)
+                       AS sketch_tokens
+            FROM ranks r JOIN cum_hist c ON c.cum >= r.rank
+            GROUP BY r.q, r.rank
+        ),
+        ex AS (
+            SELECT r.q, min(c.nt) AS exact_tokens
+            FROM ranks r JOIN cum_vals c ON c.cum >= r.rank
+            GROUP BY r.q
+        )
+        SELECT est.q, est.rank, ex.exact_tokens, est.sketch_tokens,
+               round((est.sketch_tokens - ex.exact_tokens)
+                     / CAST(greatest(ex.exact_tokens, 1) AS DOUBLE), 6)
+                   AS rel_error
+        FROM est JOIN ex ON est.q = ex.q
+    """,
     "ns_heavy_hitters_cms": f"""
         WITH words AS (
             SELECT unnest(string_split(text, ' ')) AS word

@@ -95,6 +95,25 @@ def minhash_signatures_from_arrays(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "ws", *[sig(i) for i in range(N_HASHES)])
 
 
+def _bands_array():
+    """The banded-signature expression shared by every LSH candidate
+    generator: md5 over each band's ROWS_PER_BAND signature columns."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band the signature (4 bands × 4 rows), bucket-join on band hash.
 
@@ -115,17 +134,7 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
       into s blocks, join block pairs i ≤ j), to add if cluster sizes at
       production scale demand it.
     """
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    bands = _bands_array()
     banded = sigs.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
     )
@@ -162,17 +171,7 @@ def lsh_candidate_pairs_salted(
     drops by ~n_blocks. (tests/test_dedup_scale.py asserts set-equality
     with the unsalted join.)
     """
-    bands = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
-                )
-            )
-            for b in range(N_BANDS)
-        ]
-    )
+    bands = _bands_array()
     banded = sigs.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
     ).withColumn("block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
@@ -298,6 +297,67 @@ def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _cached_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs)
     return _verify_jaccard_pairs(spark, sf_dir, pairs)
+
+
+INCR_MOD = 10
+INCR_REM = 7  # doc_id % INCR_MOD == INCR_REM → the "new batch" (~10%)
+
+
+def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-vs-new) MinHash dedup: dedup a NEW batch of
+    documents against an existing corpus WITHOUT re-pairing the corpus
+    with itself — the production shape of every recurring ingestion
+    pipeline (the single-corpus run in the reference, main.cpp:21-35, is
+    the degenerate batch==corpus case). The batch is the deterministic
+    ~10% slice ``doc_id % INCR_MOD == INCR_REM``; the corpus is
+    everything else.
+
+    Scale shape (100 TB corpus, small daily batch): the corpus's
+    signature table is the PERSISTED artifact of the previous run
+    (:func:`_cached_signatures` here; a parquet signature table in
+    production) — corpus text is never re-read and never re-hashed. The
+    band join's RIGHT side is filtered to the new batch, so candidate
+    volume is O(|batch| × bucket size), never O(|corpus|²): a
+    corpus-corpus pair can never be generated BY CONSTRUCTION (the
+    batch filter is on the join side, not post-hoc — asserted in
+    tests/test_dedup_scale.py, along with set-equality against the full
+    self-join's ≥1-new-doc pairs). Output: verified near-dup pairs
+    touching the batch, with ``pair_kind`` separating corpus↔new from
+    new↔new duplicates (the drop-policy distinction: new↔new keeps one
+    representative, corpus↔new drops the new copy)."""
+    sigs = _cached_signatures(spark, sf_dir)
+    banded = sigs.select(
+        "doc_id", F.posexplode(_bands_array()).alias("band_idx", "band_hash")
+    )
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    a = banded.alias("a")
+    b = banded.filter(is_new).alias("b")
+    a_new = F.col("a.doc_id") % INCR_MOD == INCR_REM
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # new↔new pairs appear in both orientations; keep one. A
+            # corpus doc only ever sits on the a side, so corpus↔new
+            # pairs are generated exactly once.
+            & (~a_new | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    kind = F.when(
+        (F.col("doc_a") % INCR_MOD == INCR_REM)
+        & (F.col("doc_b") % INCR_MOD == INCR_REM),
+        F.lit("new_new"),
+    ).otherwise(F.lit("corpus_new"))
+    return _verify_jaccard_pairs(spark, sf_dir, pairs).select(
+        "doc_a", "doc_b", "jaccard", kind.alias("pair_kind")
+    )
 
 
 def simhash_bits(words: DataFrame) -> DataFrame:
@@ -616,6 +676,7 @@ QUERIES = {
     "ns_dedup_exact": q_ns_dedup_exact,
     "ns_dedup_minhash": q_ns_dedup_minhash,
     "ns_dedup_minhash_salted": q_ns_dedup_minhash_salted,
+    "ns_dedup_incremental": q_ns_dedup_incremental,
     "ns_dedup_simhash": q_ns_dedup_simhash,
     "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
     "ns_dedup_components": q_ns_dedup_components,
@@ -753,6 +814,53 @@ ORACLES = {
 
 # Salted variant is semantically identical to the plain one — same oracle.
 ORACLES["ns_dedup_minhash_salted"] = ORACLES["ns_dedup_minhash"]
+
+# Incremental dedup: same signature/band/verify pipeline, but candidate
+# generation restricts the join's right side to the new batch (b.doc_id %
+# INCR_MOD = INCR_REM) — the corpus never pairs with itself.
+ORACLES["ns_dedup_incremental"] = f"""
+    WITH {_WORDS_CTE},
+    sigs AS (
+        SELECT doc_id, {_SIG_COLS}
+        FROM words GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, band_idx - 1 AS band_idx, band_hash
+        FROM (
+            SELECT doc_id,
+                   unnest([{_BAND_EXPRS}]) AS band_hash,
+                   generate_subscripts([{_BAND_EXPRS}], 1) AS band_idx
+            FROM sigs
+        )
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND b.doc_id % {INCR_MOD} = {INCR_REM}
+         AND a.doc_id <> b.doc_id
+         AND (a.doc_id % {INCR_MOD} <> {INCR_REM}
+              OR a.doc_id < b.doc_id)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS i
+        FROM cand c
+        JOIN words wa ON wa.doc_id = c.doc_a
+        JOIN words wb ON wb.doc_id = c.doc_b AND wb.w = wa.w
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard,
+           CASE WHEN doc_a % {INCR_MOD} = {INCR_REM}
+                 AND doc_b % {INCR_MOD} = {INCR_REM}
+                THEN 'new_new' ELSE 'corpus_new' END AS pair_kind
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
+"""
 
 # Connected components: the SAME fixed-round min-label-propagation +
 # pointer-doubling the Spark side runs, unrolled to CC_ROUNDS SQL stages.

@@ -40,6 +40,9 @@ Q4_LO, Q4_HI = "1996-01-01", "1996-04-01"
 Q4_LATE_DAYS = 60
 Q18_MIN_QTY = 250
 RANGE_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+Q21_LATE_DAYS = 45
+Q21_NATION_PREFIX = "NATION_1"  # NATION_1, NATION_10..NATION_19
+Q21_TOP_N = 100
 
 
 def q_rel_exists_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +121,78 @@ def q_rel_group_in_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_multi_exists_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped "suppliers who kept orders waiting": for finished
+    ('F') orders, count per supplier the late lineitems where ANOTHER
+    supplier participated in the order (EXISTS) but NO other supplier was
+    late (NOT EXISTS) — the classic double-correlated self-join, the one
+    subquery shape Q4/Q17/Q18 above do not cover. The synthetic lineitem
+    has no commit/receipt dates, so "late" is l_shipdate more than
+    ``Q21_LATE_DAYS`` days after o_orderdate (the Q4 lateness convention).
+
+    Plan shape (the 100 TB contract): the textbook decorrelation — a
+    left-semi plus a left-anti self-join on orderkey — was written out
+    and measured first: Catalyst specializes each correlation side
+    (prunes the late flag off the EXISTS side, pushes the lateness
+    filter below the NOT-EXISTS side), so the "shared" base resolves to
+    THREE lineitem scans and THREE orderkey exchanges with no
+    ReusedExchange, however the sides are spelled. The shape that
+    genuinely shares one shuffle is the window rewrite: partition the
+    fact rows by l_orderkey ONCE and answer both correlated predicates
+    from that single exchange — EXISTS(other supplier) ⇔ min(suppkey) ≠
+    max(suppkey) over the order, NOT EXISTS(other LATE supplier) ⇔ the
+    late suppliers' min = max (the current row is itself late, so one
+    distinct late supplier means "only me"). One scan, one orderkey
+    exchange, one Window node with four bounded aggregates, no
+    cartesian (asserted in tests/test_plans.py). Supplier and nation
+    are broadcast dims; the final count is one groupBy on s_name with
+    TakeOrderedAndProject for the top-N."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    )
+    base = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    late_sk = F.when(F.col("late"), F.col("l_suppkey"))
+    has_other = F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)
+    only_me_late = F.min(late_sk).over(w) == F.max(late_sk).over(w)
+    waiting = (
+        base.select("l_orderkey", "l_suppkey", "late",
+                    has_other.alias("has_other"),
+                    only_me_late.alias("only_me_late"))
+        .filter(F.col("late") & F.col("has_other") & F.col("only_me_late"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").startswith(Q21_NATION_PREFIX))
+        .select("n_nationkey")
+    )
+    return (
+        waiting.join(
+            F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(Q21_TOP_N)
+    )
+
+
 def q_rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time RANGE window frame: per user, the rolling 1-hour sum of
     event value (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -142,6 +217,7 @@ QUERIES = {
     "rel_exists_q4": q_rel_exists_q4,
     "rel_corr_scalar_q17": q_rel_corr_scalar_q17,
     "rel_group_in_q18": q_rel_group_in_q18,
+    "rel_multi_exists_q21": q_rel_multi_exists_q21,
     "rel_window_range_time": q_rel_window_range_time,
 }
 
@@ -190,6 +266,30 @@ ORACLES = {
         FROM orders JOIN big ON o_orderkey = l_orderkey
         ORDER BY total_qty DESC, o_orderkey
         LIMIT 10
+    """,
+    "rel_multi_exists_q21": f"""
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+          AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+          )
+          AND s_nationkey = n_nationkey
+          AND n_name LIKE '{Q21_NATION_PREFIX}%'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT {Q21_TOP_N}
     """,
     "rel_window_range_time": """
         SELECT event_id, user_id, ts,

@@ -234,3 +234,44 @@ def test_cms_estimates_match_pure_python_reference(spark, sf_smoke):
         )
         assert abs(r["rel_error"] - expected) < 1e-12
     assert any(r["cms_estimate"] > r["exact_count"] for r in rows)
+
+
+def test_quantile_sketch_matches_pure_python_reference(spark, sf_smoke):
+    """Quantile-sketch properties against an independent pure-Python
+    reference (sorted list + math.ceil — no Spark, no DuckDB): the
+    exact column must equal true order statistics, the sketch estimate
+    must equal the reference histogram's bucket upper edge, and the
+    estimate can never fall BELOW the exact value (the upper-edge
+    estimator one-sidedly overshoots, like CMS's overcount)."""
+    import math
+
+    from duckdb_parquet_parser_spark.operators.corpus import (
+        QS_BUCKET,
+        QS_MAX_BUCKET,
+        QS_QUANTILES,
+        q_ns_quantile_sketch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").collect()
+    nts = sorted(
+        len(r["text"].split(" ")) if r["text"] is not None else 0
+        for r in docs
+    )
+    n = len(nts)
+    rows = {r["q"]: r for r in q_ns_quantile_sketch(spark, sf_smoke).collect()}
+    assert set(rows) == {float(q) for q in QS_QUANTILES}
+    for q in QS_QUANTILES:
+        r = rows[float(q)]
+        rank = math.ceil(q * n)
+        assert r["rank"] == rank
+        exact = nts[rank - 1]
+        assert r["exact_tokens"] == exact
+        b = min(exact // QS_BUCKET, QS_MAX_BUCKET)
+        assert r["sketch_tokens"] == (b + 1) * QS_BUCKET - 1
+        # one-sided: the upper-edge estimator never undershoots (unless
+        # the value landed in the capped top bucket, absent in fixtures)
+        assert r["sketch_tokens"] >= exact
+        expected = round(
+            (r["sketch_tokens"] - exact) / max(exact, 1), 6
+        )
+        assert abs(r["rel_error"] - expected) < 1e-12

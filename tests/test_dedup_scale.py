@@ -46,6 +46,50 @@ def test_salting_splits_hot_bucket_keys(spark, sf_smoke):
     assert blocks > 1  # the hot bucket's rows span multiple salt blocks
 
 
+def test_incremental_dedup_equals_full_pairs_touching_batch(spark, sf_smoke):
+    """Incremental (batch-vs-corpus) dedup must find EXACTLY the verified
+    pairs of the full self-join that touch at least one new-batch doc —
+    no corpus-corpus pair ever, none of the batch's pairs missed."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        _cached_signatures,
+        _verify_jaccard_pairs,
+        q_ns_dedup_incremental,
+    )
+
+    incr = q_ns_dedup_incremental(spark, sf_smoke).select("doc_a", "doc_b")
+    full = _verify_jaccard_pairs(
+        spark, sf_smoke, lsh_candidate_pairs(_cached_signatures(spark, sf_smoke))
+    ).select("doc_a", "doc_b")
+    is_new = lambda c: F.col(c) % INCR_MOD == INCR_REM  # noqa: E731
+    touching = full.filter(is_new("doc_a") | is_new("doc_b"))
+    assert incr.exceptAll(touching).count() == 0
+    assert touching.exceptAll(incr).count() == 0
+    assert incr.filter(~is_new("doc_a") & ~is_new("doc_b")).count() == 0
+
+
+def test_incremental_dedup_plan_never_self_joins_corpus(spark, sf_smoke):
+    """The candidate join's right side must carry the new-batch filter
+    BELOW the join (corpus×corpus pairs structurally impossible), and the
+    plan stays equi-join only — no cartesian, no nested loop."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        q_ns_dedup_incremental,
+    )
+
+    plan = (
+        q_ns_dedup_incremental(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the batch filter (doc_id % 10) = 7 is applied as a filter on one
+    # join input, not as a post-join condition
+    assert "% 10) = 7" in plan, plan[:2000]
+
+
 def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
     """CC_ROUNDS doubling rounds must be AT the fixpoint on the fixtures
     (one extra round changes nothing) — the guard for the fixed-round

@@ -232,6 +232,23 @@ def test_group_in_q18_aggregates_once_topk(plans):
     assert "partial_sum" in plan
 
 
+def test_multi_exists_q21_single_orderkey_shuffle(plans):
+    """Q21's EXISTS + NOT EXISTS double correlation must resolve from ONE
+    orderkey exchange (the window rewrite): one lineitem scan, one
+    hashpartitioning(l_orderkey) exchange, one Window node, broadcast
+    dims, no cartesian — the written-out semi/anti self-join measured 3
+    scans + 3 orderkey exchanges (Catalyst specializes each side; see
+    q_rel_multi_exists_q21's docstring)."""
+    plan = plans("rel_multi_exists_q21")
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("hashpartitioning(l_orderkey") == 1
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # supplier/nation dims broadcast
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_range_window_stays_jvm_side(plans):
     """The time-RANGE frame plans a Window over one hash partitioning on
     user_id — no Python, no extra shuffle beyond the window partition."""
