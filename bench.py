@@ -10,6 +10,16 @@ Execution is measured end-to-end per query with results fully consumed via
 the noop sink (no driver collect skew). A `duckdb` key records the oracle
 engine's time on the same files for the same logical work (our operative
 baseline, BASELINE.md).
+
+Measurement protocol (ADVICE r7): every `queries` row is COLD — the Spark
+cache and the dedup session memos are cleared before each timed run, so a
+row never inherits a sibling row's materializations and the per-row
+comparison against DuckDB (which recomputes its full pipeline per query)
+is like-for-like, independent of HEADLINE ordering. The cross-query
+sharing a production pipeline would get from its persisted signature /
+pair tables is reported SEPARATELY under the `warm_shared` key (memo
+pre-built unmeasured, then timed) — annotated, never silently mixed into
+the cold rows.
 """
 
 from __future__ import annotations
@@ -66,6 +76,11 @@ HEADLINE = [
     "ns_tfidf_topterms",
     "rel_disjunctive_q19",
     "ns_heavy_hitters_cms",
+    # round-8 additions: Q21 double correlation, rank sketch,
+    # batch-vs-corpus incremental dedup
+    "rel_multi_exists_q21",
+    "ns_quantile_sketch",
+    "ns_dedup_incremental",
 ]
 
 
@@ -106,13 +121,34 @@ def run_spark(sf_dir: str) -> dict[str, float]:
     regex_manifest(spark, out, "text", MANIFEST_PATTERN)
     stage_events(spark, sf_dir)
 
+    from duckdb_parquet_parser_spark.operators.dedup import clear_simhash_memos
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # cold row: no cached/memoized frame from a sibling row survives
+        spark.catalog.clearCache()
+        clear_simhash_memos()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 4)
-    return times
+
+    # Annotated warm rows: the session-shared signature/pair tables are
+    # pre-built (unmeasured — the "previous job already wrote them" state
+    # of a production pipeline), then the consumers are timed. These rows
+    # have no DuckDB counterpart on purpose; BENCH_NOTES.md documents the
+    # cold-vs-shared split.
+    spark.catalog.clearCache()
+    clear_simhash_memos()
+    queries["ns_dedup_components"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # populates BOTH the banded-signature and pair-table memos
+    warm: dict[str, float] = {}
+    for name in ("ns_dedup_simhash_pairs", "ns_dedup_components"):
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 4)
+    return times, warm
 
 
 def run_duckdb(sf_dir: str) -> dict[str, float]:
@@ -139,7 +175,7 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = SF_DIR
-    spark_times = run_spark(sf_dir)
+    spark_times, warm_times = run_spark(sf_dir)
     try:
         duck_times = run_duckdb(sf_dir)
     except Exception:
@@ -160,6 +196,7 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "duckdb": duck_times,
                 "ratio_vs_duckdb": ratios,
+                "warm_shared": warm_times,
             }
         )
     )

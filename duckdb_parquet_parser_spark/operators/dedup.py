@@ -407,25 +407,69 @@ def q_ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Session-lifetime memos for the SimHash dedup family, keyed by
-# (applicationId, absolute sf_dir). Rationale (VERDICT r6 #3): the bench /
-# correctness drivers run `ns_dedup_simhash_pairs` and
-# `ns_dedup_components` in ONE session, and checkpoint_df gives no
-# plan-canonical reuse the way `persist` does — so without a memo the
-# expensive signature frame is re-materialized per query. At corpus scale
-# the equivalent is writing the signature table / verified-pair table to
-# parquet once and reading it from both consumers; here the memo holds the
-# localCheckpoint handle instead (bands ≈ 40 B/doc ×2 rows, pairs = the
-# verified near-dup edges — both tiny next to the corpus). The fixture
-# dirs are immutable testdata (and per-test tmp fixtures get unique
-# paths), so keying by path is sound.
-_SIMHASH_BANDS_MEMO: dict[tuple[str, str], DataFrame] = {}
-_SIMHASH_PAIRS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# (applicationId, absolute sf_dir, documents fingerprint). Rationale
+# (VERDICT r6 #3): the bench / correctness drivers run
+# `ns_dedup_simhash_pairs` and `ns_dedup_components` in ONE session, and
+# checkpoint_df gives no plan-canonical reuse the way `persist` does — so
+# without a memo the expensive signature frame is re-materialized per
+# query. At corpus scale the equivalent is writing the signature table /
+# verified-pair table to parquet once and reading it from both consumers;
+# here the memo holds the localCheckpoint handle instead (bands ≈
+# 40 B/doc ×2 rows, pairs = the verified near-dup edges — both tiny next
+# to the corpus). Lifecycle (ADVICE r7): the key folds in an mtime+size
+# fingerprint of the documents table, so an in-session rewrite of the
+# same path can never serve stale frames; every lookup evicts entries
+# whose applicationId is not the calling session's (dead sessions stop
+# pinning checkpointed blocks in long-lived multi-session processes);
+# and `clear_simhash_memos()` drops everything explicitly — the bench
+# harness calls it before each timed row so every measurement is cold.
+_SIMHASH_BANDS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_SIMHASH_PAIRS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
-def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+def _docs_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the documents table: (mtime_ns, size)
+    of every file under documents.parquet (file or directory)."""
     import os
 
-    return (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for root, _, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
+def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    import os
+
+    app_id = spark.sparkContext.applicationId
+    # evict entries left by stopped sessions — their checkpointed blocks
+    # are gone with the old executors and must not pin memory or answer
+    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
+        for k in [k for k in memo if k[0] != app_id]:
+            del memo[k]
+    return (app_id, os.path.abspath(sf_dir), _docs_fingerprint(sf_dir))
+
+
+def clear_simhash_memos() -> None:
+    """Drop every memoized band/pair frame and best-effort free their
+    checkpointed blocks (the blocks are reclaimed by the ContextCleaner
+    once the frames are unreferenced; the explicit unpersist just makes
+    it prompt). The bench harness calls this before each timed row so
+    measurements are cold and order-independent."""
+    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
+        for df in memo.values():
+            try:
+                df._jdf.rdd().unpersist(False)
+            except Exception:
+                pass  # session stopped or plan not RDD-backed — GC handles it
+        memo.clear()
 
 
 def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,6 +579,7 @@ def connected_components(
     rounds: int = CC_ROUNDS,
     checkpoint_every: int = CC_CHECKPOINT_EVERY,
     edges_materialized: bool = False,
+    cut_final: bool = True,
 ) -> DataFrame:
     """(doc, component): connected components of an undirected pair graph,
     component id = min doc_id in the component.
@@ -609,10 +654,17 @@ def connected_components(
         # under ONE query lets AQE plan/reuse across them (the doubling
         # join's both sides are the same subplan → ReusedExchange) and
         # halves the job count at K=2; lineage depth stays bounded at K
-        # rounds, and the final round always cuts so callers never
-        # inherit an unbounded plan. Labels are identical for any K —
-        # only where the lineage is cut changes.
-        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
+        # rounds. `cut_final=False` additionally skips the LAST cut for
+        # callers that consume the labels exactly once right away (the
+        # components query): the final checkpoint job disappears and the
+        # consumer's single execution carries the unrolled rounds —
+        # measured 3.5 s → 2.6 s at sf0.1 (round 8, BENCH_NOTES). The
+        # default keeps the cut so library callers never inherit an
+        # unbounded plan. Labels are identical either way — only where
+        # the lineage is cut changes.
+        if (r + 1) % checkpoint_every == 0 and r != rounds - 1:
+            labels = checkpoint_df(labels, eager=True)
+        elif r == rounds - 1 and cut_final:
             labels = checkpoint_df(labels, eager=True)
     return labels.select("doc", F.col("label").alias("component"))
 
@@ -622,9 +674,22 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (hamming ≤ 3). Per doc: its component (= min doc_id in the
     cluster), the cluster size, and whether the dedup policy keeps it
     (representative = min id). This is the step that turns pairwise
-    near-dup evidence into actual drop decisions in a training pipeline."""
+    near-dup evidence into actual drop decisions in a training pipeline.
+
+    Materialization config (round 8, measured at sf0.1): the pair table
+    and the adjacency are checkpointed (reused across rounds / sessions);
+    the label rounds run UNROLLED under the one consumer query with no
+    mid or final cut (``checkpoint_every=rounds, cut_final=False``) —
+    runtime exchange reuse keeps the doubling joins single-evaluation,
+    and skipping the two label-checkpoint jobs cut the CC tail 3.5 s →
+    2.6 s. Plan depth stays bounded at CC_ROUNDS rounds."""
     pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp = connected_components(pairs, edges_materialized=True)
+    comp = connected_components(
+        pairs,
+        checkpoint_every=CC_ROUNDS,
+        edges_materialized=True,
+        cut_final=False,
+    )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
         F.col("doc").alias("doc_id"),

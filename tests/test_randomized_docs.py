@@ -55,6 +55,12 @@ DOC_QUERIES = [
     "ns_chunk_split",
     "ns_tfidf_topterms",
     "ns_heavy_hitters_cms",
+    # round-8: rank sketch over randomized length distributions (ties,
+    # empty-token splits, null texts → nt=0 rows in every quantile), and
+    # batch-vs-corpus dedup where the random duplicate clusters straddle
+    # the batch split
+    "ns_quantile_sketch",
+    "ns_dedup_incremental",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",

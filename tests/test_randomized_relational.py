@@ -48,6 +48,11 @@ REL_QUERIES = [
     # l_quantity (predicate → NULL → dropped) and NULL l_extendedprice
     # (skipped by the sum) to stress the OR under three-valued logic
     "rel_disjunctive_q19",
+    # round-8: Q21's double correlation under NULL suppkeys / NULL dates
+    # (late = UNKNOWN) and dangling orderkeys — the window min/max
+    # rewrite must match the literal EXISTS/NOT EXISTS three-valued
+    # semantics on every generated table
+    "rel_multi_exists_q21",
 ]
 
 _STATUSES = ["F", "O", "P"]
