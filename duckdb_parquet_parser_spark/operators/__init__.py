@@ -80,21 +80,23 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # against the generated ledger — scripts/cert_ledger.py):
 # (1) the EIGHTEEN r4-certified queries whose certs are 3 driver rounds
 # old (streaming_dedup .. stream_session — the full must-rotate set the
-# r6/r7 ledgers named); (2) THREE new round-8 queries, never certified:
-# rel_multi_exists_q21, ns_quantile_sketch, ns_dedup_incremental;
-# (3) TWO queries edited in round 8: ns_dedup_components (CC round
-# budget + oracle stages changed) and ns_dedup_simhash_pairs (shared
-# memo lifecycle changed); (4) the TWENTY-SEVEN oldest-parked
-# r5-certified queries (udf_table_function .. rel_agg_q1 — includes
-# ns_dedup_minhash/_salted, whose band expression was refactored this
-# round). 18 + 3 + 2 + 27 = 50.
+# r6/r7 ledgers named); (2) FOUR new round-8 queries, never certified:
+# rel_multi_exists_q21, ns_quantile_sketch, ns_dedup_incremental,
+# ns_dedup_cluster_canonical; (3) TWO queries edited in round 8:
+# ns_dedup_components (CC round budget + oracle stages changed) and
+# ns_dedup_simhash_pairs (shared memo lifecycle changed); (4) the
+# TWENTY-SIX oldest-parked r5-certified queries (udf_table_function ..
+# rel_window_range_time area — includes ns_dedup_minhash/_salted, whose
+# band expression was refactored this round). 18 + 4 + 2 + 26 = 50.
 #
 # Parked below: the 48 queries the r7 driver certified (fresh, parked
-# one round), then the EIGHTEEN youngest r5-certified queries that did
-# not fit (rel_join_q3 .. stream_tumbling) — their certs will be THREE
-# rounds old after the r8 driver run, so they MUST lead the round-9
-# window; the r9 forecast in the generated ledger names exactly this
-# residue. Trust the ledger over this prose if they ever disagree.
+# one round), then the NINETEEN youngest r5-certified queries that did
+# not fit (rel_join_q3 .. stream_tumbling, plus rel_agg_q1 — displaced
+# late in round 8 by the fourth new query, per the "push the youngest
+# r5, never the r4 set" rule) — their certs will be THREE rounds old
+# after the r8 driver run, so they MUST lead the round-9 window; the r9
+# forecast in the generated ledger names exactly this residue. Trust
+# the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
     # r7-certified this round, untouched in round 8 — parked
     "ns_mm_meta",
@@ -147,6 +149,7 @@ ROTATION_TAIL = [
     "stream_sliding",
     # r5-certified, youngest-parked — did NOT fit the round-8 window;
     # certs go 3 rounds stale after the r8 driver run: MUST lead round 9
+    "rel_agg_q1",
     "rel_join_q3",
     "rel_merge_upsert",
     "rel_join_q5",

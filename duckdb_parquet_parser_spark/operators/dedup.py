@@ -28,6 +28,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, scale_out
+from .ngram_stats import (
+    LOGIT_BIAS as _LOGIT_BIAS,
+    LOGIT_W_CHARS as _LOGIT_W_CHARS,
+    LOGIT_W_DISTINCT as _LOGIT_W_DISTINCT,
+    LOGIT_W_TOKENS as _LOGIT_W_TOKENS,
+)
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -699,6 +705,57 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ns_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: for every
+    connected component of the SimHash pair graph, keep the single
+    highest-quality member — quality = the deterministic integer logit of
+    ``ns_quality_logit`` (reused verbatim so the two gates can never
+    disagree), ties broken by lowest doc_id. This is the keep-best policy
+    production dedup actually ships (keep the best-scoring copy, drop the
+    rest), vs ``ns_dedup_components``' positional min-id rule; the
+    reference stops at pairwise dup detection (main.cpp:21-35), canonical
+    selection is the downstream decision step.
+
+    Scale shape: the banded pair table + CC labels are shared with
+    ``ns_dedup_components`` (session memo / persisted tables); the quality
+    score is a zero-shuffle per-row projection; then ONE hash exchange on
+    ``component`` drives both windows (cluster size + quality rank share
+    the partitioning) and the rn=1 filter. |graph docs| rows through one
+    equi-join and one exchange — no all-pairs work beyond the already
+    banded candidate generation."""
+    from .ngram_stats import q_ns_quality_logit
+
+    pairs = _simhash_pairs_materialized(spark, sf_dir)
+    comp = connected_components(
+        pairs,
+        checkpoint_every=CC_ROUNDS,
+        edges_materialized=True,
+        cut_final=False,
+    )
+    scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
+    joined = comp.join(scored, comp["doc"] == scored["doc_id"]).select(
+        "component", "doc_id", "logit_micro"
+    )
+    w_comp = Window.partitionBy("component")
+    w_rank = w_comp.orderBy(
+        F.col("logit_micro").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "logit_micro",
+        F.count(F.lit(1)).over(w_comp).alias("cluster_size"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("logit_micro").alias("canonical_logit"),
+        "cluster_size",
+        (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+    )
+
+
 def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-trigram Jaccard over all pairs of a small doc subset (the exact
     quadratic baseline that MinHash approximates)."""
@@ -745,6 +802,7 @@ QUERIES = {
     "ns_dedup_simhash": q_ns_dedup_simhash,
     "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
     "ns_dedup_components": q_ns_dedup_components,
+    "ns_dedup_cluster_canonical": q_ns_dedup_cluster_canonical,
     "ns_ngram_jaccard": q_ns_ngram_jaccard,
 }
 
@@ -954,7 +1012,10 @@ _CC_ROUND_CTES = "".join(
     for k in range(1, CC_ROUNDS + 1)
 )
 
-ORACLES["ns_dedup_components"] = (
+# Shared prefix: SimHash pairs -> symmetric edge list -> CC label chain
+# (l{CC_ROUNDS} holds the final doc -> component labels). Both the
+# components oracle and the cluster-canonical oracle consume it.
+_CC_LABELS_PREFIX = (
     _SIMHASH_CTE
     + f""",
     pairs AS MATERIALIZED (
@@ -976,11 +1037,47 @@ ORACLES["ns_dedup_components"] = (
         UNION ALL
         SELECT doc, doc FROM nodes
     ),
-    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}
+    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}"""
+)
+
+ORACLES["ns_dedup_components"] = (
+    _CC_LABELS_PREFIX
+    + f"""
     SELECT doc AS doc_id, label AS component,
            CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
                AS cluster_size,
            doc = label AS keep
     FROM l{CC_ROUNDS}
+"""
+)
+
+# Canonical selection: same label chain, then keep-best-by-quality. The
+# scored CTE is the ns_quality_logit expression verbatim (ngram_stats
+# ORACLES) so the two oracles can never drift apart.
+ORACLES["ns_dedup_cluster_canonical"] = (
+    _CC_LABELS_PREFIX
+    + f""",
+    scored AS (
+        SELECT doc_id,
+               CAST({_LOGIT_BIAS}
+                    + len(string_split(text, ' ')) * {_LOGIT_W_TOKENS}
+                    + len(list_distinct(string_split(text, ' ')))
+                      * {_LOGIT_W_DISTINCT}
+                    + length(text) * {_LOGIT_W_CHARS} AS BIGINT)
+                   AS logit_micro
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT component, canonical_doc, canonical_logit, cluster_size,
+           cluster_size - 1 AS n_dropped
+    FROM (
+        SELECT l.label AS component, l.doc AS canonical_doc,
+               s.logit_micro AS canonical_logit,
+               CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT)
+                   AS cluster_size,
+               row_number() OVER (PARTITION BY l.label
+                                  ORDER BY s.logit_micro DESC, l.doc ASC)
+                   AS rn
+        FROM l{CC_ROUNDS} l JOIN scored s ON s.doc_id = l.doc
+    ) WHERE rn = 1
 """
 )

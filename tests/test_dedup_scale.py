@@ -90,6 +90,37 @@ def test_incremental_dedup_plan_never_self_joins_corpus(spark, sf_smoke):
     assert "% 10) = 7" in plan, plan[:2000]
 
 
+def test_cluster_canonical_keeps_best_quality_member(spark, sf_smoke):
+    """Independent recomputation: for every CC cluster the canonical row
+    must name the member maximizing (logit_micro, -doc_id), report the
+    exact member count, and appear exactly once."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        q_ns_dedup_cluster_canonical,
+        q_ns_dedup_components,
+    )
+    from duckdb_parquet_parser_spark.operators.ngram_stats import (
+        q_ns_quality_logit,
+    )
+
+    logit = {
+        r["doc_id"]: r["logit_micro"]
+        for r in q_ns_quality_logit(spark, sf_smoke).collect()
+    }
+    members: dict[int, list[int]] = {}
+    for r in q_ns_dedup_components(spark, sf_smoke).collect():
+        members.setdefault(r["component"], []).append(r["doc_id"])
+
+    rows = q_ns_dedup_cluster_canonical(spark, sf_smoke).collect()
+    assert len(rows) == len(members)  # one row per cluster
+    for r in rows:
+        docs = members[r["component"]]
+        best = min(docs, key=lambda d: (-logit[d], d))
+        assert r["canonical_doc"] == best
+        assert r["canonical_logit"] == logit[best]
+        assert r["cluster_size"] == len(docs)
+        assert r["n_dropped"] == len(docs) - 1
+
+
 def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
     """CC_ROUNDS doubling rounds must be AT the fixpoint on the fixtures
     (one extra round changes nothing) — the guard for the fixed-round

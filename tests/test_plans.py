@@ -249,6 +249,19 @@ def test_multi_exists_q21_single_orderkey_shuffle(plans):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_cluster_canonical_one_component_exchange(plans):
+    """Canonical selection adds exactly ONE hash exchange on `component`
+    on top of the CC labels — the cluster-size window, the quality-rank
+    window, and the rn=1 filter all share it — and Spark pushes the rn=1
+    filter into a WindowGroupLimit (top-1 per cluster before the full
+    rank materializes). No cartesian, no nested loop."""
+    plan = plans("ns_dedup_cluster_canonical")
+    assert plan.count("hashpartitioning(component") == 1
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_range_window_stays_jvm_side(plans):
     """The time-RANGE frame plans a Window over one hash partitioning on
     user_id — no Python, no extra shuffle beyond the window partition."""

@@ -61,6 +61,9 @@ DOC_QUERIES = [
     # the batch split
     "ns_quantile_sketch",
     "ns_dedup_incremental",
+    # keep-best canonical selection: random quality ties and random
+    # cluster shapes exercise the (logit DESC, doc_id ASC) tiebreak
+    "ns_dedup_cluster_canonical",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",
