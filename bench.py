@@ -96,7 +96,7 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_spark(sf_dir: str) -> dict[str, float]:
+def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.session import get_spark
 

@@ -451,16 +451,43 @@ def _docs_fingerprint(sf_dir: str) -> str:
     return "|".join(parts)
 
 
+def _unpersist_memoized(df) -> None:
+    """Best-effort prompt free of a memoized frame's checkpointed blocks.
+
+    Uses the persisted-RDD handle ``session.checkpoint_df`` tagged onto the
+    frame at checkpoint time (ADVICE r8: ``df._jdf.rdd()`` builds a NEW
+    derived RDD per call, so unpersisting it never touched the persisted
+    blocks). Frames without a tag — or from a stopped session — fall back
+    to ContextCleaner reclamation after GC."""
+    rdd = getattr(df, "_graft_ckpt_rdd", None)
+    if rdd is not None:
+        try:
+            rdd.unpersist(False)
+        except Exception:
+            pass  # session stopped — blocks are gone with its executors
+
+
 def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     import os
 
     app_id = spark.sparkContext.applicationId
-    # evict entries left by stopped sessions — their checkpointed blocks
-    # are gone with the old executors and must not pin memory or answer
+    path = os.path.abspath(sf_dir)
+    fp = _docs_fingerprint(sf_dir)
+    # Evict (a) entries left by stopped sessions — their checkpointed
+    # blocks are gone with the old executors and must not pin memory or
+    # answer — and (b) same-session entries for this PATH whose documents
+    # fingerprint went stale (in-session rewrite of the same sf_dir):
+    # without (b) the superseded frames' checkpointed blocks stay pinned
+    # for the whole session even though no lookup can ever hit them again
+    # (ADVICE r8). Stale same-app frames get a prompt unpersist; dead-app
+    # frames have no live blocks to free.
     for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
-        for k in [k for k in memo if k[0] != app_id]:
-            del memo[k]
-    return (app_id, os.path.abspath(sf_dir), _docs_fingerprint(sf_dir))
+        for k in list(memo):
+            if k[0] != app_id:
+                del memo[k]
+            elif k[1] == path and k[2] != fp:
+                _unpersist_memoized(memo.pop(k))
+    return (app_id, path, fp)
 
 
 def clear_simhash_memos() -> None:
@@ -471,10 +498,7 @@ def clear_simhash_memos() -> None:
     measurements are cold and order-independent."""
     for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
         for df in memo.values():
-            try:
-                df._jdf.rdd().unpersist(False)
-            except Exception:
-                pass  # session stopped or plan not RDD-backed — GC handles it
+            _unpersist_memoized(df)
         memo.clear()
 
 

@@ -146,7 +146,16 @@ def q_rel_multi_exists_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, one Window node with four bounded aggregates, no
     cartesian (asserted in tests/test_plans.py). Supplier and nation
     are broadcast dims; the final count is one groupBy on s_name with
-    TakeOrderedAndProject for the top-N."""
+    TakeOrderedAndProject for the top-N.
+
+    Assumption (ADVICE r8): the rewrite partitions by l_orderkey only,
+    which matches the EXISTS/NOT-EXISTS oracle iff o_orderkey is UNIQUE
+    in orders — duplicate orderkeys would mix lateness flags computed
+    against different o_orderdate values inside one window partition.
+    o_orderkey is the orders primary key in TPC-H and in every testdata/
+    randomized generator here (okeys = range(1, n+1)); a deployment whose
+    orders table is not key-unique must pre-aggregate orders to one row
+    per orderkey (or partition by (l_orderkey, o_orderdate)) first."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )

@@ -61,8 +61,27 @@ def checkpoint_df(df, eager: bool = True):
         if getattr(sc, "_graft_ckpt_base", None) != ckpt_dir:
             sc.setCheckpointDir(ckpt_dir)
             sc._graft_ckpt_base = ckpt_dir
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        return _tag_ckpt_rdd(df.checkpoint(eager=eager))
+    return _tag_ckpt_rdd(df.localCheckpoint(eager=eager))
+
+
+def _tag_ckpt_rdd(df):
+    """Attach the PERSISTED RDD handle to a just-checkpointed DataFrame as
+    ``_graft_ckpt_rdd`` (ADVICE r8): a checkpointed frame's plan is a
+    LogicalRDD wrapping the persisted RDD, and that wrapped handle is the
+    only one whose ``unpersist`` actually frees the blocks —
+    ``df._jdf.rdd()`` builds a NEW derived RDD from the plan each call, so
+    unpersisting it is a no-op and the blocks linger until Py4J GC +
+    ContextCleaner. Memo owners (operators/dedup.py) use the tagged handle
+    for prompt frees on eviction. Best-effort: a plan shape we don't
+    recognize just leaves the attribute as None and cleanup falls back to
+    GC-driven ContextCleaner reclamation (correctness unaffected)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        df._graft_ckpt_rdd = plan.rdd()  # LogicalRDD.rdd — persisted handle
+    except Exception:
+        df._graft_ckpt_rdd = None
+    return df
 
 
 def get_spark(
