@@ -366,6 +366,144 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Two-snapshot incremental dedup: the persisted signature artifact -----
+#
+# `q_ns_dedup_incremental` above proves the PLAN shape (corpus↔corpus pairs
+# impossible by construction) but emulates the corpus/batch split inside one
+# session — the corpus signatures live in an executor cache. The variant
+# below exercises what real recurring pipelines actually do between runs
+# (VERDICT r8 #5): run N writes the corpus signature table to parquet with a
+# versioned sidecar; run N+1 REOPENS that artifact through a fresh read path
+# — schema-validated, version-checked — and computes signatures only for the
+# new batch. Corpus text is never re-read and never re-hashed; the artifact
+# schema is the cross-run contract, which is exactly the part the in-session
+# emulation skips (and the part production pipelines get wrong).
+
+SIG_ARTIFACT_VERSION = 1
+SIG_ARTIFACT_META = "_sig_meta.json"
+_SIG_ARTIFACT_COLUMNS = ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
+
+
+def write_signature_artifact(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Run-1 of the two-snapshot pipeline: persist the CORPUS slice's
+    minhash signature table as a parquet artifact plus a JSON sidecar
+    carrying the artifact-format version and hash parameters. The sidecar
+    (not a per-row column) is the version channel so validation never
+    needs a data scan — the reader rejects a stale format from metadata
+    alone, the same pattern table formats use for their protocol version."""
+    import json
+    import os
+
+    corpus = _doc_word_arrays(spark, sf_dir).filter(
+        F.col("doc_id") % INCR_MOD != INCR_REM
+    )
+    sigs = minhash_signatures_from_arrays(corpus).drop("ws")
+    sigs.write.mode("overwrite").parquet(path)
+    meta = {
+        "sig_version": SIG_ARTIFACT_VERSION,
+        "n_hashes": N_HASHES,
+        "source_fingerprint": _docs_fingerprint(sf_dir),
+    }
+    with open(os.path.join(path, SIG_ARTIFACT_META), "w") as f:
+        json.dump(meta, f)
+
+
+def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Reopen a persisted signature artifact, validating the cross-run
+    contract BEFORE any data is read: the sidecar must exist and declare a
+    compatible format version + hash count, and the parquet schema must
+    carry every signature column. A run against an artifact written by an
+    incompatible engine version must fail loudly here — silently joining
+    mismatched signatures would produce garbage candidates downstream."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, SIG_ARTIFACT_META)
+    if not os.path.exists(meta_path):
+        raise ValueError(f"signature artifact at {path} has no {SIG_ARTIFACT_META}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("sig_version") != SIG_ARTIFACT_VERSION:
+        raise ValueError(
+            f"signature artifact version {meta.get('sig_version')!r} at {path} "
+            f"!= engine version {SIG_ARTIFACT_VERSION}"
+        )
+    if meta.get("n_hashes") != N_HASHES:
+        raise ValueError(
+            f"signature artifact has {meta.get('n_hashes')!r} hashes, engine "
+            f"expects {N_HASHES}"
+        )
+    df = spark.read.parquet(path)
+    missing = [c for c in _SIG_ARTIFACT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(f"signature artifact at {path} missing columns {missing}")
+    return df.select(*_SIG_ARTIFACT_COLUMNS)
+
+
+def _incremental_artifact_path(sf_dir: str) -> str:
+    """Deterministic artifact location per (table path, content
+    fingerprint) under the system temp dir — a content change in the
+    documents table yields a NEW path, so a stale prior-run artifact can
+    never answer for rewritten data."""
+    import hashlib
+    import os
+    import tempfile
+
+    token = f"{os.path.abspath(sf_dir)}|{_docs_fingerprint(sf_dir)}"
+    digest = hashlib.md5(token.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"sg_sig_artifact_{digest}")
+
+
+def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ns_dedup_incremental` with the corpus side's signatures coming from
+    a PERSISTED parquet artifact reopened through the validated read path —
+    the true two-snapshot shape. If no prior-run artifact exists for this
+    exact table content, one is written first (that write IS the prior
+    run; on a re-run the artifact is found and only the batch is hashed).
+    Candidate generation is identical to the in-session variant — the band
+    join's left side is (persisted corpus ∪ fresh batch) signatures, the
+    right side only the batch — so the results match `ns_dedup_incremental`
+    row for row and the same DuckDB oracle certifies both."""
+    import os
+
+    path = _incremental_artifact_path(sf_dir)
+    if not os.path.exists(os.path.join(path, SIG_ARTIFACT_META)):
+        write_signature_artifact(spark, sf_dir, path)
+    corpus_sigs = read_signature_artifact(spark, path)
+    is_new = F.col("doc_id") % INCR_MOD == INCR_REM
+    batch_sigs = minhash_signatures_from_arrays(
+        _doc_word_arrays(spark, sf_dir).filter(is_new)
+    ).drop("ws")
+    explode_bands = F.posexplode(_bands_array()).alias("band_idx", "band_hash")
+    banded_corpus = corpus_sigs.select("doc_id", explode_bands)
+    banded_batch = batch_sigs.select("doc_id", explode_bands)
+    a = banded_corpus.unionByName(banded_batch).alias("a")
+    b = banded_batch.alias("b")
+    a_new = F.col("a.doc_id") % INCR_MOD == INCR_REM
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (~a_new | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    kind = F.when(
+        (F.col("doc_a") % INCR_MOD == INCR_REM)
+        & (F.col("doc_b") % INCR_MOD == INCR_REM),
+        F.lit("new_new"),
+    ).otherwise(F.lit("corpus_new"))
+    return _verify_jaccard_pairs(spark, sf_dir, pairs).select(
+        "doc_a", "doc_b", "jaccard", kind.alias("pair_kind")
+    )
+
+
 def simhash_bits(words: DataFrame) -> DataFrame:
     """(doc_id, b0..b31): SimHash bit j = majority vote of md5-hex-digit-j
     high bits over the doc's distinct words (±1 votes, >0 → 1).
@@ -823,6 +961,7 @@ QUERIES = {
     "ns_dedup_minhash": q_ns_dedup_minhash,
     "ns_dedup_minhash_salted": q_ns_dedup_minhash_salted,
     "ns_dedup_incremental": q_ns_dedup_incremental,
+    "ns_dedup_incremental_persisted": q_ns_dedup_incremental_persisted,
     "ns_dedup_simhash": q_ns_dedup_simhash,
     "ns_dedup_simhash_pairs": q_ns_dedup_simhash_pairs,
     "ns_dedup_components": q_ns_dedup_components,
@@ -1008,6 +1147,12 @@ ORACLES["ns_dedup_incremental"] = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(i::DOUBLE / (sa.n + sb.n - i), 6) >= {JACCARD_THRESHOLD}
 """
+
+# The persisted-artifact variant partitions the same documents into the same
+# corpus/batch slices and runs the identical band join — only the corpus
+# signatures' PROVENANCE differs (parquet artifact vs in-session compute),
+# so the in-session oracle certifies it too.
+ORACLES["ns_dedup_incremental_persisted"] = ORACLES["ns_dedup_incremental"]
 
 # Connected components: the SAME fixed-round min-label-propagation +
 # pointer-doubling the Spark side runs, unrolled to CC_ROUNDS SQL stages.

@@ -204,3 +204,92 @@ def test_connected_components_matches_union_find_on_adversarial_graphs(spark):
             for r in connected_components(df, rounds=8).collect()
         }
         assert got == want, name
+
+
+def test_persisted_incremental_matches_in_session_variant(spark, sf_smoke):
+    """The two-snapshot variant — corpus signatures reopened from the
+    persisted parquet artifact — must return row-for-row the same verified
+    pairs as the in-session emulation, and a second run must REUSE the
+    artifact (the sidecar is not rewritten) rather than re-hashing the
+    corpus."""
+    import os
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        SIG_ARTIFACT_META,
+        _incremental_artifact_path,
+        q_ns_dedup_incremental,
+        q_ns_dedup_incremental_persisted,
+    )
+
+    import shutil
+
+    path = _incremental_artifact_path(sf_smoke)
+    shutil.rmtree(path, ignore_errors=True)  # force the run-1 write
+
+    persisted = q_ns_dedup_incremental_persisted(spark, sf_smoke)
+    in_session = q_ns_dedup_incremental(spark, sf_smoke)
+    assert persisted.exceptAll(in_session).count() == 0
+    assert in_session.exceptAll(persisted).count() == 0
+
+    meta_path = os.path.join(path, SIG_ARTIFACT_META)
+    assert os.path.exists(meta_path)
+    mtime = os.path.getmtime(meta_path)
+    again = q_ns_dedup_incremental_persisted(spark, sf_smoke)
+    assert again.count() == persisted.count()
+    assert os.path.getmtime(meta_path) == mtime, "artifact was rewritten on reuse"
+
+
+def test_signature_artifact_read_path_validates_contract(spark, sf_smoke, tmp_path):
+    """The artifact reader must reject (a) a missing sidecar, (b) a format-
+    version mismatch, (c) a hash-count mismatch, and (d) missing signature
+    columns — each BEFORE joining any data."""
+    import json
+    import os
+
+    import pytest
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        N_HASHES,
+        SIG_ARTIFACT_META,
+        SIG_ARTIFACT_VERSION,
+        read_signature_artifact,
+        write_signature_artifact,
+    )
+
+    path = str(tmp_path / "sig_artifact")
+    write_signature_artifact(spark, sf_smoke, path)
+
+    # happy path: full signature schema comes back
+    df = read_signature_artifact(spark, path)
+    assert df.columns == ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
+    assert df.count() > 0
+    # the artifact holds ONLY corpus docs — the batch slice is never persisted
+    from duckdb_parquet_parser_spark.operators.dedup import INCR_MOD, INCR_REM
+
+    assert df.filter(F.col("doc_id") % INCR_MOD == INCR_REM).count() == 0
+
+    meta_path = os.path.join(path, SIG_ARTIFACT_META)
+    meta = json.load(open(meta_path))
+
+    # (b) version mismatch
+    json.dump({**meta, "sig_version": SIG_ARTIFACT_VERSION + 1}, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="version"):
+        read_signature_artifact(spark, path)
+
+    # (c) hash-count mismatch
+    json.dump({**meta, "n_hashes": N_HASHES * 2}, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="hashes"):
+        read_signature_artifact(spark, path)
+
+    # (a) missing sidecar
+    os.remove(meta_path)
+    with pytest.raises(ValueError, match="no _sig_meta"):
+        read_signature_artifact(spark, path)
+
+    # (d) missing signature column
+    json.dump(meta, open(os.path.join(path, SIG_ARTIFACT_META), "w"))
+    narrow = str(tmp_path / "sig_artifact_narrow")
+    spark.read.parquet(path).drop("h3").write.parquet(narrow)
+    json.dump(meta, open(os.path.join(narrow, SIG_ARTIFACT_META), "w"))
+    with pytest.raises(ValueError, match="missing columns"):
+        read_signature_artifact(spark, narrow)
