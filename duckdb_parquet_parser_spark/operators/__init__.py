@@ -74,52 +74,83 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-8 rotation (VERDICT r7 #1 — the certification-bulge triage).
-# 63 parked queries hold certs ≥2 rounds old (18 r4 + 45 r5), more than
-# one 50-slot window can absorb. Head composition (50 slots, verified
+# Round-9 rotation (VERDICT r8 #1). Head composition (50 slots, verified
 # against the generated ledger — scripts/cert_ledger.py):
-# (1) the EIGHTEEN r4-certified queries whose certs are 3 driver rounds
-# old (streaming_dedup .. stream_session — the full must-rotate set the
-# r6/r7 ledgers named); (2) FOUR new round-8 queries, never certified:
-# rel_multi_exists_q21, ns_quantile_sketch, ns_dedup_incremental,
-# ns_dedup_cluster_canonical; (3) TWO queries edited in round 8:
-# ns_dedup_components (CC round budget + oracle stages changed) and
-# ns_dedup_simhash_pairs (shared memo lifecycle changed); (4) the
-# TWENTY-SIX oldest-parked r5-certified queries (udf_table_function ..
-# rel_window_range_time area — includes ns_dedup_minhash/_salted, whose
-# band expression was refactored this round). 18 + 4 + 2 + 26 = 50.
+# (1) the NINETEEN r5-certified queries the r8 ledger forecast as
+# must-rotate (their certs go 3 driver rounds stale after the r9 run):
+# rel_agg_q1, rel_join_q3, rel_merge_upsert, rel_join_q5,
+# rel_window_rank, rel_asof_join, rel_range_join, rel_window_lag,
+# rel_subquery, rel_percentiles, rel_exists_q4, rel_corr_scalar_q17,
+# rel_group_in_q18, rel_window_range_time, ns_dupgram_profile,
+# ns_shared_ngrams, ns_common_token_ratio, ns_quality_logit,
+# stream_tumbling;
+# (2) ONE new round-9 query, never certified:
+# ns_dedup_incremental_persisted (two-snapshot artifact variant);
+# (3) the NINE dedup.py queries — the module's memo lifecycle changed
+# this round (tagged-RDD unpersist + stale same-app eviction, ADVICE r8),
+# so their r8/r7 certs no longer sit on verifiably-unchanged code:
+# ns_dedup_exact, ns_dedup_minhash, ns_dedup_minhash_salted,
+# ns_dedup_incremental, ns_dedup_simhash, ns_dedup_simhash_pairs,
+# ns_dedup_components, ns_dedup_cluster_canonical, ns_ngram_jaccard;
+# (4) rel_multi_exists_q21 — relational_sub.py touched this round
+# (docstring-only: the o_orderkey-uniqueness assumption; re-certified
+# anyway so the module-changed rule stays simple);
+# (5) TWENTY oldest-parked r7-certified queries as spares (ns_mm_meta ..
+# ns_tfidf_topterms, plus watch-row ns_heavy_hitters_cms).
+# 19 + 1 + 9 + 1 + 20 = 50.
 #
-# Parked below: the 48 queries the r7 driver certified (fresh, parked
-# one round), then the NINETEEN youngest r5-certified queries that did
-# not fit (rel_join_q3 .. stream_tumbling, plus rel_agg_q1 — displaced
-# late in round 8 by the fourth new query, per the "push the youngest
-# r5, never the r4 set" rule) — their certs will be THREE rounds old
-# after the r8 driver run, so they MUST lead the round-9 window; the r9
-# forecast in the generated ledger names exactly this residue. Trust
-# the ledger over this prose if they ever disagree.
+# Parked below: the 41 r8-certified queries not re-certifying (fresh,
+# parked one round — they rotate across r10/r11), then the TWENTY-SEVEN
+# r7-certified queries that did not fit: their certs will be 2 rounds
+# old after the r9 driver run, so they MUST lead the round-10 window;
+# the generated ledger's r10 forecast names them. Trust the ledger over
+# this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r7-certified this round, untouched in round 8 — parked
-    "ns_mm_meta",
-    "ns_mm_features",
-    "ns_mm_framesample",
-    "udf_scalar_pandas",
-    "udf_grouped_agg",
-    "w1_roundtrip",
-    "w1_roundtrip_zstd",
-    "w2_dict_decision",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_partitioned_read",
-    "f1_clustered_prune",
-    "w_zorder_prune",
-    "r1_rowgroup_meta",
-    "r6_chunk_values",
-    "r8_page_index",
-    "streaming_tumbling_rt",
-    "streaming_enrich",
-    "ns_tfidf_topterms",
+    # r8-certified, untouched in round 9 — parked (rotate r10/r11)
+    "f1_page_report",
+    "f1_regex_manifest",
+    "ns_ann_ivf_topk",
+    "ns_ann_lsh_buckets",
+    "ns_approx_distinct_hll",
+    "ns_doclen_histogram",
+    "ns_kmeans_embed",
+    "ns_knn_bruteforce",
+    "ns_mixture_weights",
+    "ns_pipeline_curate",
+    "ns_quantile_sketch",
+    "ns_sample_stratified",
+    "ns_seq_pack",
+    "ns_text_fingerprint",
+    "ns_text_langid",
+    "ns_text_quality",
+    "ns_text_redact",
+    "ns_text_repetition",
+    "ns_text_rollhash",
+    "ns_text_tokens",
+    "ns_vocab_topk",
+    "r10_file_order",
+    "r10_positional_stream",
+    "r4_rowgroup_scan",
+    "r6_fleet_audit",
+    "r7_chunk_bytes",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
+    "rel_outer_join",
+    "rel_pivot",
+    "src_bucketed_join",
+    "src_csv_roundtrip",
+    "stream_session",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_session_stateful",
+    "udf_table_function",
+    "w4_pywriter_roundtrip",
+    "x1_chunk_greedy",
+    "x1_chunk_index",
+    "x1_tuple_to_chunk",
+    # r7-certified, did NOT fit the round-9 window — certs are 2 rounds
+    # old after the r9 driver run: MUST lead round 10
     "ns_contamination",
-    "ns_heavy_hitters_cms",
     "ns_chunk_split",
     "r2_schema",
     "r2_counts",
@@ -130,7 +161,6 @@ ROTATION_TAIL = [
     "f1_regex_filter",
     "f1_regex_docs",
     "f1_neg_regex",
-    "ns_ngram_jaccard",
     "ns_embed_neardup",
     "rel_disjunctive_q19",
     "rel_join_semi",
@@ -147,25 +177,4 @@ ROTATION_TAIL = [
     "rel_scalar_funcs",
     "rel_case_expr",
     "stream_sliding",
-    # r5-certified, youngest-parked — did NOT fit the round-8 window;
-    # certs go 3 rounds stale after the r8 driver run: MUST lead round 9
-    "rel_agg_q1",
-    "rel_join_q3",
-    "rel_merge_upsert",
-    "rel_join_q5",
-    "rel_window_rank",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_window_lag",
-    "rel_subquery",
-    "rel_percentiles",
-    "rel_exists_q4",
-    "rel_corr_scalar_q17",
-    "rel_group_in_q18",
-    "rel_window_range_time",
-    "ns_dupgram_profile",
-    "ns_shared_ngrams",
-    "ns_common_token_ratio",
-    "ns_quality_logit",
-    "stream_tumbling",
 ]
