@@ -748,6 +748,7 @@ def connected_components(
     checkpoint_every: int = CC_CHECKPOINT_EVERY,
     edges_materialized: bool = False,
     cut_final: bool = True,
+    final_doubling: bool = True,
 ) -> DataFrame:
     """(doc, component): connected components of an undirected pair graph,
     component id = min doc_id in the component.
@@ -802,19 +803,40 @@ def connected_components(
     )
     for r in range(rounds):
         # min over {self} ∪ neighbors' labels (self-loop carries own label)
-        prop = (
-            adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
-            .groupBy("doc")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer doubling: label := min(label, label(label))
-        parent = prop.select(
-            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-        )
-        labels = prop.join(parent, prop.label == parent.p_doc, "left").select(
-            "doc",
-            F.least("label", F.coalesce("p_label", "label")).alias("label"),
-        )
+        if r == 0:
+            # Round-1 specialization (round 9): labels is still the
+            # IDENTITY mapping, so the labels join would pair every nbr
+            # with itself — an algebraic no-op costing a whole AQE
+            # exchange at the per-job scheduling floor. min(label over
+            # {self} ∪ N) with identity labels IS min(nbr) over the
+            # self-looped adjacency. Identical labels for every graph;
+            # measured 16 → 14 stage-jobs and -3.1 s at sf0.1.
+            prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
+        else:
+            prop = (
+                adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
+                .groupBy("doc")
+                .agg(F.min("label").alias("label"))
+            )
+        if r == rounds - 1 and not final_doubling:
+            # `final_doubling=False` ends on the propagation step: the
+            # last pointer-doubling join (one more label-keyed exchange =
+            # one more stage-job) buys coverage the caller has verified it
+            # does not need — the fixpoint-margin test asserts rounds and
+            # rounds+1 agree UNDER THIS SETTING, so a graph that ever
+            # needed the dropped join fails the guard instead of silently
+            # mislabeling. Default keeps the doubling (full 2^rounds-ish
+            # coverage — the adversarial long-path tests rely on it).
+            labels = prop
+        else:
+            # pointer doubling: label := min(label, label(label))
+            parent = prop.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+            )
+            labels = prop.join(parent, prop.label == parent.p_doc, "left").select(
+                "doc",
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
+            )
         # Lineage cut every `checkpoint_every` rounds, not every round
         # (VERDICT r5 #3): an eager checkpoint is a full job, and at the
         # AQE stage-job floor the per-round materializations — not the
@@ -844,19 +866,27 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (representative = min id). This is the step that turns pairwise
     near-dup evidence into actual drop decisions in a training pipeline.
 
-    Materialization config (round 8, measured at sf0.1): the pair table
-    and the adjacency are checkpointed (reused across rounds / sessions);
-    the label rounds run UNROLLED under the one consumer query with no
-    mid or final cut (``checkpoint_every=rounds, cut_final=False``) —
-    runtime exchange reuse keeps the doubling joins single-evaluation,
-    and skipping the two label-checkpoint jobs cut the CC tail 3.5 s →
-    2.6 s. Plan depth stays bounded at CC_ROUNDS rounds."""
+    Materialization config (round 8, re-measured round 9 at sf0.1): the
+    pair table and the adjacency are checkpointed (reused across rounds /
+    sessions); the label rounds run UNROLLED under the one consumer query
+    with no mid or final cut (``checkpoint_every=rounds,
+    cut_final=False``) — runtime exchange reuse keeps the doubling joins
+    single-evaluation, and skipping the two label-checkpoint jobs cut the
+    CC tail 3.5 s → 2.6 s. Round 9 cut three more stage-jobs at the AQE
+    scheduling floor: the round-1 labels join is algebraically elided
+    (identity labels) and the final round ends on propagation
+    (``final_doubling=False``) — coverage doubling-3 + one hop, which the
+    fixpoint-margin tests pin at BOTH fixture SFs (labels equal at rounds
+    and rounds+1, and equal to the full-doubling labels; a graph needing
+    the dropped join fails the guard loudly). 16 → 13 stage-jobs,
+    7.7 → 3.8 s cold CC tail at sf0.1 on the r9 measurement machine."""
     pairs = _simhash_pairs_materialized(spark, sf_dir)
     comp = connected_components(
         pairs,
         checkpoint_every=CC_ROUNDS,
         edges_materialized=True,
         cut_final=False,
+        final_doubling=False,
     )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
@@ -893,6 +923,7 @@ def q_ns_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_every=CC_ROUNDS,
         edges_materialized=True,
         cut_final=False,
+        final_doubling=False,
     )
     scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
     joined = comp.join(scored, comp["doc"] == scored["doc_id"]).select(

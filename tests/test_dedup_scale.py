@@ -152,6 +152,23 @@ def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
     # and the self-loop propagation covers isolated-from-min nodes: every
     # node keeps a label ≤ its own id
     assert at.filter(F.col("component") > F.col("doc")).count() == 0
+    # The components/canonical queries run with final_doubling=False (the
+    # last round ends on propagation — one fewer label-keyed exchange at
+    # the AQE job floor). That budget must ALSO be at the fixpoint with
+    # margin, and must agree with the full-doubling labels: a duplicate
+    # graph that ever needs the dropped doubling join fails HERE instead
+    # of silently mislabeling components.
+    nf = connected_components(pairs, rounds=CC_ROUNDS, final_doubling=False)
+    nf_past = connected_components(
+        pairs, rounds=CC_ROUNDS + 1, final_doubling=False
+    ).withColumnRenamed("component", "component2")
+    assert (
+        nf.join(nf_past, "doc")
+        .filter(F.col("component") != F.col("component2"))
+        .count()
+        == 0
+    )
+    assert nf.exceptAll(at).count() == 0 and at.exceptAll(nf).count() == 0
 
 
 def test_connected_components_matches_union_find_on_adversarial_graphs(spark):

@@ -64,6 +64,13 @@ DOC_QUERIES = [
     # keep-best canonical selection: random quality ties and random
     # cluster shapes exercise the (logit DESC, doc_id ASC) tiebreak
     "ns_dedup_cluster_canonical",
+    # round-9: the two-snapshot artifact variant (fresh artifact per random
+    # fixture — the path keys on abs dir + content fingerprint), and the CC
+    # family whose round structure changed this round (round-1 elision +
+    # propagation-final): random duplicate graphs guard the round budget
+    "ns_dedup_incremental_persisted",
+    "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",
