@@ -872,21 +872,21 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no mid or final cut (``checkpoint_every=rounds,
     cut_final=False``) — runtime exchange reuse keeps the doubling joins
     single-evaluation, and skipping the two label-checkpoint jobs cut the
-    CC tail 3.5 s → 2.6 s. Round 9 cut three more stage-jobs at the AQE
-    scheduling floor: the round-1 labels join is algebraically elided
-    (identity labels) and the final round ends on propagation
-    (``final_doubling=False``) — coverage doubling-3 + one hop, which the
-    fixpoint-margin tests pin at BOTH fixture SFs (labels equal at rounds
-    and rounds+1, and equal to the full-doubling labels; a graph needing
-    the dropped join fails the guard loudly). 16 → 13 stage-jobs,
-    7.7 → 3.8 s cold CC tail at sf0.1 on the r9 measurement machine."""
+    CC tail 3.5 s → 2.6 s. Round 9 elides the round-1 labels join
+    algebraically (identity labels — see connected_components), 16 → 14
+    stage-jobs, 7.7 → 4.6 s cold CC tail at sf0.1 on the r9 machine.
+    Ending the last round on propagation (``final_doubling=False``, one
+    job fewer) was ALSO shipped briefly and then REVERTED: the base-5000
+    randomized sweep found a graph (docs seed 5003, an 83-edge chain-y
+    cluster) where doubling-3 + one hop under-converges (2 mislabels)
+    while full doubling-4 is exact — the full final doubling stays, and
+    that seed is pinned in tests/test_randomized_docs.py."""
     pairs = _simhash_pairs_materialized(spark, sf_dir)
     comp = connected_components(
         pairs,
         checkpoint_every=CC_ROUNDS,
         edges_materialized=True,
         cut_final=False,
-        final_doubling=False,
     )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
@@ -923,7 +923,6 @@ def q_ns_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_every=CC_ROUNDS,
         edges_materialized=True,
         cut_final=False,
-        final_doubling=False,
     )
     scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
     joined = comp.join(scored, comp["doc"] == scored["doc_id"]).select(

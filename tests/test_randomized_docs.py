@@ -136,8 +136,13 @@ def _make_fixture(tmp_path, seed: int) -> str:
     return str(sf_dir)
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33])
+@pytest.mark.parametrize("seed", [11, 22, 33, 5003])
 def test_doc_queries_match_oracles_on_random_fixtures(spark, tmp_path, seed):
+    # seed 5003 (base-5000 sweep, round 9): an 83-edge duplicate graph with
+    # a 21-doc chain-y cluster that doubling-3 + one propagation hop
+    # under-converges on (2 mislabels) — the find that reverted the
+    # components queries' final_doubling=False trade. Pinned so the CC
+    # round budget can never be thinned below it again.
     sf_dir = _make_fixture(tmp_path, seed)
     results = run_all(spark, sf_dir, only=DOC_QUERIES)
     bad = [str(r) for r in results if not r.ok]
