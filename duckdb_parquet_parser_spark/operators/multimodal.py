@@ -2,11 +2,15 @@
 
 Model: media ride as opaque ``binary`` payload columns with a typed
 metadata struct beside them; decode / feature-extraction runs as
-Arrow-batched ``mapInPandas`` (the only sane Python boundary). The
-image/audio codecs are NOT in this container, so the codec call itself is
-stubbed (`decode_image` raises NotImplementedError); the Spark-side
-plumbing — schema, batching, UDF signature — is real and tested, with a
-deterministic byte-level feature extractor standing in for the codec.
+Arrow-batched ``mapInPandas`` (the only sane Python boundary).
+``decode_image`` REALLY decodes the container-free formats — binary PPM
+(P6) and 24-bit uncompressed BMP — in pure numpy (round 9), feeding a real
+pixel pipeline: nearest-neighbor resize, per-channel means, and the 64-bit
+average hash (the image analogue of SimHash for near-dup banding).
+Compressed codecs (JPEG/PNG/...) are NOT in this container and stay behind
+the documented boundary: they raise ``NotImplementedError`` naming the
+magic, and the Spark path degrades them to ``fmt='undecodable'`` rows
+instead of failing tasks.
 
 Scale design: mapInPandas streams Arrow record batches, so executor memory
 is bounded by batch size, not partition size; payload columns are pruned
@@ -44,16 +48,148 @@ def build_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image(payload: bytes):
-    """STUB: real image decode requires PIL/libvips, not in this container.
+    """Decode an image payload to an HxWx3 uint8 numpy array.
 
-    The surrounding Spark plumbing (binary column → mapInPandas → feature
-    rows) is real; swap this function's body for an actual codec call in a
-    full deployment.
+    REAL decode for the two container-free uncompressed formats — binary
+    PPM (``P6``) and 24-bit uncompressed BMP — implemented in pure numpy
+    from the published format layouts (no codec library). Compressed
+    formats (JPEG/PNG/WebP/...) need entropy decoders that are NOT in this
+    container; they remain behind this documented codec boundary and raise
+    ``NotImplementedError`` naming the magic found. A full deployment adds
+    its codec call for those branches; everything downstream
+    (``extract_image_features``, resize, aHash, the mapInPandas batching)
+    is format-agnostic and already runs on the real pixel path.
     """
+    if len(payload) >= 2 and payload[:2] == b"P6":
+        return _decode_ppm_p6(payload)
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    magic = payload[:4].hex() if payload else "<empty>"
     raise NotImplementedError(
-        "image decode requires an image codec library (e.g. PIL); "
-        "not available in this environment"
+        f"no codec for payload with magic {magic!r}: only binary PPM (P6) "
+        "and uncompressed 24-bit BMP decode without a codec library; "
+        "swap in PIL/libvips for compressed formats in a full deployment"
     )
+
+
+def _decode_ppm_p6(payload: bytes):
+    """Binary PPM: ``P6`` + whitespace/comment-separated width, height,
+    maxval tokens, one whitespace byte, then raw RGB triples row-major."""
+    import numpy as np
+
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        # skip whitespace and '#'-to-EOL comments between header tokens
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            eol = payload.find(b"\n", pos)
+            pos = len(payload) if eol < 0 else eol + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} != 255 (16-bit PPM)")
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"PPM raster truncated: {len(raster)} < {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def _decode_bmp24(payload: bytes):
+    """BMP with a BITMAPINFOHEADER: 24 bpp, BI_RGB (no compression), rows
+    bottom-up and padded to 4-byte multiples, pixels stored BGR."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("BMP header truncated")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    dib = struct.unpack_from("<I", payload, 14)[0]
+    if dib < 40:
+        raise NotImplementedError(f"BMP DIB header size {dib} (core header)")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decodes "
+            "without a codec library"
+        )
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    raster = payload[pix_off : pix_off + need]
+    if len(raster) != need:
+        raise ValueError(f"BMP raster truncated: {len(raster)} < {need}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def encode_ppm(img) -> bytes:
+    """HxWx3 uint8 → binary PPM bytes (the test/round-trip counterpart)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype("uint8").tobytes()
+
+
+def encode_bmp(img) -> bytes:
+    """HxWx3 uint8 → 24-bit BI_RGB BMP bytes (bottom-up, padded rows)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    bgr = np.ascontiguousarray(img[..., ::-1].astype("uint8"))
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    raster = rows[::-1].tobytes()  # bottom-up
+    pix_off = 54
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + len(raster), 0, 0, pix_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    )
+    return header + raster
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize in pure numpy (index-sampling — the decode/
+    resize step of a thumbnail or patch pipeline, codec-free)."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+AHASH_SIDE = 8
+
+
+def average_hash(img) -> int:
+    """64-bit average hash: resize to 8×8, integer luma (BT.601 weights in
+    fixed point — deterministic across platforms), threshold at the mean.
+    The standard perceptual near-dup fingerprint for images; pairs with the
+    banded-join dedup machinery exactly like SimHash does for text."""
+    small = resize_nearest(img, AHASH_SIDE, AHASH_SIDE).astype("int64")
+    luma = 299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+    bits = (luma > luma.mean()).flatten()
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
 
 
 def extract_byte_features(df: DataFrame) -> DataFrame:
@@ -78,6 +214,55 @@ def extract_byte_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(features, FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, ahash long"
+)
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """REAL pixel-feature extraction through the decode path: per payload,
+    decode (PPM/BMP in pure numpy), emit dimensions, per-channel means and
+    the 64-bit average hash; payloads behind the codec boundary (or
+    corrupt) come back as ``fmt='undecodable'`` with null features instead
+    of failing the batch — at 100 TB a poison payload must cost one row,
+    not one task retry storm. Arrow-batched mapInPandas, same bounded-
+    memory contract as :func:`extract_byte_features`."""
+    import pandas as pd
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    fmt = "ppm" if bytes(payload[:2]) == b"P6" else "bmp"
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    # numpy's int64 would sign-overflow nothing here (64
+                    # bits exactly); keep the hash in signed-long range
+                    ah = average_hash(img)
+                    ah = ah - (1 << 64) if ah >= (1 << 63) else ah
+                    rows.append(
+                        (doc_id, fmt, img.shape[1], img.shape[0],
+                         float(means[0]), float(means[1]), float(means[2]),
+                         ah)
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        (doc_id, "undecodable", None, None, None, None,
+                         None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "width", "height", "mean_r",
+                         "mean_g", "mean_b", "ahash"],
+            ).astype({"width": "Int32", "height": "Int32", "ahash": "Int64"})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        features, IMAGE_FEATURE_SCHEMA
+    )
 
 
 def q_ns_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
