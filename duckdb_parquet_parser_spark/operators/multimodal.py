@@ -265,6 +265,62 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     )
 
 
+AHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit average hash
+AHASH_HAMMING_MAX = 3
+
+
+def image_neardup_pairs(
+    media: DataFrame, hamming_max: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs — the SimHash text machinery applied to
+    pixels: 64-bit average hash per decodable payload, banded into
+    ``AHASH_BANDS`` 16-bit keys, ONE (band_idx, key) equi-join for
+    candidates, ``bit_count(xor)`` Hamming verification. Undecodable
+    payloads are excluded upstream (they carry no hash).
+
+    Recall guarantee (pigeonhole): any pair within ``hamming_max`` ≤
+    ``AHASH_BANDS - 1`` bit flips differs in at most that many bands, so
+    at least one of the four 16-bit bands is IDENTICAL and the equi-join
+    always surfaces the pair — banding here is exact, not approximate
+    (tests/test_multimodal_decode.py checks the pair set against a
+    brute-force hash comparison). Scale shape is the text-SimHash plan
+    verbatim: per-row hashing (mapInPandas instead of JVM expressions —
+    pixels need Python), one equi-join keyed by (band, key), an 8-byte
+    long shuffled per side, AQE handling hot buckets."""
+    sig = (
+        extract_image_features(media)
+        .filter(F.col("fmt") != "undecodable")
+        .select("doc_id", "ahash")
+    )
+    band = F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned("ahash", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"b{b}")
+                for b in range(AHASH_BANDS)
+            ]
+        )
+    ).alias("band_idx", "key")
+    banded = sig.select("doc_id", "ahash", band)
+    a = banded.select(
+        "band_idx", "key",
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"),
+    )
+    b = banded.select(
+        "band_idx", "key",
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"),
+    )
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    return (
+        a.join(b, ["band_idx", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
 def q_ns_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed-metadata projection over the multimodal table (pure JVM)."""
     media = build_media_table(spark, sf_dir)

@@ -105,3 +105,51 @@ def test_extract_image_features_spark_path(spark):
     ah = average_hash(img)
     ah = ah - (1 << 64) if ah >= (1 << 63) else ah
     assert got[1]["ahash"] == ah
+
+
+def test_image_neardup_pairs_match_bruteforce(spark):
+    """Banded aHash near-dup pairs must equal the brute-force O(n²) hash
+    comparison — banding is EXACT here (hamming ≤ 3 flips touch at most 3
+    of the 4 sixteen-bit bands, so one band always matches) — and
+    undecodable payloads must be excluded, not crash the job."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        AHASH_HAMMING_MAX,
+        image_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(99)
+    # build images AT the 8x8 hash resolution so each pixel is one hash
+    # cell: near-dups are controlled bit flips, far images are inversions
+    base = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    variants = {1: base}
+    for doc_id, flips in ((2, 1), (3, 3), (4, 12)):
+        img = base.copy()
+        cells = rng.choice(64, size=flips, replace=False)
+        for c in cells:
+            y, x = divmod(int(c), 8)
+            img[y, x] = 255 - img[y, x]  # push the cell across the mean
+        variants[doc_id] = img
+    variants[5] = 255 - base  # far
+    rows = [(i, bytearray(encode_ppm(v))) for i, v in variants.items()]
+    rows.append((6, bytearray(b"not an image")))  # excluded, not fatal
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_neardup_pairs(df).collect()
+    }
+
+    def h(img):
+        v = average_hash(img)
+        return v
+
+    want = {}
+    ids = sorted(variants)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(h(variants[ids[i]]) ^ h(variants[ids[j]])).count("1")
+            if d <= AHASH_HAMMING_MAX:
+                want[(ids[i], ids[j])] = d
+    assert got == want
+    assert (1, 2) in got  # the 1-flip near-dup is definitely found
+    assert all(6 not in pair for pair in got)
