@@ -440,6 +440,29 @@ def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
     return df.select(*_SIG_ARTIFACT_COLUMNS)
 
 
+def append_signatures(spark: SparkSession, docs: DataFrame, path: str) -> None:
+    """Close the recurring-ingestion loop: after a batch is deduped, its
+    signatures join the corpus artifact so the NEXT run's band join sees
+    them as corpus. Validates the artifact contract first (the reader's
+    version/hash-count/schema checks), appends the batch's signature rows
+    as NEW parquet part-files — existing data is never rewritten, the
+    append is O(batch) at any corpus size — and bumps the sidecar's
+    snapshot counter. ``docs`` is a (doc_id, ws) frame as produced by
+    :func:`_doc_word_arrays` (filtered to the batch by the caller)."""
+    import json
+    import os
+
+    read_signature_artifact(spark, path)  # contract gate before any write
+    sigs = minhash_signatures_from_arrays(docs).drop("ws")
+    sigs.select(*_SIG_ARTIFACT_COLUMNS).write.mode("append").parquet(path)
+    meta_path = os.path.join(path, SIG_ARTIFACT_META)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["snapshots"] = int(meta.get("snapshots", 1)) + 1
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
 def _incremental_artifact_path(sf_dir: str) -> str:
     """Deterministic artifact location per (table path, content
     fingerprint) under the system temp dir — a content change in the

@@ -152,12 +152,12 @@ def test_connected_components_rounds_reach_fixpoint(spark, sf_smoke):
     # and the self-loop propagation covers isolated-from-min nodes: every
     # node keeps a label ≤ its own id
     assert at.filter(F.col("component") > F.col("doc")).count() == 0
-    # The components/canonical queries run with final_doubling=False (the
-    # last round ends on propagation — one fewer label-keyed exchange at
-    # the AQE job floor). That budget must ALSO be at the fixpoint with
-    # margin, and must agree with the full-doubling labels: a duplicate
-    # graph that ever needs the dropped doubling join fails HERE instead
-    # of silently mislabeling components.
+    # final_doubling=False (end on propagation, one fewer label-keyed
+    # exchange) is a LIBRARY option only — the shipped queries run full
+    # doubling after the base-5000 sweep found a graph (seed 5003, pinned
+    # in test_randomized_docs.py) where the thinner budget under-converges.
+    # The flag's own fixpoint margin is still asserted here on the fixture
+    # so library callers who opt in get the same loud-failure guard.
     nf = connected_components(pairs, rounds=CC_ROUNDS, final_doubling=False)
     nf_past = connected_components(
         pairs, rounds=CC_ROUNDS + 1, final_doubling=False
@@ -310,3 +310,55 @@ def test_signature_artifact_read_path_validates_contract(spark, sf_smoke, tmp_pa
     json.dump(meta, open(os.path.join(narrow, SIG_ARTIFACT_META), "w"))
     with pytest.raises(ValueError, match="missing columns"):
         read_signature_artifact(spark, narrow)
+
+
+def test_append_signatures_grows_artifact_without_rewrite(spark, sf_smoke, tmp_path):
+    """Run-N+1's closing step: appending the deduped batch's signatures
+    must (a) add exactly the batch rows through new part-files (existing
+    files untouched), (b) bump the sidecar snapshot counter, (c) leave the
+    reopened artifact equal to corpus ∪ batch signatures, and (d) refuse
+    to append into an artifact whose contract doesn't validate."""
+    import glob
+    import json
+    import os
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        SIG_ARTIFACT_META,
+        _doc_word_arrays,
+        append_signatures,
+        read_signature_artifact,
+        write_signature_artifact,
+    )
+
+    path = str(tmp_path / "grow_artifact")
+    write_signature_artifact(spark, sf_smoke, path)
+    before = read_signature_artifact(spark, path)
+    n_corpus = before.count()
+    first_files = {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    }
+
+    batch = _doc_word_arrays(spark, sf_smoke).filter(
+        F.col("doc_id") % INCR_MOD == INCR_REM
+    )
+    n_batch = batch.count()
+    append_signatures(spark, batch, path)
+
+    after = read_signature_artifact(spark, path)
+    assert after.count() == n_corpus + n_batch
+    assert after.select("doc_id").distinct().count() == n_corpus + n_batch
+    # original part-files are untouched (append added new ones)
+    for f, mtime in first_files.items():
+        assert os.path.getmtime(f) == mtime, f"append rewrote {f}"
+    meta = json.load(open(os.path.join(path, SIG_ARTIFACT_META)))
+    assert meta["snapshots"] == 2
+
+    # contract gate: a version-bumped sidecar blocks the append
+    meta["sig_version"] = meta.get("sig_version", 1) + 1
+    json.dump(meta, open(os.path.join(path, SIG_ARTIFACT_META), "w"))
+    import pytest
+
+    with pytest.raises(ValueError, match="version"):
+        append_signatures(spark, batch, path)
