@@ -95,6 +95,8 @@ def _decode_ppm_p6(payload: bytes):
         tokens.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PPM dimensions {w}x{h} not positive")
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval {maxval} != 255 (16-bit PPM)")
     need = w * h * 3
@@ -127,6 +129,8 @@ def _decode_bmp24(payload: bytes):
         )
     flip = h > 0  # positive height = bottom-up storage
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP dimensions {w}x{h} not positive")
     stride = (w * 3 + 3) & ~3
     need = stride * h
     raster = payload[pix_off : pix_off + need]
@@ -262,6 +266,118 @@ def extract_image_features(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         features, IMAGE_FEATURE_SCHEMA
+    )
+
+
+def decode_audio(payload: bytes):
+    """Decode a WAV payload to (samples, sample_rate): samples is an
+    (n_frames, n_channels) int16 numpy array.
+
+    REAL decode for RIFF/WAVE with 16-bit PCM — pure numpy header walk
+    over the published chunk layout, the audio analogue of the PPM/BMP
+    image path. Compressed/float encodings (MP3, AAC, IEEE-float WAV, ...)
+    raise ``NotImplementedError`` at the same documented codec boundary."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        magic = payload[:4].hex() if payload else "<empty>"
+        raise NotImplementedError(
+            f"no codec for audio payload with magic {magic!r}: only "
+            "RIFF/WAVE 16-bit PCM decodes without a codec library"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"WAV format={audio_format} bits={bits}: only 16-bit PCM "
+            "decodes without a codec library"
+        )
+    frame_bytes = channels * 2
+    n = len(data) // frame_bytes
+    if n * frame_bytes != len(data):
+        raise ValueError("WAV data chunk not frame-aligned")
+    samples = (
+        np.frombuffer(data[: n * frame_bytes], dtype="<i2")
+        .reshape(n, channels)
+        .copy()
+    )
+    return samples, rate
+
+
+def encode_wav(samples, rate: int) -> bytes:
+    """(n_frames, n_channels) int16 → RIFF/WAVE 16-bit PCM bytes."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    channels = arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, fmt string, sample_rate int, n_frames long, "
+    "n_channels int, peak int, energy_q8 long"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio features through the real decode path: sample rate, frame and
+    channel counts, integer peak amplitude and total energy (sum of
+    squares, >>8 — exact integer arithmetic, so the numbers are
+    deterministic across platforms). Poison payloads degrade to
+    ``fmt='undecodable'`` rows, same contract as the image path."""
+    import pandas as pd
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, rate = decode_audio(bytes(payload))
+                    s = samples.astype("int64")
+                    rows.append(
+                        (doc_id, "wav", rate, samples.shape[0],
+                         samples.shape[1], int(abs(s).max()) if s.size else 0,
+                         int((s * s).sum() >> 8))
+                    )
+                except (NotImplementedError, ValueError):
+                    rows.append(
+                        (doc_id, "undecodable", None, None, None, None, None)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "fmt", "sample_rate", "n_frames",
+                         "n_channels", "peak", "energy_q8"],
+            ).astype(
+                {"sample_rate": "Int32", "n_frames": "Int64",
+                 "n_channels": "Int32", "peak": "Int32", "energy_q8": "Int64"}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        features, AUDIO_FEATURE_SCHEMA
     )
 
 

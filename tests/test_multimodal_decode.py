@@ -153,3 +153,113 @@ def test_image_neardup_pairs_match_bruteforce(spark):
     assert got == want
     assert (1, 2) in got  # the 1-flip near-dup is definitely found
     assert all(6 not in pair for pair in got)
+
+
+def test_wav_roundtrip_bit_exact():
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(21)
+    for frames, ch, rate in ((1, 1, 8000), (480, 2, 16000), (777, 3, 44100)):
+        samples = rng.integers(-(2**15), 2**15, size=(frames, ch)).astype("<i2")
+        got, got_rate = decode_audio(encode_wav(samples, rate))
+        assert got_rate == rate
+        assert np.array_equal(got, samples)
+
+
+def test_wav_codec_boundary_and_corruption():
+    import struct
+
+    import pytest as _pytest
+
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    with _pytest.raises(NotImplementedError, match="magic"):
+        decode_audio(b"ID3\x04 fake mp3 payload")
+    wav = bytearray(encode_wav(np.zeros((4, 1), dtype="<i2"), 8000))
+    # flip the fmt chunk's audio_format to 3 (IEEE float): boundary
+    fmt_off = wav.find(b"fmt ") + 8
+    struct.pack_into("<H", wav, fmt_off, 3)
+    with _pytest.raises(NotImplementedError, match="format=3"):
+        decode_audio(bytes(wav))
+    # truncate mid-data: frame alignment check
+    good = encode_wav(np.zeros((4, 2), dtype="<i2"), 8000)
+    with _pytest.raises(ValueError):
+        decode_audio(good[:-3] + b"")  # data size field now lies
+
+
+def test_extract_audio_features_spark_path(spark):
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    tone = (np.sin(np.linspace(0, 40, 800)) * 20000).astype("<i2")
+    stereo = np.stack([tone, -tone], axis=1)
+    rows = [
+        (1, bytearray(encode_wav(stereo, 16000))),
+        (2, bytearray(encode_wav(np.zeros((10, 1), dtype="<i2"), 8000))),
+        (3, bytearray(b"\xffnot audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_features(df).collect()}
+    assert got[1]["fmt"] == "wav"
+    assert (got[1]["sample_rate"], got[1]["n_frames"], got[1]["n_channels"]) == (
+        16000, 800, 2,
+    )
+    s = stereo.astype("int64")
+    assert got[1]["peak"] == int(abs(s).max())
+    assert got[1]["energy_q8"] == int((s * s).sum() >> 8)
+    assert got[2]["fmt"] == "wav" and got[2]["peak"] == 0
+    assert got[3]["fmt"] == "undecodable" and got[3]["sample_rate"] is None
+
+
+def test_decoders_never_crash_on_fuzz_bytes():
+    """The poison-payload contract: decode_image/decode_audio on arbitrary
+    bytes raise ONLY NotImplementedError or ValueError (which the Spark
+    paths degrade to 'undecodable' rows) — never IndexError/struct.error/
+    OverflowError, and never hang or allocate absurdly."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+    )
+
+    rng = np.random.default_rng(7)
+    payloads = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+                for n in (0, 1, 2, 3, 13, 54, 100, 4096)]
+    # adversarial: valid magics with garbage bodies and hostile size fields
+    payloads += [
+        b"P6\n999999999 999999999\n255\n",  # huge dims, no raster
+        b"P6\n# only comments",
+        b"BM" + bytes(60),  # zeroed header fields
+        b"BM" + bytes(12) + (0).to_bytes(4, "little") + bytes(100),
+        b"RIFF" + bytes(8),
+        b"RIFF\xff\xff\xff\xffWAVE",  # lying RIFF size, no chunks
+        b"RIFF" + bytes(4) + b"WAVEfmt " + (0xFFFFFFFF).to_bytes(4, "little"),
+    ]
+    for p in payloads:
+        for fn in (decode_image, decode_audio):
+            try:
+                fn(p)
+            except (NotImplementedError, ValueError):
+                pass  # the only allowed outcomes for undecodable bytes
+
+
+def test_zero_dimension_images_rejected():
+    """A 0-width/0-height payload must raise ValueError at decode — an
+    empty pixel array would otherwise reach average_hash and crash the
+    feature task with an uncatchable IndexError."""
+    import pytest as _pytest
+
+    zero_bmp = bytearray(encode_bmp(_img(2, 2, 5)))
+    import struct
+    struct.pack_into("<ii", zero_bmp, 18, 0, 0)
+    with _pytest.raises(ValueError, match="not positive"):
+        decode_image(bytes(zero_bmp))
+    with _pytest.raises(ValueError, match="not positive"):
+        decode_image(b"P6\n0 4\n255\n")
