@@ -186,9 +186,14 @@ def average_hash(img) -> int:
     """64-bit average hash: resize to 8×8, integer luma (BT.601 weights in
     fixed point — deterministic across platforms), threshold at the mean.
     The standard perceptual near-dup fingerprint for images; pairs with the
-    banded-join dedup machinery exactly like SimHash does for text."""
+    banded-join dedup machinery exactly like SimHash does for text. Accepts
+    HxWx3 RGB or an HxW luma plane (video frames hash their Y plane
+    directly — thresholding at the mean makes the luma scale irrelevant)."""
     small = resize_nearest(img, AHASH_SIDE, AHASH_SIDE).astype("int64")
-    luma = 299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
+    if small.ndim == 2:
+        luma = small
+    else:
+        luma = 299 * small[..., 0] + 587 * small[..., 1] + 114 * small[..., 2]
     bits = (luma > luma.mean()).flatten()
     out = 0
     for b in bits:
@@ -378,6 +383,136 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
 
     return df.select("doc_id", "payload").mapInPandas(
         features, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def decode_video(payload: bytes):
+    """Decode a YUV4MPEG2 (.y4m) payload to (y_frames, (fps_num, fps_den)):
+    ``y_frames`` is an (n_frames, h, w) uint8 array of luma planes.
+
+    Y4M is the container-free video format — a text header (``YUV4MPEG2
+    W.. H.. F.. [C420/C444]``) then per frame a ``FRAME`` line + raw
+    planes — so REAL frame decode needs no codec, completing the
+    image (PPM/BMP) / audio (WAV PCM) / video triad. Chroma planes are
+    length-validated and skipped: every downstream consumer here (frame
+    hashing, sampling) works on luma, which is exactly what the average
+    hash thresholds anyway. Compressed video (MP4/MKV/...) raises
+    ``NotImplementedError`` at the documented codec boundary."""
+    import numpy as np
+
+    if not payload.startswith(b"YUV4MPEG2"):
+        magic = payload[:4].hex() if payload else "<empty>"
+        raise NotImplementedError(
+            f"no codec for video payload with magic {magic!r}: only "
+            "YUV4MPEG2 (.y4m) decodes without a codec library"
+        )
+    eol = payload.find(b"\n")
+    if eol < 0:
+        raise ValueError("Y4M header unterminated")
+    w = h = None
+    fps = (25, 1)
+    chroma = b"420"
+    for tag in payload[9:eol].split(b" "):
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif key == b"C":
+            chroma = val
+    if not w or not h or w <= 0 or h <= 0:
+        raise ValueError(f"Y4M dimensions {w}x{h} not positive")
+    if chroma.startswith(b"420"):
+        chroma_bytes = (w // 2) * (h // 2) * 2
+        if w % 2 or h % 2:
+            raise ValueError("Y4M C420 requires even dimensions")
+    elif chroma == b"444":
+        chroma_bytes = w * h * 2
+    elif chroma == b"mono":
+        chroma_bytes = 0
+    else:
+        raise NotImplementedError(f"Y4M chroma subsampling {chroma!r}")
+    frames = []
+    pos = eol + 1
+    while pos < len(payload):
+        feol = payload.find(b"\n", pos)
+        if feol < 0 or not payload[pos:feol].startswith(b"FRAME"):
+            raise ValueError("Y4M FRAME marker missing or unterminated")
+        pos = feol + 1
+        need = w * h + chroma_bytes
+        if pos + need > len(payload):
+            raise ValueError("Y4M frame truncated")
+        frames.append(
+            np.frombuffer(payload[pos : pos + w * h], dtype=np.uint8)
+            .reshape(h, w)
+            .copy()
+        )
+        pos += need
+    stack = np.stack(frames) if frames else np.zeros((0, h, w), dtype=np.uint8)
+    return stack, fps
+
+
+def encode_y4m(y_frames, fps=(25, 1)) -> bytes:
+    """(n, h, w) uint8 luma planes → C420 Y4M bytes with neutral chroma
+    (the test/round-trip counterpart; luma round-trips bit-exact)."""
+    import numpy as np
+
+    arr = np.asarray(y_frames, dtype=np.uint8)
+    n, h, w = arr.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d C420\n" % (w, h, fps[0], fps[1])]
+    neutral = b"\x80" * ((w // 2) * (h // 2) * 2)
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(arr[i].tobytes())
+        out.append(neutral)
+    return b"".join(out)
+
+
+VIDEO_FRAME_STRIDE = 4
+
+VIDEO_HASH_SCHEMA = (
+    "doc_id long, frame_idx int, width int, height int, ahash long"
+)
+
+
+def extract_video_frame_hashes(
+    df: DataFrame, stride: int = VIDEO_FRAME_STRIDE
+) -> DataFrame:
+    """REAL-pixels frame sampling: decode the Y4M payload, keep every
+    ``stride``-th frame, emit the 64-bit average hash of each kept frame's
+    luma plane — the per-frame fingerprint table a video near-dup join
+    consumes (same banding machinery as :func:`image_neardup_pairs`).
+    Poison payloads contribute zero rows rather than failing the task
+    (their absence IS the signal; the image/audio paths keep a marker row
+    because they emit exactly one row per doc, a frame table does not)."""
+    import pandas as pd
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames, _fps = decode_video(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                for idx in range(0, frames.shape[0], stride):
+                    ah = average_hash(frames[idx])
+                    ah = ah - (1 << 64) if ah >= (1 << 63) else ah
+                    rows.append(
+                        (doc_id, idx, frames.shape[2], frames.shape[1], ah)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "ahash"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        hashes, VIDEO_HASH_SCHEMA
     )
 
 

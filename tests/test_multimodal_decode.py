@@ -227,6 +227,7 @@ def test_decoders_never_crash_on_fuzz_bytes():
     from duckdb_parquet_parser_spark.operators.multimodal import (
         decode_audio,
         decode_image,
+        decode_video,
     )
 
     rng = np.random.default_rng(7)
@@ -241,9 +242,12 @@ def test_decoders_never_crash_on_fuzz_bytes():
         b"RIFF" + bytes(8),
         b"RIFF\xff\xff\xff\xffWAVE",  # lying RIFF size, no chunks
         b"RIFF" + bytes(4) + b"WAVEfmt " + (0xFFFFFFFF).to_bytes(4, "little"),
+        b"YUV4MPEG2",  # unterminated header
+        b"YUV4MPEG2 W99999999 H99999999 F25:1 C420\nFRAME\n",  # huge dims
+        b"YUV4MPEG2 Wx Hy F25:1\n",  # non-numeric tags
     ]
     for p in payloads:
-        for fn in (decode_image, decode_audio):
+        for fn in (decode_image, decode_audio, decode_video):
             try:
                 fn(p)
             except (NotImplementedError, ValueError):
@@ -263,3 +267,68 @@ def test_zero_dimension_images_rejected():
         decode_image(bytes(zero_bmp))
     with _pytest.raises(ValueError, match="not positive"):
         decode_image(b"P6\n0 4\n255\n")
+
+
+def test_y4m_roundtrip_luma_bit_exact():
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_video,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(31)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    got, fps = decode_video(encode_y4m(frames, fps=(30, 1)))
+    assert fps == (30, 1)
+    assert np.array_equal(got, frames)
+    # zero-frame stream decodes to an empty stack with the right dims
+    empty, _ = decode_video(b"YUV4MPEG2 W4 H2 F25:1 C420\n")
+    assert empty.shape == (0, 2, 4)
+
+
+def test_y4m_codec_boundary_and_corruption():
+    import pytest as _pytest
+
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_video,
+        encode_y4m,
+    )
+
+    with _pytest.raises(NotImplementedError, match="magic"):
+        decode_video(b"\x00\x00\x00\x18ftypmp42 fake mp4")
+    with _pytest.raises(NotImplementedError, match="chroma"):
+        decode_video(b"YUV4MPEG2 W4 H2 F25:1 C422\nFRAME\n" + bytes(16))
+    frames = np.zeros((2, 2, 4), dtype=np.uint8)
+    good = encode_y4m(frames)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_video(good[:-3])
+    with _pytest.raises(ValueError, match="not positive"):
+        decode_video(b"YUV4MPEG2 W0 H2 F25:1\n")
+
+
+def test_extract_video_frame_hashes_spark_path(spark):
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        VIDEO_FRAME_STRIDE,
+        decode_video,
+        encode_y4m,
+        extract_video_frame_hashes,
+    )
+
+    rng = np.random.default_rng(41)
+    frames = rng.integers(0, 256, size=(10, 8, 8), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_y4m(frames))),
+        (2, bytearray(b"not a video")),  # zero rows, not a task failure
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = extract_video_frame_hashes(df).collect()
+    assert {r["doc_id"] for r in got} == {1}
+    kept = sorted(r["frame_idx"] for r in got)
+    assert kept == list(range(0, 10, VIDEO_FRAME_STRIDE))
+    # per-frame hash equals a local hash of the decoded luma plane
+    dec, _ = decode_video(bytes(rows[0][1]))
+    by_idx = {r["frame_idx"]: r["ahash"] for r in got}
+    for idx in kept:
+        ah = average_hash(dec[idx])
+        ah = ah - (1 << 64) if ah >= (1 << 63) else ah
+        assert by_idx[idx] == ah
+        assert (r := [x for x in got if x["frame_idx"] == idx][0])["width"] == 8
