@@ -516,6 +516,74 @@ def extract_video_frame_hashes(
     )
 
 
+VIDEO_MATCH_FRAC = 0.5
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    stride: int = VIDEO_FRAME_STRIDE,
+    hamming_max: int = 3,
+    min_match_frac: float = VIDEO_MATCH_FRAC,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: two payloads whose sampled frames mostly
+    match — the re-encode / slight-overlay case. Per sampled frame index,
+    candidate frame pairs come from the same banded-aHash equi-join as
+    :func:`image_neardup_pairs` (aligned comparison: frame i against frame
+    i — the common same-cut case; offset detection would add a lag join),
+    verified by Hamming ≤ ``hamming_max``; a pair of videos survives when
+    matched frames / max(sampled frames) ≥ ``min_match_frac``. Every step
+    is an equi-join or hash agg on (doc, frame) keys — no pairwise-videos
+    blowup: candidate volume is bounded by frames sharing a 16-bit band
+    key at the same index."""
+    frames = extract_video_frame_hashes(df, stride=stride)
+    band = F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned("ahash", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"b{b}")
+                for b in range(AHASH_BANDS)
+            ]
+        )
+    ).alias("band_idx", "key")
+    banded = frames.select("doc_id", "frame_idx", "ahash", band)
+    a = banded.select(
+        "frame_idx", "band_idx", "key",
+        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"),
+    )
+    b = banded.select(
+        "frame_idx", "band_idx", "key",
+        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"),
+    )
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    matched = (
+        a.join(b, ["frame_idx", "band_idx", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "frame_idx", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("matched_frames"))
+    )
+    counts = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    ca = counts.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_frames").alias("frames_a")
+    )
+    cb = counts.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_frames").alias("frames_b")
+    )
+    frac = F.col("matched_frames") / F.greatest("frames_a", "frames_b")
+    return (
+        matched.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("match_frac", F.round(frac, 6))
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("doc_a", "doc_b", "matched_frames", "match_frac")
+    )
+
+
 AHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit average hash
 AHASH_HAMMING_MAX = 3
 

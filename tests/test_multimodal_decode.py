@@ -332,3 +332,61 @@ def test_extract_video_frame_hashes_spark_path(spark):
         ah = ah - (1 << 64) if ah >= (1 << 63) else ah
         assert by_idx[idx] == ah
         assert (r := [x for x in got if x["frame_idx"] == idx][0])["width"] == 8
+
+
+def test_video_neardup_pairs_aligned_frames(spark):
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_video,
+        encode_y4m,
+        extract_video_frame_hashes,
+        video_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(55)
+    base = rng.integers(0, 256, size=(8, 8, 8), dtype=np.uint8)
+    # near-dup: flip ONE hash cell per frame (hamming 1 per sampled frame)
+    near = base.copy()
+    near[:, 0, 0] = 255 - near[:, 0, 0]
+    far = 255 - base  # every frame's hash inverted
+    # half-match: first half = base frames, second half inverted
+    half = base.copy()
+    half[4:] = 255 - half[4:]
+    rows = [
+        (1, bytearray(encode_y4m(base))),
+        (2, bytearray(encode_y4m(near))),
+        (3, bytearray(encode_y4m(far))),
+        (4, bytearray(encode_y4m(half))),
+        (5, bytearray(b"junk")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    # stride=1: all 8 frames sampled; expected fractions computed locally
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["matched_frames"], r["match_frac"])
+        for r in video_neardup_pairs(df, stride=1, min_match_frac=0.5).collect()
+    }
+    vids = {i: decode_video(bytes(p))[0] for i, p in rows[:4]}
+
+    def hashes(v):
+        return [average_hash(f) for f in v]
+
+    want = {}
+    ids = sorted(vids)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ha, hb = hashes(vids[ids[i]]), hashes(vids[ids[j]])
+            m = sum(
+                1 for x, y in zip(ha, hb) if bin(x ^ y).count("1") <= 3
+            )
+            frac = m / max(len(ha), len(hb))
+            if frac >= 0.5:
+                want[(ids[i], ids[j])] = (m, round(frac, 6))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0  # full aligned match
+    assert all(5 not in pair for pair in got)  # junk payload: zero rows
+    assert (1, 3) not in got  # fully inverted never matches the base
+    # the half-inverted video sits exactly at the 0.5 boundary vs base —
+    # and, symmetrically, vs the fully inverted video (its second half IS
+    # those frames), which the brute-force `want` confirms
+    assert got.get((1, 4), (0, 0))[1] == 0.5
+    assert got.get((3, 4), (0, 0))[1] == 0.5
