@@ -390,3 +390,93 @@ def test_video_neardup_pairs_aligned_frames(spark):
     # those frames), which the brute-force `want` confirms
     assert got.get((1, 4), (0, 0))[1] == 0.5
     assert got.get((3, 4), (0, 0))[1] == 0.5
+
+
+def test_hypothesis_fuzz_decoders_and_roundtrips():
+    """Property fuzz over the decode triad: (1) arbitrary bytes and
+    magic-prefixed garbage only ever raise NotImplementedError/ValueError;
+    (2) byte-level MUTATIONS of valid payloads never crash with anything
+    else; (3) valid round-trips stay bit-exact under random shapes."""
+    import os
+
+    import pytest as _pytest
+
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        _pytest.skip("hypothesis unavailable")
+
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        decode_video,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+    )
+
+    n_examples = 60 * int(os.environ.get("SPARK_GRAFT_FUZZ_SCALE", "1"))
+    magics = st.sampled_from(
+        [b"", b"P6", b"BM", b"RIFF", b"RIFF1234WAVE", b"YUV4MPEG2", b"P6\n"]
+    )
+    garbage = st.binary(max_size=300)
+
+    @settings(max_examples=n_examples, deadline=None)
+    @given(prefix=magics, body=garbage)
+    def _never_crashes(prefix, body):
+        for fn in (decode_image, decode_audio, decode_video):
+            try:
+                fn(prefix + body)
+            except (NotImplementedError, ValueError):
+                pass
+
+    _never_crashes()
+
+    rng = np.random.default_rng(77)
+    valid = [
+        encode_ppm(rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)),
+        encode_bmp(rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)),
+        encode_wav(rng.integers(-32768, 32768, size=(64, 2)).astype("<i2"), 8000),
+        encode_y4m(rng.integers(0, 256, size=(3, 4, 6), dtype=np.uint8)),
+    ]
+
+    @settings(max_examples=n_examples, deadline=None)
+    @given(
+        which=st.integers(0, 3),
+        pos=st.integers(0, 10**6),
+        val=st.integers(0, 255),
+        cut=st.integers(0, 10**6),
+    )
+    def _mutations_never_crash(which, pos, val, cut):
+        payload = bytearray(valid[which])
+        payload[pos % len(payload)] = val
+        payload = bytes(payload)[: max(1, cut % (len(payload) + 1))]
+        for fn in (decode_image, decode_audio, decode_video):
+            try:
+                fn(payload)
+            except (NotImplementedError, ValueError):
+                pass
+
+    _mutations_never_crash()
+
+    @settings(max_examples=max(10, n_examples // 3), deadline=None)
+    @given(
+        h=st.integers(1, 12), w=st.integers(1, 12),
+        frames=st.integers(0, 5), ch=st.integers(1, 3),
+        seed=st.integers(0, 2**16),
+    )
+    def _roundtrips(h, w, frames, ch, seed):
+        r = np.random.default_rng(seed)
+        img = r.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_ppm(img)), img)
+        assert np.array_equal(decode_image(encode_bmp(img)), img)
+        pcm = r.integers(-32768, 32768, size=(w * 4, ch)).astype("<i2")
+        got, rate = decode_audio(encode_wav(pcm, 16000))
+        assert rate == 16000 and np.array_equal(got, pcm)
+        y = r.integers(0, 256, size=(frames, h * 2, w * 2), dtype=np.uint8)
+        vy, _fps = decode_video(encode_y4m(y))
+        assert np.array_equal(vy, y)
+
+    _roundtrips()
