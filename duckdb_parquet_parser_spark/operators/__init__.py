@@ -106,6 +106,12 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # the generated ledger's r10 forecast names them. Trust the ledger over
 # this prose if they ever disagree.
 ROTATION_TAIL = [
+    # Displaced late in round 9 by the two new Q13/Q22 queries (never-
+    # certified queries must sit in the head — tests/test_contract.py):
+    # both r7-certified with untouched modules; they join the 27 r7 certs
+    # below in the round-10 must-rotate set.
+    "ns_tfidf_topterms",
+    "udf_grouped_agg",
     # r8-certified, untouched in round 9 — parked (rotate r10/r11)
     "f1_page_report",
     "f1_regex_manifest",

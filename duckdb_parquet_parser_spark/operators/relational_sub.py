@@ -222,12 +222,98 @@ def q_rel_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q13_EXCLUDED_PRIORITY = "4-NOT SPECIFIED"
+Q22_URGENT_PRIORITY = "1-URGENT"
+
+
+def q_rel_outer_hist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer-order distribution: how many customers
+    placed exactly k qualifying orders, INCLUDING k = 0 — the count-of-
+    counts / outer-join-histogram shape no other §2.4 query covers (the
+    reference Q13 filters by comment pattern; the synthetic orders table
+    carries that role on ``o_orderpriority``).
+
+    Plan shape (100 TB): the filter lives on the join's RIGHT side only,
+    so it pushes into the orders scan; orders pre-aggregate to ONE row per
+    custkey BEFORE the left join (the shuffle moves |customers| rows, not
+    |orders|); the zero-fill happens via coalesce after the outer join;
+    the second aggregation's key space is tiny (distinct order counts), so
+    the histogram agg is map-side-partial then a near-empty exchange.
+
+    Declared round 9, parked in ROTATION_TAIL (the 50-slot window is
+    spent on the r9 rotation) — locally dual-SF oracle-verified like the
+    round-4 additions were; driver-certified when r10 rotates it in."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCLUDED_PRIORITY)
+        .select("o_custkey")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    counts = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(F.coalesce("cnt", F.lit(0)).alias("c_count"))
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_rel_anti_avg_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: per nation, count and total
+    balance of customers whose account balance beats the global average of
+    POSITIVE balances and who never placed an urgent order — the
+    anti-join + uncorrelated-scalar-AVG-subquery pair no other query
+    covers (the synthetic customer has no phone column, so nationkey
+    plays the country-code role; "no order at all" is degenerate on this
+    data — every customer ordered — hence the urgent-order predicate).
+
+    Plan shape (100 TB): the AVG subquery aggregates to ONE row and rides
+    a broadcast cross-join; the threshold is DECIMAL cross-multiplied
+    (bal × n > Σ) so no division and no float comparison anywhere (the
+    Q17 trick — exact and engine-identical); the NOT EXISTS is a left-anti
+    join on custkey against the priority-filtered orders scan (filter
+    pushed down); one final hash agg on nationkey."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("bal_sum"),
+        F.count(F.lit(1)).alias("bal_n"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == Q22_URGENT_PRIORITY)
+        .select("o_custkey")
+    )
+    rich = customer.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("bal_n") > F.col("bal_sum")
+    )
+    inactive = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 QUERIES = {
     "rel_exists_q4": q_rel_exists_q4,
     "rel_corr_scalar_q17": q_rel_corr_scalar_q17,
     "rel_group_in_q18": q_rel_group_in_q18,
     "rel_multi_exists_q21": q_rel_multi_exists_q21,
     "rel_window_range_time": q_rel_window_range_time,
+    "rel_outer_hist_q13": q_rel_outer_hist_q13,
+    "rel_anti_avg_q22": q_rel_anti_avg_q22,
 }
 
 ORACLES = {
@@ -307,5 +393,36 @@ ORACLES = {
                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
                ) AS DOUBLE) AS rolling_1h_value
         FROM events
+    """,
+    "rel_outer_hist_q13": f"""
+        WITH pc AS (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON o.o_custkey = c.c_custkey
+             AND o.o_orderpriority <> '{Q13_EXCLUDED_PRIORITY}'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM pc GROUP BY c_count
+    """,
+    "rel_anti_avg_q22": f"""
+        WITH t AS (
+            SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) AS bal_sum,
+                   count(*) AS bal_n
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey,
+               count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS totacctbal
+        FROM customer c, t
+        WHERE CAST(c.c_acctbal AS DECIMAL(18,6)) * t.bal_n > t.bal_sum
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '{Q22_URGENT_PRIORITY}'
+          )
+        GROUP BY c_nationkey
     """,
 }
