@@ -89,6 +89,10 @@ HEADLINE = [
     # pipeline per query — that asymmetry is the point of the artifact and
     # is annotated in BENCH_NOTES.md, not hidden.
     "ns_dedup_incremental_persisted",
+    # round-9 relational shapes: outer-join count histogram and
+    # anti-join + broadcast scalar-AVG threshold
+    "rel_outer_hist_q13",
+    "rel_anti_avg_q22",
 ]
 
 
