@@ -53,6 +53,12 @@ REL_QUERIES = [
     # rewrite must match the literal EXISTS/NOT EXISTS three-valued
     # semantics on every generated table
     "rel_multi_exists_q21",
+    # round-9: Q13's zero-bucket outer-join histogram under NULL custkeys
+    # (never join → land in the 0 bucket both engines) and Q22's
+    # broadcast-AVG threshold + anti join under NULL acctbals (NULL > 0
+    # and NULL×n > Σ are both UNKNOWN → dropped identically)
+    "rel_outer_hist_q13",
+    "rel_anti_avg_q22",
 ]
 
 _STATUSES = ["F", "O", "P"]
