@@ -304,6 +304,11 @@ def decode_audio(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # A declared 'fmt ' size < 16 (e.g. 8 bytes) would otherwise reach
+        # struct.unpack_from and raise struct.error, escaping the documented
+        # NotImplementedError/ValueError poison-payload contract.
+        raise ValueError(f"WAV fmt chunk truncated: {len(fmt)} < 16 bytes")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1 or bits != 16:
@@ -311,6 +316,8 @@ def decode_audio(payload: bytes):
             f"WAV format={audio_format} bits={bits}: only 16-bit PCM "
             "decodes without a codec library"
         )
+    if channels == 0:
+        raise ValueError("WAV declares zero channels")
     frame_bytes = channels * 2
     n = len(data) // frame_bytes
     if n * frame_bytes != len(data):

@@ -240,9 +240,9 @@ def q_rel_outer_hist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second aggregation's key space is tiny (distinct order counts), so
     the histogram agg is map-side-partial then a near-empty exchange.
 
-    Declared round 9, parked in ROTATION_TAIL (the 50-slot window is
-    spent on the r9 rotation) — locally dual-SF oracle-verified like the
-    round-4 additions were; driver-certified when r10 rotates it in."""
+    Declared round 9 INSIDE the certification head (never-certified
+    queries must sit in the head — it displaced ns_tfidf_topterms /
+    udf_grouped_agg to the tail) and driver-certified green in r9."""
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
     orders = (
         load_table(spark, sf_dir, "orders")

@@ -245,6 +245,20 @@ def test_decoders_never_crash_on_fuzz_bytes():
         b"YUV4MPEG2",  # unterminated header
         b"YUV4MPEG2 W99999999 H99999999 F25:1 C420\nFRAME\n",  # huge dims
         b"YUV4MPEG2 Wx Hy F25:1\n",  # non-numeric tags
+        # short 'fmt ' body (declared size 8 < 16) followed by a VALID
+        # 'data' chunk: without the len(fmt) guard this reached
+        # struct.unpack_from('<H', fmt, 14) and raised struct.error,
+        # escaping the contract (ADVICE r9).
+        (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+         + b"fmt " + (8).to_bytes(4, "little") + bytes(8)
+         + b"data" + (4).to_bytes(4, "little") + bytes(4)),
+        # zero-channel fmt with valid data: frame_bytes would be 0
+        (b"RIFF" + (44).to_bytes(4, "little") + b"WAVE"
+         + b"fmt " + (16).to_bytes(4, "little")
+         + (1).to_bytes(2, "little") + (0).to_bytes(2, "little")
+         + (8000).to_bytes(4, "little") + (0).to_bytes(4, "little")
+         + (0).to_bytes(2, "little") + (16).to_bytes(2, "little")
+         + b"data" + (4).to_bytes(4, "little") + bytes(4)),
     ]
     for p in payloads:
         for fn in (decode_image, decode_audio, decode_video):
