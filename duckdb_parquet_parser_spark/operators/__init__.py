@@ -19,6 +19,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         dedup,
         filters,
         multimodal,
+        multimodal_synth,
         ngram_stats,
         positional,
         relational,
@@ -39,6 +40,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         multimodal,
+        multimodal_synth,
         udfs,
         writer,
         pywriter,
@@ -74,48 +76,82 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-9 rotation (VERDICT r8 #1). Head composition (50 slots, verified
+# Round-10 rotation (VERDICT r9 #1). Head composition (50 slots, verified
 # against the generated ledger — scripts/cert_ledger.py):
-# (1) the NINETEEN r5-certified queries the r8 ledger forecast as
-# must-rotate (their certs go 3 driver rounds stale after the r9 run):
-# rel_agg_q1, rel_join_q3, rel_merge_upsert, rel_join_q5,
-# rel_window_rank, rel_asof_join, rel_range_join, rel_window_lag,
-# rel_subquery, rel_percentiles, rel_exists_q4, rel_corr_scalar_q17,
-# rel_group_in_q18, rel_window_range_time, ns_dupgram_profile,
-# ns_shared_ngrams, ns_common_token_ratio, ns_quality_logit,
-# stream_tumbling;
-# (2) ONE new round-9 query, never certified:
-# ns_dedup_incremental_persisted (two-snapshot artifact variant);
-# (3) the NINE dedup.py queries — the module's memo lifecycle changed
-# this round (tagged-RDD unpersist + stale same-app eviction, ADVICE r8),
-# so their r8/r7 certs no longer sit on verifiably-unchanged code:
-# ns_dedup_exact, ns_dedup_minhash, ns_dedup_minhash_salted,
-# ns_dedup_incremental, ns_dedup_simhash, ns_dedup_simhash_pairs,
-# ns_dedup_components, ns_dedup_cluster_canonical, ns_ngram_jaccard;
-# (4) rel_multi_exists_q21 — relational_sub.py touched this round
-# (docstring-only: the o_orderkey-uniqueness assumption; re-certified
-# anyway so the module-changed rule stays simple);
-# (5) TWENTY oldest-parked r7-certified queries as spares (ns_mm_meta ..
-# ns_tfidf_topterms, plus watch-row ns_heavy_hitters_cms).
-# 19 + 1 + 9 + 1 + 20 = 50.
+# (1) the TWENTY-NINE queries the r9 ledger forecast as must-rotate
+# (r7-certified block ns_contamination .. stream_sliding plus the two
+# r7-certified queries Q13/Q22 displaced to the tail late in round 9:
+# ns_tfidf_topterms, udf_grouped_agg);
+# (2) FIVE new round-10 queries, never certified (multimodal_synth.py:
+# ns_mm_image_features, ns_mm_image_neardup, ns_mm_audio_features,
+# ns_mm_video_framehashes, ns_mm_video_neardup — the round-9 decode
+# triad promoted to declared, oracle-checked surface, VERDICT r9 #2);
+# (3) the THREE multimodal.py queries — the module changed this round
+# (WAV truncated-fmt guard, ADVICE r9; float64 batch-coercion fix):
+# ns_mm_meta, ns_mm_features, ns_mm_framesample;
+# (4) the TEN dedup.py queries — the module changes this round (Hadoop-FS
+# + atomic signature-artifact sidecar, per-user artifact dir, VERDICT r9
+# #5): ns_dedup_exact, ns_dedup_minhash, ns_dedup_minhash_salted,
+# ns_dedup_incremental, ns_dedup_incremental_persisted, ns_dedup_simhash,
+# ns_dedup_simhash_pairs, ns_dedup_components, ns_dedup_cluster_canonical,
+# ns_ngram_jaccard;
+# (5) THREE oldest-parked r8-certified spares (f1_page_report,
+# f1_regex_manifest, ns_ann_ivf_topk) to shave the round-11 bulge.
+# 29 + 5 + 3 + 10 + 3 = 50.
 #
-# Parked below: the 41 r8-certified queries not re-certifying (fresh,
-# parked one round — they rotate across r10/r11), then the TWENTY-SEVEN
-# r7-certified queries that did not fit: their certs will be 2 rounds
-# old after the r9 driver run, so they MUST lead the round-10 window;
-# the generated ledger's r10 forecast names them. Trust the ledger over
-# this prose if they ever disagree.
+# relational_sub.py took a DOCSTRING-ONLY edit this round (stale
+# certification prose, ADVICE r9); its seven r9-certified queries stay
+# parked — a comment edit cannot change a plan or an oracle, and burning
+# seven head slots on it would break the 29-query rotation contract.
+# Executable-code changes still force re-certification (rule refined
+# round 10; the r9 precedent re-certified Q21 for a docstring edit only
+# because the window had a free slot).
+#
+# Parked below: the 37 r9-certified queries (fresh, rotate r11/r12),
+# then the 38 r8-certified queries whose certs age to 2 rounds after the
+# r10 driver run — they MUST lead the round-11 window; the generated
+# ledger's r11 forecast names them. Trust the ledger over this prose if
+# they ever disagree.
 ROTATION_TAIL = [
-    # Displaced late in round 9 by the two new Q13/Q22 queries (never-
-    # certified queries must sit in the head — tests/test_contract.py):
-    # both r7-certified with untouched modules; they join the 27 r7 certs
-    # below in the round-10 must-rotate set.
-    "ns_tfidf_topterms",
-    "udf_grouped_agg",
-    # r8-certified, untouched in round 9 — parked (rotate r10/r11)
-    "f1_page_report",
-    "f1_regex_manifest",
-    "ns_ann_ivf_topk",
+    # r9-certified (37) — fresh, parked
+    "udf_scalar_pandas",
+    "w1_roundtrip",
+    "w1_roundtrip_zstd",
+    "w2_dict_decision",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_read",
+    "f1_clustered_prune",
+    "w_zorder_prune",
+    "r1_rowgroup_meta",
+    "r6_chunk_values",
+    "r8_page_index",
+    "streaming_tumbling_rt",
+    "streaming_enrich",
+    "ns_heavy_hitters_cms",
+    "rel_agg_q1",
+    "rel_join_q3",
+    "rel_merge_upsert",
+    "rel_join_q5",
+    "rel_window_rank",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_window_lag",
+    "rel_subquery",
+    "rel_percentiles",
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_multi_exists_q21",
+    "rel_window_range_time",
+    "rel_outer_hist_q13",
+    "rel_anti_avg_q22",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
+    "stream_tumbling",
+    # r8-certified (38) — age to 2 rounds after the r10 run: MUST lead r11
     "ns_ann_lsh_buckets",
     "ns_approx_distinct_hll",
     "ns_doclen_histogram",
@@ -154,33 +190,4 @@ ROTATION_TAIL = [
     "x1_chunk_greedy",
     "x1_chunk_index",
     "x1_tuple_to_chunk",
-    # r7-certified, did NOT fit the round-9 window — certs are 2 rounds
-    # old after the r9 driver run: MUST lead round 10
-    "ns_contamination",
-    "ns_chunk_split",
-    "r2_schema",
-    "r2_counts",
-    "r3_full_column_scan",
-    "r9_projection",
-    "f2_null_semantics",
-    "f3_string_columns",
-    "f1_regex_filter",
-    "f1_regex_docs",
-    "f1_neg_regex",
-    "ns_embed_neardup",
-    "rel_disjunctive_q19",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_window_running",
-    "rel_sort_topk",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_distinct",
-    "rel_scalar_funcs",
-    "rel_case_expr",
-    "stream_sliding",
 ]

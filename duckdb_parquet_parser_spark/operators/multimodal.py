@@ -263,11 +263,31 @@ def extract_image_features(df: DataFrame) -> DataFrame:
                         (doc_id, "undecodable", None, None, None, None,
                          None, None)
                     )
+            # Column-wise nullable construction: pd.DataFrame(rows) would
+            # infer float64 for int columns whenever the batch holds an
+            # 'undecodable' None row, silently rounding 64-bit hashes to
+            # 52-bit float mantissas (bug found in round 10 — corruption
+            # depended on which batch the poison rows landed in).
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "fmt", "width", "height", "mean_r",
-                         "mean_g", "mean_b", "ahash"],
-            ).astype({"width": "Int32", "height": "Int32", "ahash": "Int64"})
+                {
+                    "doc_id": pd.array(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "fmt": pd.array([r[1] for r in rows], dtype="object"),
+                    "width": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "mean_r": pd.array(
+                        [r[4] for r in rows], dtype="Float64"
+                    ),
+                    "mean_g": pd.array(
+                        [r[5] for r in rows], dtype="Float64"
+                    ),
+                    "mean_b": pd.array(
+                        [r[6] for r in rows], dtype="Float64"
+                    ),
+                    "ahash": pd.array([r[7] for r in rows], dtype="Int64"),
+                }
+            )
 
     return df.select("doc_id", "payload").mapInPandas(
         features, IMAGE_FEATURE_SCHEMA
@@ -379,13 +399,29 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
                     rows.append(
                         (doc_id, "undecodable", None, None, None, None, None)
                     )
+            # Column-wise nullable construction — same float64-coercion
+            # hazard as extract_image_features: a poison row's Nones must
+            # not route the whole batch's ints through float mantissas.
             yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "fmt", "sample_rate", "n_frames",
-                         "n_channels", "peak", "energy_q8"],
-            ).astype(
-                {"sample_rate": "Int32", "n_frames": "Int64",
-                 "n_channels": "Int32", "peak": "Int32", "energy_q8": "Int64"}
+                {
+                    "doc_id": pd.array(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "fmt": pd.array([r[1] for r in rows], dtype="object"),
+                    "sample_rate": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "n_frames": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "n_channels": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                    "peak": pd.array([r[5] for r in rows], dtype="Int32"),
+                    "energy_q8": pd.array(
+                        [r[6] for r in rows], dtype="Int64"
+                    ),
+                }
             )
 
     return df.select("doc_id", "payload").mapInPandas(

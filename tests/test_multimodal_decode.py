@@ -107,6 +107,49 @@ def test_extract_image_features_spark_path(spark):
     assert got[1]["ahash"] == ah
 
 
+def test_poison_row_in_batch_keeps_hashes_exact(spark):
+    """A poison row sharing an Arrow batch with real rows must not change
+    the real rows' values: pandas would infer float64 for int columns
+    containing a None, rounding 64-bit hashes to 52-bit mantissas (round-10
+    bug — the corruption depended on which batch poison landed in, so
+    multi-partition tests missed it). coalesce(1) forces one batch."""
+    import numpy as np
+
+    # An image whose average hash needs > 52 significant bits: MSB pixel
+    # bright plus low-order structure (alternating last row).
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    img[0, 0] = 200
+    img[7, ::2] = 200
+    ah = average_hash(img)
+    assert ah >= (1 << 57) and ah != (ah & ~0x3F), "fixture must exercise low bits"
+    rows = [
+        (1, bytearray(encode_ppm(img))),
+        (2, bytearray(b"\xff\xd8\xff\xe0 fake jpeg")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").coalesce(1)
+    got = {r["doc_id"]: r for r in extract_image_features(df).collect()}
+    expect = ah - (1 << 64) if ah >= (1 << 63) else ah
+    assert got[1]["ahash"] == expect
+    assert got[2]["fmt"] == "undecodable"
+
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    s = (np.arange(300, dtype="<i2") % 1024 - 512).reshape(-1, 1)
+    arows = [
+        (1, bytearray(encode_wav(s, 8000))),
+        (2, bytearray(b"RIFF" + bytes(8))),
+    ]
+    adf = spark.createDataFrame(arows, "doc_id long, payload binary").coalesce(1)
+    agot = {r["doc_id"]: r for r in extract_audio_features(adf).collect()}
+    s64 = s.astype("int64")
+    assert agot[1]["energy_q8"] == int((s64 * s64).sum()) >> 8
+    assert agot[1]["peak"] == int(abs(s64).max())
+    assert agot[2]["fmt"] == "undecodable"
+
+
 def test_image_neardup_pairs_match_bruteforce(spark):
     """Banded aHash near-dup pairs must equal the brute-force O(n²) hash
     comparison — banding is EXACT here (hamming ≤ 3 flips touch at most 3
