@@ -249,6 +249,39 @@ def test_multi_exists_q21_single_orderkey_shuffle(plans):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_outer_hist_q13_aggregates_below_left_join(plans):
+    """Q13's plan contract (VERDICT r9 #3): the priority filter lives on
+    the join's RIGHT side only and reaches the orders scan as a pushed
+    filter; orders pre-aggregate to one row per custkey BELOW the left
+    join (the shuffle moves |customers| rows, not |orders|); customer
+    scans a single column; no cartesian anywhere."""
+    plan = plans("rel_outer_hist_q13")
+    assert "Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))" in plan
+    assert "LeftOuter" in plan
+    # exactly one custkey exchange: the per-custkey partial/final count
+    # pair under the join's build side
+    assert plan.count("hashpartitioning(o_custkey") == 1
+    assert "partial_count" in plan
+    assert "struct<c_custkey:bigint>" in plan  # customer column-pruned
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_avg_q22_broadcasts_threshold_and_plans_anti_join(plans):
+    """Q22's plan contract (VERDICT r9 #3): the scalar AVG subquery
+    aggregates to ONE row and rides a broadcast nested-loop cross join
+    (the only non-equi join in the plan); the NOT-EXISTS is a broadcast
+    LEFT-ANTI hash join on custkey; both selective predicates reach
+    their parquet scans."""
+    plan = plans("rel_anti_avg_q22")
+    assert "LeftAnti" in plan
+    tree = plan.split("\n\n")[0]  # node tree; details repeat node names
+    assert tree.count("BroadcastNestedLoopJoin") == 1  # 1-row threshold only
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "GreaterThan(c_acctbal,0.0)" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_cluster_canonical_one_component_exchange(plans):
     """Canonical selection adds exactly ONE hash exchange on `component`
     on top of the CC labels — the cluster-size window, the quality-rank
@@ -347,3 +380,43 @@ def test_disjunctive_q19_pushes_or_to_both_scans(plans):
     assert "Or(" in pushed["part"]
     # part is the broadcast side — no shuffle join for a dimension table
     assert "BroadcastHashJoin" in plan
+
+
+def test_components_pipeline_job_budget(spark, sf_smoke):
+    """The components waiver's machine-independent leg (VERDICT r9 #4,
+    restated condition accepted as final in round 9): the full
+    ns_dedup_components pipeline must schedule AT MOST 20 Spark jobs
+    (AQE stage materializations + collect). Job count is plan-structural
+    so this guards the waiver without re-litigating per-machine wall
+    clocks. Counted via statusTracker over a dedicated job group, memos
+    cleared so the count covers the whole pipeline, not a warm remainder.
+
+    Runs at the bench SF (sf0.1) where the waiver is defined: the
+    single-split sf0.001 fixture schedules exactly one extra job — the
+    scale_out round-robin spread that disappears on multi-split inputs
+    (measured 21 vs 20, round 10) — so asserting there would guard the
+    wrong number."""
+    import os
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        clear_simhash_memos,
+        q_ns_dedup_components,
+    )
+
+    bench_sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(bench_sf):
+        pytest.skip(f"bench SF dir {bench_sf} not present")
+    spark.catalog.clearCache()
+    clear_simhash_memos()
+    sc = spark.sparkContext
+    group = "components-job-budget"
+    sc.setJobGroup(group, "count components stage-jobs", False)
+    try:
+        q_ns_dedup_components(spark, bench_sf).collect()
+    finally:
+        sc.setJobGroup(None, None, False)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert 0 < len(jobs) <= 20, (
+        f"components pipeline scheduled {len(jobs)} jobs; the accepted "
+        f"waiver condition is <= 20 (BENCH_NOTES.md restated condition)"
+    )
