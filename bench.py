@@ -20,6 +20,13 @@ sharing a production pipeline would get from its persisted signature /
 pair tables is reported SEPARATELY under the `warm_shared` key (memo
 pre-built unmeasured, then timed) — annotated, never silently mixed into
 the cold rows.
+
+Rows whose DuckDB denominator is sub-second also get a second in-session
+rep under the `steady` key (VERDICT r9 #9): caches and memos are cleared
+again, so the data work is identical and only the per-query first-exec
+session tax (+0.3-1 s of codegen/plan-translation, measured round 9) is
+gone — the honest number for cross-engine ratios on tiny denominators,
+reported beside the cold one, never replacing it.
 """
 
 from __future__ import annotations
@@ -93,6 +100,16 @@ HEADLINE = [
     # anti-join + broadcast scalar-AVG threshold
     "rel_outer_hist_q13",
     "rel_anti_avg_q22",
+    # round-10: the REAL multimodal decode pipelines as certified queries
+    # (VERDICT r9 #2) — one row per modality: banded-aHash image near-dup,
+    # WAV decode features, aligned-frame video near-dup. The mapInPandas
+    # decode is the priced work; the closed-form DuckDB oracles compute the
+    # same results arithmetically (no decode), so their denominators price
+    # the relational skeleton, not the pixel math — annotated in
+    # BENCH_NOTES.md.
+    "ns_mm_image_neardup",
+    "ns_mm_audio_features",
+    "ns_mm_video_neardup",
 ]
 
 
@@ -108,7 +125,9 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+def run_spark(
+    sf_dir: str, steady_rows: set[str] | None = None
+) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
     from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.session import get_spark
 
@@ -151,6 +170,7 @@ def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     from duckdb_parquet_parser_spark.operators.dedup import clear_simhash_memos
 
     times: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         # cold row: no cached/memoized frame from a sibling row survives
@@ -159,6 +179,18 @@ def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 4)
+        if steady_rows and name in steady_rows:
+            # steady rep (VERDICT r9 #9): same query, second in-session
+            # execution — caches/memos cleared again so the DATA work is
+            # identical, only the per-query first-exec session tax
+            # (codegen, plan translation, footer caches; documented in
+            # BENCH_NOTES.md) is gone. Reported separately, never mixed
+            # into the cold number.
+            spark.catalog.clearCache()
+            clear_simhash_memos()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            steady[name] = round(time.perf_counter() - t0, 4)
 
     # Annotated warm rows: the session-shared signature/pair tables are
     # pre-built (unmeasured — the "previous job already wrote them" state
@@ -175,7 +207,7 @@ def run_spark(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
-    return times, warm
+    return times, steady, warm
 
 
 def run_duckdb(sf_dir: str) -> dict[str, float]:
@@ -202,11 +234,15 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = SF_DIR
-    spark_times, warm_times = run_spark(sf_dir)
+    # DuckDB first: the sub-second-denominator rows are the ones whose
+    # cold-vs-oracle ratio the +0.3-1 s first-exec session tax distorts
+    # (measured round 9), so exactly those get a second `steady` rep.
     try:
         duck_times = run_duckdb(sf_dir)
     except Exception:
         duck_times = {}
+    steady_rows = {n for n, t in duck_times.items() if t < 1.0}
+    spark_times, steady_times, warm_times = run_spark(sf_dir, steady_rows)
     total = round(sum(spark_times.values()), 4)
     ratios = {
         name: round(spark_times[name] / duck_times[name], 3)
@@ -223,6 +259,7 @@ def main() -> None:
                 "sf": _sf_from_dir(sf_dir),
                 "duckdb": duck_times,
                 "ratio_vs_duckdb": ratios,
+                "steady": steady_times,
                 "warm_shared": warm_times,
             }
         )

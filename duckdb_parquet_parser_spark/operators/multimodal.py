@@ -577,8 +577,17 @@ def video_neardup_pairs(
     matched frames / max(sampled frames) ≥ ``min_match_frac``. Every step
     is an equi-join or hash agg on (doc, frame) keys — no pairwise-videos
     blowup: candidate volume is bounded by frames sharing a 16-bit band
-    key at the same index."""
-    frames = extract_video_frame_hashes(df, stride=stride)
+    key at the same index.
+
+    The frame-hash table fans out to FOUR subtrees (both band-join sides
+    and both per-doc count sides); without a materialization Spark
+    re-decodes every video once per subtree (the round-6 self-join
+    recompute lesson, re-measured here in round 10: 7.6 s → the decode
+    dominated). localCheckpoint pins the tiny (doc, idx, hash) table —
+    ~20 bytes/frame — so the Python decode runs exactly once."""
+    frames = extract_video_frame_hashes(df, stride=stride).localCheckpoint(
+        eager=True
+    )
     band = F.posexplode(
         F.array(
             *[
@@ -649,10 +658,14 @@ def image_neardup_pairs(
     verbatim: per-row hashing (mapInPandas instead of JVM expressions —
     pixels need Python), one equi-join keyed by (band, key), an 8-byte
     long shuffled per side, AQE handling hot buckets."""
+    # Materialize the (doc_id, ahash) table before the self-join fans it
+    # out: both band sides would otherwise re-run the pixel decode
+    # (round-6 self-join recompute lesson; halves the cold wall here).
     sig = (
         extract_image_features(media)
         .filter(F.col("fmt") != "undecodable")
         .select("doc_id", "ahash")
+        .localCheckpoint(eager=True)
     )
     band = F.posexplode(
         F.array(

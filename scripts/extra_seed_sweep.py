@@ -43,6 +43,7 @@ def main() -> int:
     import test_randomized_docs as docs
     import test_randomized_embeddings as emb
     import test_randomized_events as events
+    import test_randomized_multimodal as mm
     import test_randomized_relational as rel
     import test_randomized_streaming as stream
 
@@ -52,6 +53,9 @@ def main() -> int:
         ("relational", rel.test_relational_queries_match_oracles_on_random_fixtures),
         ("embeddings", emb.test_similarity_queries_match_oracles_on_random_fixtures),
         ("streaming", stream.test_streaming_queries_match_batch_oracles_on_random_fixtures),
+        # round-10 family: multimodal closed-form queries over random
+        # doc_id populations (test_randomized_multimodal.py)
+        ("multimodal", mm.test_multimodal_queries_match_oracles_on_random_fixtures),
     ]
 
     spark = get_spark(master=args.master)
