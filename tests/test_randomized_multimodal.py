@@ -56,7 +56,7 @@ def _make_fixture(tmp_path, seed: int) -> str:
     ids = set(rng.sample(range(0, 3000), n))
     dense_lo = rng.randrange(0, 400)
     ids.update(range(dense_lo, dense_lo + 40))  # consecutive: class collisions
-    ids.update(rng.randrange(0, 3000) * 0 + v for v in (0, 254, 508, 762))
+    ids.update((0, 254, 508, 762))  # same class, all three variants + poison
     doc_ids = sorted(ids)
     table = pa.table(
         {
