@@ -110,6 +110,9 @@ HEADLINE = [
     "ns_mm_image_neardup",
     "ns_mm_audio_features",
     "ns_mm_video_neardup",
+    # the audio leg of the near-dup triad (energy fingerprints, same
+    # exact-recall banding as images)
+    "ns_mm_audio_neardup",
 ]
 
 

@@ -640,6 +640,45 @@ AHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit average hash
 AHASH_HAMMING_MAX = 3
 
 
+def _banded_hash_pairs(
+    sig: DataFrame, hash_col: str, hamming_max: int
+) -> DataFrame:
+    """(doc_id, <hash_col>) → (doc_a, doc_b, hamming) pairs within
+    ``hamming_max`` of a 64-bit hash — the shared engine behind the
+    image and audio near-dup queries. Four 16-bit bands, ONE
+    (band_idx, key) equi-join, ``bit_count(xor)`` verification; recall
+    is EXACT for ``hamming_max ≤ AHASH_BANDS - 1`` by pigeonhole. The
+    caller materializes ``sig`` (localCheckpoint) so the Python hashing
+    runs once, not once per join side."""
+    band = F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned(hash_col, 16 * b)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias(f"b{b}")
+                for b in range(AHASH_BANDS)
+            ]
+        )
+    ).alias("band_idx", "key")
+    banded = sig.select("doc_id", hash_col, band)
+    a = banded.select(
+        "band_idx", "key",
+        F.col("doc_id").alias("doc_a"), F.col(hash_col).alias("hash_a"),
+    )
+    b = banded.select(
+        "band_idx", "key",
+        F.col("doc_id").alias("doc_b"), F.col(hash_col).alias("hash_b"),
+    )
+    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
+    return (
+        a.join(b, ["band_idx", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= hamming_max)
+    )
+
+
 def image_neardup_pairs(
     media: DataFrame, hamming_max: int = AHASH_HAMMING_MAX
 ) -> DataFrame:
@@ -667,33 +706,79 @@ def image_neardup_pairs(
         .select("doc_id", "ahash")
         .localCheckpoint(eager=True)
     )
-    band = F.posexplode(
-        F.array(
-            *[
-                F.shiftrightunsigned("ahash", 16 * b)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias(f"b{b}")
-                for b in range(AHASH_BANDS)
-            ]
-        )
-    ).alias("band_idx", "key")
-    banded = sig.select("doc_id", "ahash", band)
-    a = banded.select(
-        "band_idx", "key",
-        F.col("doc_id").alias("doc_a"), F.col("ahash").alias("hash_a"),
+    return _banded_hash_pairs(sig, "ahash", hamming_max)
+
+
+AUDIO_FP_BLOCKS = 64  # one fingerprint bit per equal-length sample block
+
+
+AUDIO_FP_SCHEMA = "doc_id long, n_blocks int, fingerprint long"
+
+
+def extract_audio_fingerprints(
+    df: DataFrame, n_blocks: int = AUDIO_FP_BLOCKS
+) -> DataFrame:
+    """64-bit energy fingerprint through the REAL WAV decode: split the
+    first channel into ``n_blocks`` equal-length blocks, compute each
+    block's integer energy (sum of squares), set the block's bit when its
+    energy exceeds the mean block energy — the audio analogue of the
+    image average hash, thresholded by exact integer cross-multiplication
+    (``e · n_blocks > Σe``, the Q17 trick: no division, no float, no
+    platform drift). Block 0 is the MSB, matching the aHash bit order so
+    the same banding machinery applies verbatim.
+
+    Undecodable payloads and clips shorter than ``n_blocks`` frames
+    contribute ZERO rows (a fingerprint table, like the video frame-hash
+    table — absence is the signal)."""
+    import pandas as pd
+
+    def fingerprints(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    samples, _rate = decode_audio(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    continue
+                mono = samples[:, 0].astype("int64")
+                block_len = mono.shape[0] // n_blocks
+                if block_len == 0:
+                    continue
+                blocks = mono[: n_blocks * block_len].reshape(
+                    n_blocks, block_len
+                )
+                energy = (blocks * blocks).sum(axis=1)
+                total = int(energy.sum())
+                fp = 0
+                for e in energy:
+                    fp = (fp << 1) | int(int(e) * n_blocks > total)
+                fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+                rows.append((doc_id, n_blocks, fp))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_blocks", "fingerprint"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        fingerprints, AUDIO_FP_SCHEMA
     )
-    b = banded.select(
-        "band_idx", "key",
-        F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hash_b"),
+
+
+def audio_neardup_pairs(
+    media: DataFrame, hamming_max: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs — completes the modality triad (image
+    round 9/10, video round 9/10, audio here): 64-bit energy fingerprint
+    per decodable clip, then the exact-recall banded Hamming join shared
+    with :func:`image_neardup_pairs`. Scale shape identical: one
+    (band, key) equi-join, 8-byte longs shuffled, AQE on hot buckets."""
+    sig = (
+        extract_audio_fingerprints(media)
+        .select("doc_id", "fingerprint")
+        .localCheckpoint(eager=True)
     )
-    hamming = F.bit_count(F.col("hash_a").bitwiseXOR(F.col("hash_b")))
-    return (
-        a.join(b, ["band_idx", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= hamming_max)
-    )
+    return _banded_hash_pairs(sig, "fingerprint", hamming_max)
 
 
 def q_ns_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

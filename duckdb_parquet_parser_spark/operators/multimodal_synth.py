@@ -43,11 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import load_table
 from .multimodal import (
+    AUDIO_FP_BLOCKS,
+    audio_neardup_pairs,
     encode_bmp,
     encode_ppm,
     encode_wav,
     encode_y4m,
     extract_audio_features,
+    extract_audio_fingerprints,
     extract_image_features,
     extract_video_frame_hashes,
     image_neardup_pairs,
@@ -68,6 +71,14 @@ AUDIO_SAMPLE_MOD = 2048  # samples in [-1024, 1023]
 VIDEO_POISON_MOD = 11  # doc_id % 11 == 0 -> MP4-magic payload (zero rows)
 VIDEO_CLS_MOD = 64  # content class: same-class videos share frames
 VIDEO_PERTURB_OFFSET = 101  # odd generations diverge on i % 8 == 0 frames
+
+# Audio-fingerprint corpus (round 10, audio near-dup): a DIFFERENT class
+# modulus than images so the audio pair structure is its own, not a copy
+# of the image one. cls in [1, 126] keeps the energy-bit count in (0, 64).
+AUDIO_SIG_CLS_MOD = 126
+AUDIO_SIG_POISON_MOD = 19  # doc_id % 19 == 0 -> MP3/ID3-magic payload
+AUDIO_SIG_BLOCK_LEN = 16  # samples per fingerprint block
+AUDIO_SIG_AMP = (100, 800)  # (bit clear, bit set) block amplitude
 
 # The truncated-fmt WAV from ADVICE r9: a declared 'fmt ' size of 8 with a
 # valid 'data' chunk behind it — decode_audio must degrade it (ValueError),
@@ -170,6 +181,39 @@ def _video_payload(doc_id: int) -> bytes:
     return encode_y4m(frames)
 
 
+def audio_sig_hash_for_doc(doc_id: int) -> int:
+    """Closed-form 64-bit energy fingerprint of the synthetic clip."""
+    cls = 1 + (doc_id % AUDIO_SIG_CLS_MOD)
+    variant = (doc_id // AUDIO_SIG_CLS_MOD) % 3
+    return (cls * REPL8) ^ IMG_VARIANT_FLIPS[variant]
+
+
+def _audio_sig_payload(doc_id: int) -> bytes:
+    """64 blocks of 16 samples: block b alternates ±800 when bit b of the
+    closed-form hash is set, ±100 when clear — block energies are exactly
+    16·A², so the integer mean-threshold in extract_audio_fingerprints
+    reproduces the hash bit-for-bit (the audio twin of the two-level
+    pixel trick)."""
+    import numpy as np
+
+    if doc_id % AUDIO_SIG_POISON_MOD == 0:
+        return b"ID3\x03\x00\x00\x00\x00\x00\x00" + b"\x00" * 32
+    h = audio_sig_hash_for_doc(doc_id)
+    bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+    amp = np.where(bits, AUDIO_SIG_AMP[1], AUDIO_SIG_AMP[0]).astype("int64")
+    pattern = np.tile([1, -1], AUDIO_SIG_BLOCK_LEN // 2)
+    samples = (amp[:, None] * pattern[None, :]).reshape(-1, 1)
+    return encode_wav(samples.astype("<i2"), 8000)
+
+
+def build_audio_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic fingerprint-structured WAV corpus (mono, 1024 frames),
+    ID3-magic poison every ``AUDIO_SIG_POISON_MOD``-th doc."""
+    return _payload_builder(_audio_sig_payload)(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 def build_image_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic image corpus: PPM for even docs, BMP for odd, JPEG-magic
     poison every ``IMG_POISON_MOD``-th doc."""
@@ -223,6 +267,23 @@ def q_ns_mm_video_framehashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_frame_hashes(build_video_table(spark, sf_dir))
 
 
+def q_ns_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip 64-bit energy fingerprint through the REAL WAV decode —
+    integer block energies thresholded at the mean by cross-
+    multiplication (no division anywhere); poison docs contribute zero
+    rows, like the video frame-hash table."""
+    return extract_audio_fingerprints(build_audio_sig_table(spark, sf_dir))
+
+
+def q_ns_mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs — the modality triad's last leg: the
+    same exact-recall banded Hamming join as images, over energy
+    fingerprints instead of pixel hashes. The audio class modulus (126)
+    differs from the image one (254), so the pair structure is this
+    corpus's own."""
+    return audio_neardup_pairs(build_audio_sig_table(spark, sf_dir))
+
+
 def q_ns_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate video pairs: aligned-frame banded-hash candidates,
     Hamming verification, match-fraction >= 0.5 over the larger sampled
@@ -264,6 +325,24 @@ _IMG_K = (
     "WHEN v = 2 THEN CASE WHEN (cls & 2) > 0 THEN -2 ELSE 2 END "
     "ELSE 0 END"
 )
+
+_AUDIO_SIG_CTE = f"""
+    d AS (
+        SELECT doc_id,
+               1 + (doc_id % {AUDIO_SIG_CLS_MOD}) AS cls,
+               (doc_id // {AUDIO_SIG_CLS_MOD}) % 3 AS v
+        FROM documents
+        WHERE doc_id % {AUDIO_SIG_POISON_MOD} <> 0
+    ),
+    h AS (
+        SELECT doc_id,
+               xor(CAST(cls AS HUGEINT) * {REPL8},
+                   CASE v WHEN 1 THEN {IMG_VARIANT_FLIPS[1]}
+                          WHEN 2 THEN {IMG_VARIANT_FLIPS[2]}
+                          ELSE 0 END) AS hh
+        FROM d
+    )
+"""
 
 _VIDEO_FRAME_CTE = f"""
     d AS (
@@ -355,6 +434,21 @@ ORACLES = {
                     ELSE energy_q8 END AS energy_q8
         FROM d JOIN a USING (doc_id)
     """,
+    "ns_mm_audio_fingerprint": f"""
+        WITH {_AUDIO_SIG_CTE}
+        SELECT doc_id,
+               {AUDIO_FP_BLOCKS} AS n_blocks,
+               {_SIGNED64.format(h='hh')} AS fingerprint
+        FROM h
+    """,
+    "ns_mm_audio_neardup": f"""
+        WITH {_AUDIO_SIG_CTE},
+        s AS (SELECT doc_id, {_SIGNED64.format(h='hh')} AS ah FROM h)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ah, b.ah)) <= 3
+    """,
     "ns_mm_video_framehashes": f"""
         WITH {_VIDEO_FRAME_CTE}
         SELECT doc_id,
@@ -390,6 +484,8 @@ QUERIES = {
     "ns_mm_image_features": q_ns_mm_image_features,
     "ns_mm_image_neardup": q_ns_mm_image_neardup,
     "ns_mm_audio_features": q_ns_mm_audio_features,
+    "ns_mm_audio_fingerprint": q_ns_mm_audio_fingerprint,
+    "ns_mm_audio_neardup": q_ns_mm_audio_neardup,
     "ns_mm_video_framehashes": q_ns_mm_video_framehashes,
     "ns_mm_video_neardup": q_ns_mm_video_neardup,
 }

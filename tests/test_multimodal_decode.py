@@ -537,3 +537,95 @@ def test_hypothesis_fuzz_decoders_and_roundtrips():
         assert np.array_equal(vy, y)
 
     _roundtrips()
+
+
+def test_audio_fingerprint_matches_local_energy_math(spark):
+    """The Spark fingerprint must equal a local integer recomputation
+    (block energies, mean threshold by cross-multiplication, MSB-first),
+    poison payloads and sub-64-frame clips must contribute zero rows."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        AUDIO_FP_BLOCKS,
+        encode_wav,
+        extract_audio_fingerprints,
+    )
+
+    rng = np.random.default_rng(7)
+    clips = {
+        1: (rng.integers(-2000, 2000, size=(1024, 1)).astype("<i2"), 8000),
+        2: (rng.integers(-300, 300, size=(700, 2)).astype("<i2"), 16000),
+        3: ((np.arange(64) * 100 % 1500 - 700).reshape(-1, 1).astype("<i2"), 8000),
+    }
+    rows = [(i, bytearray(encode_wav(s, r))) for i, (s, r) in clips.items()]
+    rows.append((4, bytearray(b"ID3\x03 not a wav")))  # poison: zero rows
+    rows.append((5, bytearray(encode_wav(np.zeros((10, 1), "<i2"), 8000))))  # short
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_audio_fingerprints(df).collect()}
+    assert set(got) == {1, 2, 3}
+
+    for doc_id, (s, _r) in clips.items():
+        mono = s[:, 0].astype("int64")
+        bl = mono.shape[0] // AUDIO_FP_BLOCKS
+        blocks = mono[: AUDIO_FP_BLOCKS * bl].reshape(AUDIO_FP_BLOCKS, bl)
+        energy = (blocks * blocks).sum(axis=1)
+        total = int(energy.sum())
+        fp = 0
+        for e in energy:
+            fp = (fp << 1) | int(int(e) * AUDIO_FP_BLOCKS > total)
+        fp = fp - (1 << 64) if fp >= (1 << 63) else fp
+        assert got[doc_id]["fingerprint"] == fp, doc_id
+        assert got[doc_id]["n_blocks"] == AUDIO_FP_BLOCKS
+
+
+def test_audio_neardup_pairs_match_bruteforce(spark):
+    """Banded fingerprint near-dup pairs must equal the brute-force O(n²)
+    comparison — same exact-recall argument as images — with poison
+    excluded, on clips whose fingerprints are controlled bit flips of a
+    two-level energy pattern."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        AHASH_HAMMING_MAX,
+        AUDIO_FP_BLOCKS,
+        audio_neardup_pairs,
+        encode_wav,
+        extract_audio_fingerprints,
+    )
+
+    rng = np.random.default_rng(13)
+
+    def clip_from_bits(bits):
+        amp = np.where(bits, 800, 100).astype("int64")
+        pattern = np.tile([1, -1], 8)
+        return encode_wav(
+            (amp[:, None] * pattern[None, :]).reshape(-1, 1).astype("<i2"),
+            8000,
+        )
+
+    base = rng.integers(0, 2, size=AUDIO_FP_BLOCKS).astype(bool)
+    base[0] = True  # keep 0 < k < 64
+    base[1] = False
+    variants = {1: base}
+    for doc_id, flips in ((2, 1), (3, 3), (4, 9)):
+        b = base.copy()
+        for c in rng.choice(AUDIO_FP_BLOCKS, size=flips, replace=False):
+            b[c] = ~b[c]
+        variants[doc_id] = b
+    rows = [(i, bytearray(clip_from_bits(b))) for i, b in variants.items()]
+    rows.append((5, bytearray(b"\xff\xfb garbage mp3")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_neardup_pairs(df).collect()
+    }
+    fps = {
+        r["doc_id"]: r["fingerprint"] & ((1 << 64) - 1)
+        for r in extract_audio_fingerprints(df).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = bin(fps[ids[i]] ^ fps[ids[j]]).count("1")
+            if d <= AHASH_HAMMING_MAX:
+                want[(ids[i], ids[j])] = d
+    assert got == want
+    assert (1, 2) in got  # the 1-flip pair must be found

@@ -32,6 +32,8 @@ MM_QUERIES = [
     "ns_mm_image_features",
     "ns_mm_image_neardup",
     "ns_mm_audio_features",
+    "ns_mm_audio_fingerprint",
+    "ns_mm_audio_neardup",
     "ns_mm_video_framehashes",
     "ns_mm_video_neardup",
 ]
