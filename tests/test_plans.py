@@ -420,3 +420,18 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
         f"components pipeline scheduled {len(jobs)} jobs; the accepted "
         f"waiver condition is <= 20 (BENCH_NOTES.md restated condition)"
     )
+
+
+@pytest.mark.parametrize(
+    "name", ["ns_mm_image_neardup", "ns_mm_audio_neardup", "ns_mm_video_neardup"]
+)
+def test_neardup_joins_decode_exactly_once(plans, name):
+    """The near-dup pipelines localCheckpoint their hash/fingerprint
+    tables before fanning out (band-join sides + count sides), so the
+    executed plan must contain NO Python decode node at all — the decode
+    ran once at build time and every subtree reads the materialized RDD.
+    Without the checkpoint the video pipeline re-decoded every payload
+    four times (round-10 bench: 7.6 s -> 3.8 s)."""
+    plan = plans(name)
+    assert "MapInPandas" not in plan, name
+    assert "ExistingRDD" in plan, name
