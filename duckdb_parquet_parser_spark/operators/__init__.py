@@ -82,13 +82,14 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (r7-certified block ns_contamination .. stream_sliding plus the two
 # r7-certified queries Q13/Q22 displaced to the tail late in round 9:
 # ns_tfidf_topterms, udf_grouped_agg);
-# (2) SEVEN new round-10 queries, never certified (multimodal_synth.py:
+# (2) EIGHT new round-10 queries, never certified (multimodal_synth.py:
 # ns_mm_image_features, ns_mm_image_neardup, ns_mm_audio_features,
 # ns_mm_video_framehashes, ns_mm_video_neardup — the round-9 decode
 # triad promoted to declared, oracle-checked surface, VERDICT r9 #2 —
-# plus ns_mm_audio_fingerprint and ns_mm_audio_neardup, the energy-
+# plus ns_mm_audio_fingerprint / ns_mm_audio_neardup, the energy-
 # fingerprint family that completes near-dup across all three
-# modalities);
+# modalities, and ns_mm_ingest, the binaryFile raw-file ingestion leg
+# over a staged directory of real media files);
 # (3) the THREE multimodal.py queries — the module changed this round
 # (WAV truncated-fmt guard, ADVICE r9; float64 batch-coercion fix):
 # ns_mm_meta, ns_mm_features, ns_mm_framesample;
@@ -98,12 +99,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # ns_dedup_incremental, ns_dedup_incremental_persisted, ns_dedup_simhash,
 # ns_dedup_simhash_pairs, ns_dedup_components, ns_dedup_cluster_canonical,
 # ns_ngram_jaccard;
-# (5) ONE oldest-parked r8-certified spare (f1_page_report) to shave
-# the round-11 bulge — two more spares (f1_regex_manifest,
-# ns_ann_ivf_topk) were displaced back to the tail when the audio
-# fingerprint/near-dup queries landed (never-certified queries must sit
-# in the head).
-# 29 + 7 + 3 + 10 + 1 = 50.
+# All three r8 spares originally penciled in (f1_page_report,
+# f1_regex_manifest, ns_ann_ivf_topk) were displaced back to the tail
+# as the audio-fingerprint and ingestion queries landed (never-certified
+# queries must sit in the head).
+# 29 + 8 + 3 + 10 = 50.
 #
 # relational_sub.py took a DOCSTRING-ONLY edit this round (stale
 # certification prose, ADVICE r9); its seven r9-certified queries stay
@@ -157,7 +157,8 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
-    # r8-certified (40) — age to 2 rounds after the r10 run: MUST lead r11
+    # r8-certified (41) — age to 2 rounds after the r10 run: MUST lead r11
+    "f1_page_report",
     "f1_regex_manifest",
     "ns_ann_ivf_topk",
     "ns_ann_lsh_buckets",

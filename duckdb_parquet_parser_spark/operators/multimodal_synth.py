@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from .multimodal import (
@@ -267,6 +268,118 @@ def q_ns_mm_video_framehashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_frame_hashes(build_video_table(spark, sf_dir))
 
 
+def _media_dir(sf_dir: str) -> str:
+    """Deterministic staged-media directory per (table path, content
+    fingerprint) under a per-user 0o700 cache dir — same keying and
+    pruning discipline as the dedup signature artifact. A `_source.txt`
+    sidecar records the origin so directories whose source is gone are
+    also pruned (the randomized test fixtures live in pytest tmp dirs
+    that vanish after the run)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .dedup import _docs_fingerprint
+
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    base = os.path.join(tempfile.gettempdir(), f"sg_media_{uid}")
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    os.chmod(base, 0o700)
+    abs_src = os.path.abspath(sf_dir)
+    path_tag = hashlib.md5(abs_src.encode()).hexdigest()[:12]
+    fp_tag = hashlib.md5(_docs_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry == name:
+            continue
+        src_file = os.path.join(base, entry, "_source.txt")
+        stale_same_path = entry.startswith(f"{path_tag}_")
+        dead_source = True
+        try:
+            with open(src_file) as f:
+                dead_source = not os.path.isdir(f.read().strip())
+        except OSError:
+            pass  # no sidecar: treat as dead
+        if stale_same_path or dead_source:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
+
+
+def _ingest_payload(doc_id: int) -> tuple[str, bytes]:
+    """(file name, bytes) for the staged raw-file corpus: images, audio
+    clips and opaque blobs round-robin by doc_id — the poison payloads of
+    the image/audio builders ride along, so undecodable FILES flow
+    through ingestion as ordinary opaque rows (ingestion must never
+    decode)."""
+    kind = doc_id % 3
+    if kind == 0:
+        ext = "ppm" if doc_id % IMG_POISON_MOD == 0 or doc_id % 2 == 0 else "bmp"
+        return f"doc_{doc_id}.{ext}", _image_payload(doc_id)
+    if kind == 1:
+        return f"doc_{doc_id}.wav", _audio_sig_payload(doc_id)
+    blob = doc_id.to_bytes(8, "big") + b"\x5a" * (doc_id % 32)
+    return f"doc_{doc_id}.bin", blob
+
+
+def stage_media_dir(sf_dir: str) -> str:
+    """One-time maintenance (like the clustered layout or the dedup
+    signature artifact): materialize the synthetic corpus as REAL FILES
+    on disk so `ns_mm_ingest` exercises Spark's binaryFile source over an
+    actual directory. Idempotent per content fingerprint."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = _media_dir(sf_dir)
+    marker = os.path.join(out, "_source.txt")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    doc_ids = (
+        pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+    )
+    for doc_id in doc_ids:
+        fname, payload = _ingest_payload(int(doc_id))
+        with open(os.path.join(out, fname), "wb") as f:
+            f.write(payload)
+    with open(marker, "w") as f:  # written LAST: presence = fully staged
+        f.write(os.path.abspath(sf_dir))
+    return out
+
+
+def q_ns_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion as a certified query: a directory of real
+    image/audio/blob FILES read through Spark's ``binaryFile`` source
+    (sources/binary.py ingest_binary_dir — one file, one row, listing-
+    parallel), projected entirely JVM-side: doc id parsed from the file
+    name, byte length, mime from the extension map, and the 4-byte magic
+    as hex (substring on the binary column — ingestion never decodes;
+    the `*.bin` glob exclusion case and zero-length semantics are pinned
+    in tests/test_binary_source.py). The oracle recomputes every column
+    from the closed-form payload definitions."""
+    return _ingest_projection(spark, stage_media_dir(sf_dir))
+
+
+def _ingest_projection(spark: SparkSession, media_dir: str) -> DataFrame:
+    from ..sources.binary import ingest_binary_dir
+
+    df = ingest_binary_dir(spark, media_dir, glob="doc_*")
+    return df.select(
+        F.regexp_extract("file_name", r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "file_name",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.content_length").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic_hex"),
+    )
+
+
 def q_ns_mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip 64-bit energy fingerprint through the REAL WAV decode —
     integer block energies thresholded at the mean by cross-
@@ -434,6 +547,44 @@ ORACLES = {
                     ELSE energy_q8 END AS energy_q8
         FROM d JOIN a USING (doc_id)
     """,
+    # Ingestion oracle: every column recomputed from the closed-form
+    # payload definitions (_ingest_payload). Byte lengths: PPM = 11-byte
+    # header + 192 raster; BMP = 54 + 192; JPEG poison = 24; WAV = 44 +
+    # 2048; ID3 poison = 42; blob = 8 + doc_id % 32. Magics are the hex
+    # of each format's first four bytes.
+    "ns_mm_ingest": f"""
+        WITH d AS (SELECT doc_id, doc_id % 3 AS kind FROM documents)
+        SELECT doc_id,
+               'doc_' || doc_id ||
+                   CASE WHEN kind = 0 THEN
+                            CASE WHEN doc_id % {IMG_POISON_MOD} = 0
+                                      OR doc_id % 2 = 0
+                                 THEN '.ppm' ELSE '.bmp' END
+                        WHEN kind = 1 THEN '.wav'
+                        ELSE '.bin' END AS file_name,
+               CASE WHEN kind = 1 THEN 'audio/wav'
+                    ELSE 'application/octet-stream' END AS mime,
+               CAST(CASE
+                    WHEN kind = 0 THEN
+                        CASE WHEN doc_id % {IMG_POISON_MOD} = 0 THEN 24
+                             WHEN doc_id % 2 = 0 THEN 203
+                             ELSE 246 END
+                    WHEN kind = 1 THEN
+                        CASE WHEN doc_id % {AUDIO_SIG_POISON_MOD} = 0
+                             THEN 42 ELSE 2092 END
+                    ELSE 8 + doc_id % 32 END AS BIGINT) AS n_bytes,
+               CASE
+                    WHEN kind = 0 THEN
+                        CASE WHEN doc_id % {IMG_POISON_MOD} = 0
+                             THEN 'ffd8ffe0'
+                             WHEN doc_id % 2 = 0 THEN '50360a38'
+                             ELSE '424df600' END
+                    WHEN kind = 1 THEN
+                        CASE WHEN doc_id % {AUDIO_SIG_POISON_MOD} = 0
+                             THEN '49443303' ELSE '52494646' END
+                    ELSE '00000000' END AS magic_hex
+        FROM d
+    """,
     "ns_mm_audio_fingerprint": f"""
         WITH {_AUDIO_SIG_CTE}
         SELECT doc_id,
@@ -481,6 +632,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "ns_mm_ingest": q_ns_mm_ingest,
     "ns_mm_image_features": q_ns_mm_image_features,
     "ns_mm_image_neardup": q_ns_mm_image_neardup,
     "ns_mm_audio_features": q_ns_mm_audio_features,

@@ -29,6 +29,7 @@ from duckdb_parquet_parser_spark.testing import run_all
 SF_BASE = "/root/testdata/sf0.001"
 
 MM_QUERIES = [
+    "ns_mm_ingest",
     "ns_mm_image_features",
     "ns_mm_image_neardup",
     "ns_mm_audio_features",
