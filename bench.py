@@ -162,13 +162,14 @@ def run_spark(
 
     from duckdb_parquet_parser_spark.operators.dedup import (
         SIG_ARTIFACT_META,
+        _artifact_uri,
         _incremental_artifact_path,
         write_signature_artifact,
     )
 
     art = _incremental_artifact_path(sf_dir)
     if not _os.path.exists(_os.path.join(art, SIG_ARTIFACT_META)):
-        write_signature_artifact(spark, sf_dir, art)
+        write_signature_artifact(spark, sf_dir, _artifact_uri(art))
 
     from duckdb_parquet_parser_spark.operators.dedup import clear_simhash_memos
 
@@ -227,9 +228,20 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
             sql = oracles.get(name)
             if sql is None or name in ORACLE_SKIP_AT_BENCH_SF:
                 continue
-            t0 = time.perf_counter()
-            con.execute(retarget_oracle_sql(sql, sf_dir)).fetchall()
-            times[name] = round(time.perf_counter() - t0, 4)
+            # Per-query containment: one failing oracle (OOM on a
+            # quadratic self-join, a missing function on an older
+            # DuckDB) must not discard every other row's denominator —
+            # and must not silently disable the steady reps that key off
+            # them (code review r10).
+            try:
+                t0 = time.perf_counter()
+                con.execute(retarget_oracle_sql(sql, sf_dir)).fetchall()
+                times[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                print(
+                    f"# duckdb oracle failed for {name}: {exc}",
+                    file=sys.stderr,
+                )
     finally:
         con.close()
     return times

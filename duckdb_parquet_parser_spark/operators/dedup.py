@@ -410,7 +410,13 @@ def write_signature_artifact(spark: SparkSession, sf_dir: str, path: str) -> Non
         "n_hashes": N_HASHES,
         "source_fingerprint": _docs_fingerprint(sf_dir),
     }
-    _fs_write_text(spark, _artifact_meta_path(path), json.dumps(meta))
+    # Atomic like the append-time bump: a crash mid-write must not leave
+    # a torn sidecar that wedges every later run behind a JSONDecodeError
+    # while fs.exists() keeps saying the artifact is staged (code review
+    # r10).
+    _fs_move_text_into_place(
+        spark, _artifact_meta_path(path), json.dumps(meta)
+    )
 
 
 def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
@@ -459,25 +465,44 @@ def append_signatures(spark: SparkSession, docs: DataFrame, path: str) -> None:
     into place (ADVICE r9): a reader can never observe a torn,
     half-written sidecar. Local/HDFS rename won't clobber an existing
     destination, so the old sidecar is deleted first — the worst
-    interleaving leaves a MISSING sidecar for a moment, which the reader
-    rejects loudly ("no _sig_meta.json"), never silently misparses."""
+    interleaving leaves a MISSING sidecar for a moment, which readers
+    reject loudly ("no _sig_meta.json"), never silently misparse. The
+    artifact is SINGLE-WRITER by contract (one ingestion job owns it, the
+    shape every table format assumes without a commit coordinator):
+    concurrent appends could interleave on the read-modify-write snapshot
+    counter and each raises the loud missing-sidecar error if it reads
+    inside the other's rename gap."""
     import json
 
-    from ..sources.layout import _fs_read_text, _fs_write_text, _hadoop_fs
+    from ..sources.layout import _fs_read_text
 
     read_signature_artifact(spark, path)  # contract gate before any write
     sigs = minhash_signatures_from_arrays(docs).drop("ws")
     sigs.select(*_SIG_ARTIFACT_COLUMNS).write.mode("append").parquet(path)
     meta_path = _artifact_meta_path(path)
-    meta = json.loads(_fs_read_text(spark, meta_path))
+    text = _fs_read_text(spark, meta_path)
+    if text is None:  # another writer's rename gap — loud, per contract
+        raise ValueError(
+            f"signature artifact at {path} has no {SIG_ARTIFACT_META}"
+        )
+    meta = json.loads(text)
     meta["snapshots"] = int(meta.get("snapshots", 1)) + 1
-    tmp_path = meta_path + ".tmp"
-    _fs_write_text(spark, tmp_path, json.dumps(meta))
-    fs, dst = _hadoop_fs(spark, meta_path)
+    _fs_move_text_into_place(spark, meta_path, json.dumps(meta))
+
+
+def _fs_move_text_into_place(spark: SparkSession, dst_path: str, text: str) -> None:
+    """Write ``text`` to ``dst_path + '.tmp'`` and rename into place —
+    readers can observe the old sidecar, a momentarily missing one, or
+    the new one, never a torn half-write."""
+    from ..sources.layout import _fs_write_text, _hadoop_fs
+
+    tmp_path = dst_path + ".tmp"
+    _fs_write_text(spark, tmp_path, text)
+    fs, dst = _hadoop_fs(spark, dst_path)
     _, tmp = _hadoop_fs(spark, tmp_path)
     fs.delete(dst, False)
     if not fs.rename(tmp, dst):
-        raise IOError(f"could not move {tmp_path} into place at {meta_path}")
+        raise IOError(f"could not move {tmp_path} into place at {dst_path}")
 
 
 def _artifact_meta_path(path: str) -> str:
@@ -492,28 +517,36 @@ def _incremental_artifact_path(sf_dir: str) -> str:
     path, so a stale prior-run artifact can never answer for rewritten
     data.
 
-    Artifacts live under a PER-USER 0o700 cache dir (ADVICE r9: a
-    world-shared predictable /tmp name lets another local user pre-create
-    the path or plant a tampered artifact that passes the sidecar checks).
-    The name splits into a path tag and a fingerprint tag so stale
+    Artifacts live under a PER-USER 0o700 cache dir with verified
+    ownership (ADVICE r9: a world-shared predictable /tmp name lets
+    another local user pre-create the path or plant a tampered artifact
+    that passes the sidecar checks) — shared discipline in cache.py. The
+    name splits into a path tag and a fingerprint tag so stale
     fingerprints of the SAME source path — by definition outdated
     content — are pruned on the way in, bounding accumulation."""
-    import hashlib
     import os
     import shutil
-    import tempfile
 
-    uid = os.getuid() if hasattr(os, "getuid") else "u"
-    base = os.path.join(tempfile.gettempdir(), f"sg_sig_{uid}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    os.chmod(base, 0o700)  # pre-existing dir keeps the tight mode too
-    path_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    fp_tag = hashlib.md5(_docs_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    from ..cache import content_tags, per_user_cache_dir
+
+    base = per_user_cache_dir("sg_sig")
+    path_tag, fp_tag = content_tags(sf_dir)
     name = f"{path_tag}_{fp_tag}"
     for entry in os.listdir(base):
         if entry.startswith(f"{path_tag}_") and entry != name:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return os.path.join(base, name)
+
+
+def _artifact_uri(path: str) -> str:
+    """Qualify a local artifact path with an explicit ``file:`` scheme so
+    every Hadoop-FS call resolves against the LOCAL filesystem even when
+    ``fs.defaultFS`` points at hdfs:/s3a: — the os/shutil directory
+    management above is local, and a scheme-less path would silently
+    split the artifact across two filesystems (code review r10)."""
+    import os
+
+    return path if "://" in path else "file://" + os.path.abspath(path)
 
 
 def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,11 +561,13 @@ def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFr
     row for row and the same DuckDB oracle certifies both."""
     from ..sources.layout import _hadoop_fs
 
-    path = _incremental_artifact_path(sf_dir)
-    fs, meta_p = _hadoop_fs(spark, _artifact_meta_path(path))
+    # file:-qualified so every Hadoop-FS/Spark call resolves locally even
+    # when fs.defaultFS is remote — the cache-dir management is local
+    uri = _artifact_uri(_incremental_artifact_path(sf_dir))
+    fs, meta_p = _hadoop_fs(spark, _artifact_meta_path(uri))
     if not fs.exists(meta_p):
-        write_signature_artifact(spark, sf_dir, path)
-    corpus_sigs = read_signature_artifact(spark, path)
+        write_signature_artifact(spark, sf_dir, uri)
+    corpus_sigs = read_signature_artifact(spark, uri)
     is_new = F.col("doc_id") % INCR_MOD == INCR_REM
     batch_sigs = minhash_signatures_from_arrays(
         _doc_word_arrays(spark, sf_dir).filter(is_new)

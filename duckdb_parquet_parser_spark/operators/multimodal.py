@@ -627,11 +627,15 @@ def video_neardup_pairs(
         F.col("doc_id").alias("doc_b"), F.col("n_frames").alias("frames_b")
     )
     frac = F.col("matched_frames") / F.greatest("frames_a", "frames_b")
+    # Filter on the RAW fraction (like the SQL oracle); round only the
+    # OUTPUT column — filtering on the rounded value would admit pairs
+    # up to half an ulp-of-1e-6 below the threshold and diverge from the
+    # oracle near the boundary (code review r10).
     return (
         matched.join(ca, "doc_a")
         .join(cb, "doc_b")
+        .filter(frac >= min_match_frac)
         .withColumn("match_frac", F.round(frac, 6))
-        .filter(F.col("match_frac") >= min_match_frac)
         .select("doc_a", "doc_b", "matched_frames", "match_frac")
     )
 
@@ -650,6 +654,14 @@ def _banded_hash_pairs(
     is EXACT for ``hamming_max ≤ AHASH_BANDS - 1`` by pigeonhole. The
     caller materializes ``sig`` (localCheckpoint) so the Python hashing
     runs once, not once per join side."""
+    if hamming_max > AHASH_BANDS - 1:
+        # Beyond the pigeonhole radius a pair can flip one bit in every
+        # band and silently never surface — fail loudly instead of
+        # returning an incomplete pair set (code review r10).
+        raise ValueError(
+            f"hamming_max={hamming_max} exceeds the exact-recall radius "
+            f"{AHASH_BANDS - 1} of {AHASH_BANDS}-band banding"
+        )
     band = F.posexplode(
         F.array(
             *[

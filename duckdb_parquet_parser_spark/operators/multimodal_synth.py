@@ -268,41 +268,53 @@ def q_ns_mm_video_framehashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_video_frame_hashes(build_video_table(spark, sf_dir))
 
 
+# A marker-less cache entry is either a CRASHED staging (prunable) or a
+# CONCURRENT one mid-write (must not be touched) — age disambiguates.
+_STAGING_GRACE_SECONDS = 3600.0
+
+
 def _media_dir(sf_dir: str) -> str:
     """Deterministic staged-media directory per (table path, content
-    fingerprint) under a per-user 0o700 cache dir — same keying and
-    pruning discipline as the dedup signature artifact. A `_source.txt`
-    sidecar records the origin so directories whose source is gone are
-    also pruned (the randomized test fixtures live in pytest tmp dirs
-    that vanish after the run)."""
-    import hashlib
+    fingerprint) under a per-user 0o700 cache dir — same keying/security
+    discipline as the dedup signature artifact (shared cache.py helpers).
+    A `_source.txt` marker records the origin so directories whose
+    source is gone are pruned (the randomized test fixtures live in
+    pytest tmp dirs that vanish after the run). Marker-less directories
+    are only pruned past a one-hour grace age: staging writes the marker
+    last inside a temp dir and renames it into place, so a fresh
+    marker-less sibling is a CONCURRENT staging in flight, not garbage
+    (code review r10)."""
     import os
     import shutil
-    import tempfile
+    import time
 
-    from .dedup import _docs_fingerprint
+    from ..cache import content_tags, per_user_cache_dir
 
-    uid = os.getuid() if hasattr(os, "getuid") else "u"
-    base = os.path.join(tempfile.gettempdir(), f"sg_media_{uid}")
-    os.makedirs(base, mode=0o700, exist_ok=True)
-    os.chmod(base, 0o700)
-    abs_src = os.path.abspath(sf_dir)
-    path_tag = hashlib.md5(abs_src.encode()).hexdigest()[:12]
-    fp_tag = hashlib.md5(_docs_fingerprint(sf_dir).encode()).hexdigest()[:12]
+    base = per_user_cache_dir("sg_media")
+    path_tag, fp_tag = content_tags(sf_dir)
     name = f"{path_tag}_{fp_tag}"
+    now = time.time()
     for entry in os.listdir(base):
         if entry == name:
             continue
-        src_file = os.path.join(base, entry, "_source.txt")
-        stale_same_path = entry.startswith(f"{path_tag}_")
-        dead_source = True
+        full = os.path.join(base, entry)
+        if entry.startswith(f"{path_tag}_") and "." not in entry:
+            # stale fingerprint of the SAME source: outdated by definition
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        marker = os.path.join(full, "_source.txt")
         try:
-            with open(src_file) as f:
-                dead_source = not os.path.isdir(f.read().strip())
+            with open(marker) as f:
+                if not os.path.isdir(f.read().strip()):
+                    shutil.rmtree(full, ignore_errors=True)  # dead source
+            continue
         except OSError:
-            pass  # no sidecar: treat as dead
-        if stale_same_path or dead_source:
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            pass  # no marker: crashed OR concurrent — check age below
+        try:
+            if now - os.stat(full).st_mtime > _STAGING_GRACE_SECONDS:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # vanished under us: someone else's rename/prune won
     return os.path.join(base, name)
 
 
@@ -326,8 +338,13 @@ def stage_media_dir(sf_dir: str) -> str:
     """One-time maintenance (like the clustered layout or the dedup
     signature artifact): materialize the synthetic corpus as REAL FILES
     on disk so `ns_mm_ingest` exercises Spark's binaryFile source over an
-    actual directory. Idempotent per content fingerprint."""
+    actual directory. Idempotent per content fingerprint and race-safe:
+    files land in a pid-suffixed temp dir (marker written last, inside
+    it) that is RENAMED into place — a reader either sees the complete
+    directory or none; a concurrent stager losing the rename race simply
+    discards its temp copy."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
@@ -335,7 +352,8 @@ def stage_media_dir(sf_dir: str) -> str:
     marker = os.path.join(out, "_source.txt")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.staging.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     doc_ids = (
         pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
@@ -345,10 +363,17 @@ def stage_media_dir(sf_dir: str) -> str:
     )
     for doc_id in doc_ids:
         fname, payload = _ingest_payload(int(doc_id))
-        with open(os.path.join(out, fname), "wb") as f:
+        with open(os.path.join(tmp, fname), "wb") as f:
             f.write(payload)
-    with open(marker, "w") as f:  # written LAST: presence = fully staged
+    with open(os.path.join(tmp, "_source.txt"), "w") as f:
         f.write(os.path.abspath(sf_dir))
+    try:
+        os.rename(tmp, out)  # atomic publish
+    except OSError:
+        # another process won the race (out now exists) — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
     return out
 
 
@@ -368,6 +393,12 @@ def q_ns_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ingest_projection(spark: SparkSession, media_dir: str) -> DataFrame:
     from ..sources.binary import ingest_binary_dir
 
+    # file:-qualified: the staged dir is local; a scheme-less path would
+    # resolve against fs.defaultFS on remote-FS deployments
+    if "://" not in media_dir:
+        import os
+
+        media_dir = "file://" + os.path.abspath(media_dir)
     df = ingest_binary_dir(spark, media_dir, glob="doc_*")
     return df.select(
         F.regexp_extract("file_name", r"doc_(\d+)\.", 1)

@@ -629,3 +629,56 @@ def test_audio_neardup_pairs_match_bruteforce(spark):
                 want[(ids[i], ids[j])] = d
     assert got == want
     assert (1, 2) in got  # the 1-flip pair must be found
+
+
+def test_banded_pairs_reject_radius_beyond_pigeonhole(spark):
+    """hamming_max above AHASH_BANDS-1 would silently lose recall (a pair
+    can flip one bit per band and share no band key) — the helper must
+    fail loudly instead of returning an incomplete pair set."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="exact-recall radius"):
+        image_neardup_pairs(df, hamming_max=4)
+
+
+def test_media_dir_staging_race_rules(tmp_path):
+    """Cache pruning must never delete a FRESH marker-less sibling (a
+    concurrent staging mid-write) but must reap an OLD one (a crashed
+    staging), and stage_media_dir must publish atomically via rename."""
+    import os
+    import time
+
+    from duckdb_parquet_parser_spark.operators.multimodal_synth import (
+        _STAGING_GRACE_SECONDS,
+        _media_dir,
+        stage_media_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stage_media_dir(sf)
+    assert os.path.exists(os.path.join(out, "_source.txt"))
+    base = os.path.dirname(out)
+
+    fresh = os.path.join(base, "cafe000000f0_aaaaaaaaaaaa.staging.999")
+    os.makedirs(fresh, exist_ok=True)
+    old = os.path.join(base, "cafe000000f0_bbbbbbbbbbbb.staging.998")
+    os.makedirs(old, exist_ok=True)
+    past = time.time() - _STAGING_GRACE_SECONDS - 60
+    os.utime(old, (past, past))
+    dead = os.path.join(base, "cafe000000f0_cccccccccccc")
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "_source.txt"), "w") as f:
+        f.write(str(tmp_path / "gone"))
+    try:
+        again = _media_dir(sf)
+        assert again == out and os.path.exists(os.path.join(out, "_source.txt"))
+        assert os.path.exists(fresh), "fresh in-flight staging was reaped"
+        assert not os.path.exists(old), "crashed old staging not reaped"
+        assert not os.path.exists(dead), "dead-source entry not reaped"
+    finally:
+        import shutil
+
+        shutil.rmtree(fresh, ignore_errors=True)
