@@ -18,11 +18,14 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         corpus,
         dedup,
         filters,
+        media_landing,
         multimodal,
+        multimodal_dedup,
         multimodal_synth,
         ngram_stats,
         positional,
         relational,
+        relational_q20,
         relational_sub,
         scalars,
         scan,
@@ -39,6 +42,9 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (
+        multimodal_dedup,
+        media_landing,
+        relational_q20,
         multimodal,
         multimodal_synth,
         udfs,
@@ -76,50 +82,87 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-10 rotation (VERDICT r9 #1). Head composition (50 slots, verified
-# against the generated ledger — scripts/cert_ledger.py):
-# (1) the TWENTY-NINE queries the r9 ledger forecast as must-rotate
-# (r7-certified block ns_contamination .. stream_sliding plus the two
-# r7-certified queries Q13/Q22 displaced to the tail late in round 9:
-# ns_tfidf_topterms, udf_grouped_agg);
-# (2) EIGHT new round-10 queries, never certified (multimodal_synth.py:
-# ns_mm_image_features, ns_mm_image_neardup, ns_mm_audio_features,
-# ns_mm_video_framehashes, ns_mm_video_neardup — the round-9 decode
-# triad promoted to declared, oracle-checked surface, VERDICT r9 #2 —
-# plus ns_mm_audio_fingerprint / ns_mm_audio_neardup, the energy-
-# fingerprint family that completes near-dup across all three
-# modalities, and ns_mm_ingest, the binaryFile raw-file ingestion leg
-# over a staged directory of real media files);
-# (3) the THREE multimodal.py queries — the module changed this round
-# (WAV truncated-fmt guard, ADVICE r9; float64 batch-coercion fix):
-# ns_mm_meta, ns_mm_features, ns_mm_framesample;
-# (4) the TEN dedup.py queries — the module changes this round (Hadoop-FS
-# + atomic signature-artifact sidecar, per-user artifact dir, VERDICT r9
-# #5): ns_dedup_exact, ns_dedup_minhash, ns_dedup_minhash_salted,
-# ns_dedup_incremental, ns_dedup_incremental_persisted, ns_dedup_simhash,
-# ns_dedup_simhash_pairs, ns_dedup_components, ns_dedup_cluster_canonical,
-# ns_ngram_jaccard;
-# All three r8 spares originally penciled in (f1_page_report,
-# f1_regex_manifest, ns_ann_ivf_topk) were displaced back to the tail
-# as the audio-fingerprint and ingestion queries landed (never-certified
-# queries must sit in the head).
-# 29 + 8 + 3 + 10 = 50.
+# Round-11 rotation (VERDICT r10 #1). Head composition (45 of 50 slots,
+# verified against the generated ledger — scripts/cert_ledger.py):
+# (1) the FORTY-ONE r8-certified queries the r10 ledger forecast as
+# must-rotate (their certs aged to 2 rounds after the r10 driver run):
+# f1_page_report .. x1_tuple_to_chunk — the whole r8 block;
+# (2) FOUR new round-11 queries, never certified, each in a NEW module
+# so the changed-module re-certification rule below does NOT drag the
+# 21 fresh r10 certifications of dedup.py / multimodal.py /
+# multimodal_synth.py (nor relational_sub.py's 7 r9 certs) back into
+# the window for pure compositions that only IMPORT them:
+#   - ns_mm_image_dedup_cluster / ns_mm_audio_dedup_cluster
+#     (multimodal_dedup.py — media near-dup pairs resolved through
+#     connected components + keep-best canonical, VERDICT r10 #2);
+#   - ns_mm_ingest_parquet (media_landing.py — the ingest→parquet
+#     landing leg, VERDICT r10 #3);
+#   - rel_nested_semi_q20 (relational_q20.py — TPC-H Q20 shape,
+#     VERDICT r10 #8).
+# 41 + 4 = 45; five free slots remain as buffer.
 #
-# relational_sub.py took a DOCSTRING-ONLY edit this round (stale
-# certification prose, ADVICE r9); its seven r9-certified queries stay
-# parked — a comment edit cannot change a plan or an oracle, and burning
-# seven head slots on it would break the 29-query rotation contract.
-# Executable-code changes still force re-certification (rule refined
-# round 10; the r9 precedent re-certified Q21 for a docstring edit only
-# because the window had a free slot).
+# Re-certification rule (refined round 10, unchanged): queries whose
+# EXECUTABLE code or oracle changed must sit in the head;
+# docstring-only edits do not count.
 #
-# Parked below: the 37 r9-certified queries (fresh, rotate r11/r12),
-# then the 38 r8-certified queries whose certs age to 2 rounds after the
-# r10 driver run — they MUST lead the round-11 window; the generated
-# ledger's r11 forecast names them. Trust the ledger over this prose if
-# they ever disagree.
+# Parked below: the 50 r10-certified queries (fresh), then the 37
+# r9-certified queries whose certs age to 2 rounds after the r11 run —
+# they MUST lead the round-12 window; the generated ledger's forecast
+# names them. Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r9-certified (37) — fresh, parked
+    # r10-certified (50) — fresh, parked; rotate r12/r13
+    "ns_mm_meta",
+    "ns_mm_features",
+    "ns_mm_framesample",
+    "ns_mm_ingest",
+    "ns_mm_image_features",
+    "ns_mm_image_neardup",
+    "ns_mm_audio_features",
+    "ns_mm_audio_fingerprint",
+    "ns_mm_audio_neardup",
+    "ns_mm_video_framehashes",
+    "ns_mm_video_neardup",
+    "udf_grouped_agg",
+    "ns_tfidf_topterms",
+    "ns_contamination",
+    "ns_chunk_split",
+    "r2_schema",
+    "r2_counts",
+    "r3_full_column_scan",
+    "r9_projection",
+    "f2_null_semantics",
+    "f3_string_columns",
+    "f1_regex_filter",
+    "f1_regex_docs",
+    "f1_neg_regex",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_incremental",
+    "ns_dedup_incremental_persisted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
+    "ns_dedup_cluster_canonical",
+    "ns_ngram_jaccard",
+    "ns_embed_neardup",
+    "rel_disjunctive_q19",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_window_running",
+    "rel_sort_topk",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_distinct",
+    "rel_scalar_funcs",
+    "rel_case_expr",
+    "stream_sliding",
+    # r9-certified (37) — certs age to 2 rounds after the r11 run:
+    # they MUST lead the round-12 window (ledger forecast)
     "udf_scalar_pandas",
     "w1_roundtrip",
     "w1_roundtrip_zstd",
@@ -157,46 +200,4 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
-    # r8-certified (41) — age to 2 rounds after the r10 run: MUST lead r11
-    "f1_page_report",
-    "f1_regex_manifest",
-    "ns_ann_ivf_topk",
-    "ns_ann_lsh_buckets",
-    "ns_approx_distinct_hll",
-    "ns_doclen_histogram",
-    "ns_kmeans_embed",
-    "ns_knn_bruteforce",
-    "ns_mixture_weights",
-    "ns_pipeline_curate",
-    "ns_quantile_sketch",
-    "ns_sample_stratified",
-    "ns_seq_pack",
-    "ns_text_fingerprint",
-    "ns_text_langid",
-    "ns_text_quality",
-    "ns_text_redact",
-    "ns_text_repetition",
-    "ns_text_rollhash",
-    "ns_text_tokens",
-    "ns_vocab_topk",
-    "r10_file_order",
-    "r10_positional_stream",
-    "r4_rowgroup_scan",
-    "r6_fleet_audit",
-    "r7_chunk_bytes",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    "rel_outer_join",
-    "rel_pivot",
-    "src_bucketed_join",
-    "src_csv_roundtrip",
-    "stream_session",
-    "streaming_dedup",
-    "streaming_join",
-    "streaming_session_stateful",
-    "udf_table_function",
-    "w4_pywriter_roundtrip",
-    "x1_chunk_greedy",
-    "x1_chunk_index",
-    "x1_tuple_to_chunk",
 ]

@@ -1,0 +1,157 @@
+"""The ingest → parquet LANDING leg as a certified query (VERDICT r10
+missing #1).
+
+``ns_mm_ingest`` (multimodal_synth.py:380) certifies reading a directory
+of raw media files through Spark's ``binaryFile`` source. But the layout
+the scale notes recommend (sources/binary.py module docstring) — and the
+first job a real multimodal user runs — is ingest ONCE, land the rows as
+a parquet media table (payload as a columnar binary column, pruned
+unless projected), then run every downstream operator off the parquet so
+repeated queries never pay the small-file listing again.
+``ns_mm_ingest_parquet`` certifies exactly that leg:
+``ingest_to_media_parquet`` (binary.py:92) over the staged corpus, then
+the SAME projection as ``ns_mm_ingest`` off the re-read parquet. Landing
+must be lossless, so the oracle is ``ns_mm_ingest``'s oracle verbatim —
+byte-identical output is the contract being certified.
+
+This lives in its own module (not multimodal_synth.py) because that
+module's eight queries were driver-certified in round 10 with unchanged
+plans, and the changed-module re-certification rule
+(operators/__init__.py) must not force them back into the 50-slot
+window for an addition that only IMPORTS them.
+
+Scale notes (100 TB):
+- the landing write is one pass over the binaryFile scan — parallelism =
+  file count in, ``spark.sql.files.maxRecordsPerFile`` / partition count
+  out; payloads never transit the driver;
+- the landed table is WRITE-ONCE per content fingerprint (idempotent,
+  atomic directory rename — a reader sees the complete table or none);
+- downstream projections that skip ``payload`` read only the small
+  columns: parquet column pruning makes the metadata-only query cheap
+  (asserted in tests/test_media_landing.py via ReadSchema);
+- locally the landing is keyed by the same per-user cache + content
+  fingerprint discipline as the staged corpus (cache.py); on a cluster
+  the destination would be a real warehouse path — the query takes the
+  same ``file:``-qualified path shape either way.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..cache import content_tags, per_user_cache_dir
+from ..sources.binary import ingest_to_media_parquet
+from .multimodal_synth import ORACLES as _SYNTH_ORACLES
+from .multimodal_synth import stage_media_dir
+
+_LANDING_MARKER = "_source.txt"
+
+
+_LANDING_GRACE_SECONDS = 3600.0
+
+
+def _landing_dir(sf_dir: str) -> str:
+    """Deterministic landed-parquet directory per (source path, content
+    fingerprint), in its OWN cache namespace (``sg_media_pq``) so the
+    staged-raw-file cache's sibling-pruning rules (multimodal_synth.py
+    ``_media_dir``) never race this directory. Same lifecycle discipline:
+    stale fingerprints of the SAME source are outdated by definition and
+    pruned; entries whose marker points at a vanished source directory
+    are dead (randomized-test fixtures live in pytest tmp dirs) and
+    pruned; marker-less entries are pruned only past a one-hour grace
+    age — a fresh one is a CONCURRENT landing mid-write, not garbage."""
+    import time
+
+    base = per_user_cache_dir("sg_media_pq")
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    now = time.time()
+    for entry in os.listdir(base):
+        if entry == name:
+            continue
+        full = os.path.join(base, entry)
+        if entry.startswith(f"{path_tag}_") and "." not in entry:
+            shutil.rmtree(full, ignore_errors=True)  # stale fingerprint
+            continue
+        try:
+            with open(os.path.join(full, _LANDING_MARKER)) as f:
+                if not os.path.isdir(f.read().strip()):
+                    shutil.rmtree(full, ignore_errors=True)  # dead source
+            continue
+        except OSError:
+            pass  # no marker: crashed OR concurrent — check age below
+        try:
+            if now - os.stat(full).st_mtime > _LANDING_GRACE_SECONDS:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # vanished under us: someone else's prune won
+    return os.path.join(base, name)
+
+
+def _file_uri(path: str) -> str:
+    # file:-qualified: a scheme-less path would resolve against
+    # fs.defaultFS on remote-FS deployments (round-10 lesson).
+    return path if "://" in path else "file://" + os.path.abspath(path)
+
+
+def land_media_parquet(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotently ingest the staged raw-file corpus and land it as a
+    parquet media table; returns the landed directory. Write-once per
+    content fingerprint: Spark writes into a pid-suffixed temp dir, the
+    marker is written last inside it, and the COMPLETE directory is
+    renamed into place — a concurrent lander losing the race discards
+    its temp copy (the stage_media_dir protocol)."""
+    media_dir = stage_media_dir(sf_dir)
+    out = _landing_dir(sf_dir)
+    marker = os.path.join(out, _LANDING_MARKER)
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.landing.{os.getpid()}"
+    ingest_to_media_parquet(
+        spark, _file_uri(media_dir), _file_uri(tmp), glob="doc_*"
+    )
+    # Marker last: parquet readers skip underscore-prefixed files, so the
+    # marker rides inside the table directory without affecting reads.
+    # It records the FIXTURE dir (not the staged media dir): the landed
+    # table stays valid for its content fingerprint even if the staged
+    # raw-file cache rotates underneath.
+    with open(os.path.join(tmp, _LANDING_MARKER), "w") as f:
+        f.write(os.path.abspath(sf_dir))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(marker):
+            raise
+    return out
+
+
+def q_ns_mm_ingest_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landed-parquet read-back leg: same output contract as
+    ``ns_mm_ingest`` — doc id parsed from the file name, byte length,
+    mime, 4-byte magic as hex — but computed off the write-once parquet
+    media table instead of the raw directory. The projection is the
+    ``_ingest_projection`` (multimodal_synth.py:393) column set verbatim:
+    landing is certified lossless precisely because the two queries share
+    one oracle."""
+    landed = land_media_parquet(spark, sf_dir)
+    df = spark.read.parquet(_file_uri(landed))
+    return df.select(
+        F.regexp_extract("file_name", r"doc_(\d+)\.", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "file_name",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.content_length").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring(F.col("payload"), 1, 4))).alias("magic_hex"),
+    )
+
+
+QUERIES = {"ns_mm_ingest_parquet": q_ns_mm_ingest_parquet}
+
+# Landing must be lossless: the raw-directory oracle applies verbatim.
+ORACLES = {"ns_mm_ingest_parquet": _SYNTH_ORACLES["ns_mm_ingest"]}

@@ -1,0 +1,207 @@
+"""Cross-document MEDIA dedup resolution: near-dup pairs → connected
+components → keep-best canonical selection (VERDICT r10 missing #2).
+
+Round 10 certified near-duplicate PAIR detection for all three modalities
+(operators/multimodal_synth.py), but — unlike text, where
+``ns_dedup_components`` + ``ns_dedup_cluster_canonical`` turn pairwise
+evidence into actual keep/drop decisions — no certified query resolved
+media pairs into clusters. This module closes that loop by composing the
+EXISTING machinery: the shared banded-Hamming pair engine
+(multimodal.py ``_banded_hash_pairs``) feeds the modality-agnostic
+``connected_components`` + keep-best rank from dedup.py — zero new
+algorithmic surface, one new composition, which is exactly why it lives
+in its OWN module: dedup.py / multimodal.py / multimodal_synth.py were
+all driver-certified in round 10 with unchanged plans, and the
+changed-module re-certification rule (operators/__init__.py) must not
+force their 21 fresh certifications back into the 50-slot window for a
+pure composition that only IMPORTS them.
+
+Quality policy: the canonical member of each cluster is the one with the
+most set signature bits (``bit_count`` of the 64-bit hash — for the
+two-level synthetic images that is literally the brightest copy, for the
+energy fingerprints the most energetic one), ties broken by lowest
+doc_id. The score is computed JVM-side from the already-materialized
+signature table — no second decode, no extra Python. In production the
+rank column is swappable for any per-item score (resolution, bitrate,
+recency), exactly as ``ns_dedup_cluster_canonical`` ranks text clusters
+by the quality logit (dedup.py:998).
+
+Scale shape (100 TB): the signature table is localCheckpoint-ed ONCE so
+the Python decode runs exactly once (the round-6/round-10 self-join
+recompute lesson, plan-asserted for the pair queries in
+tests/test_plans.py); candidates come from ONE (band, key) equi-join
+shuffling 8-byte longs; components are O(log diameter) equi-join rounds
+(dedup.py:843, the accepted-waiver pipeline); the canonical pick is one
+hash exchange on ``component`` driving both window functions. No
+all-pairs anywhere — the oracles' quadratic self-joins are sf0.01
+yardsticks only.
+
+Oracle technique: the synthetic corpora make the cluster structure
+closed-form over doc_id alone. Same-class docs differ by the variant
+XOR flips (Hamming ≤ 3 → a clique in the pair graph); distinct classes
+differ in ≥ 8 - 3 = 5 bits (the class byte is replicated into all eight
+bytes) and never pair. So a component IS a class group with ≥ 2
+decodable members, its id the group's min doc_id, and the canonical
+member falls out of the same closed-form hash — no graph propagation in
+SQL at all (contrast the unrolled min-label oracle of
+``ns_dedup_components``, which faces an arbitrary SimHash graph).
+
+Reference analog: none — SURVEY.md §2.5 north-star surface (the
+reference stops at pairwise dup detection, main.cpp:21-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Composition-only imports: these modules' own plans and oracles are
+# untouched (see module docstring — certified r10, must stay parked).
+from .dedup import CC_ROUNDS, connected_components
+from .multimodal import (
+    AHASH_HAMMING_MAX,
+    _banded_hash_pairs,
+    extract_audio_fingerprints,
+    extract_image_features,
+)
+from .multimodal_synth import (
+    _AUDIO_SIG_CTE,
+    _IMG_HASH_CTE,
+    _SIGNED64,
+    IMG_POISON_MOD,
+    build_audio_sig_table,
+    build_image_table,
+)
+
+
+def media_cluster_canonical(
+    sig: DataFrame, hash_col: str, hamming_max: int = AHASH_HAMMING_MAX
+) -> DataFrame:
+    """(doc_id, <hash_col>) signatures → per-cluster canonical pick.
+
+    Pipeline: banded exact-recall Hamming pairs → connected components
+    (min-label propagation + doubling) → keep-best rank within each
+    component (most signature bits set, then lowest doc_id). Returns one
+    row per cluster: ``(component, canonical_doc, canonical_bits,
+    cluster_size, n_dropped)``.
+
+    The caller hands the signature frame; it is materialized here ONCE
+    (eager localCheckpoint) because THREE subtrees consume it — both
+    sides of the band join and the quality lookup — and each would
+    otherwise re-run the upstream Python decode.
+    """
+    sig = sig.localCheckpoint(eager=True)
+    pairs = _banded_hash_pairs(sig, hash_col, hamming_max)
+    # cut_final=False: the labels are consumed exactly once right below
+    # (the components query's own config — dedup.py:960 discussion).
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"),
+        checkpoint_every=CC_ROUNDS,
+        cut_final=False,
+    )
+    quality = sig.select(
+        "doc_id", F.bit_count(F.col(hash_col)).alias("q_bits")
+    )
+    joined = comp.join(quality, comp["doc"] == quality["doc_id"]).select(
+        "component", "doc_id", "q_bits"
+    )
+    w_comp = Window.partitionBy("component")
+    w_rank = w_comp.orderBy(F.col("q_bits").desc(), F.col("doc_id").asc())
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "q_bits",
+        F.count(F.lit(1)).over(w_comp).alias("cluster_size"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("q_bits").alias("canonical_bits"),
+        "cluster_size",
+        (F.col("cluster_size") - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def q_ns_mm_image_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE dedup resolution end-to-end: real PPM/BMP pixel decode →
+    average-hash signatures → banded pairs → connected components →
+    keep-brightest canonical. Poison (JPEG-magic) docs carry no hash and
+    never enter the graph; singleton classes have no pairs and no row."""
+    sig = (
+        extract_image_features(build_image_table(spark, sf_dir))
+        .filter(F.col("fmt") != "undecodable")
+        .select("doc_id", "ahash")
+    )
+    return media_cluster_canonical(sig, "ahash")
+
+
+def q_ns_mm_audio_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO dedup resolution end-to-end: real WAV PCM decode → energy
+    fingerprints → banded pairs → connected components → most-energetic
+    canonical (more fingerprint bits set = more above-mean-energy
+    blocks). ID3-magic poison docs contribute no fingerprint."""
+    sig = extract_audio_fingerprints(
+        build_audio_sig_table(spark, sf_dir)
+    ).select("doc_id", "fingerprint")
+    return media_cluster_canonical(sig, "fingerprint")
+
+
+def _cluster_oracle(cte: str, poison_filter_in_cte: bool) -> str:
+    """Closed-form cluster oracle over an (h AS doc_id, cls?, hh) CTE.
+
+    The image CTE keeps poison rows (its feature oracle needs them), so
+    the image instantiation re-filters; the audio-sig CTE already
+    excludes poison. Both expose ``cls`` via the ``d`` CTE member joined
+    back by doc_id — classes ARE the components (module docstring)."""
+    poison = (
+        f"WHERE s.doc_id % {IMG_POISON_MOD} <> 0"
+        if poison_filter_in_cte
+        else ""
+    )
+    signed = _SIGNED64.format(h="hh")
+    return f"""
+        WITH {cte},
+        s AS (
+            SELECT h.doc_id, d.cls, {signed} AS ah
+            FROM h JOIN d ON h.doc_id = d.doc_id
+        ),
+        sp AS (SELECT * FROM s {poison}),
+        g AS (
+            SELECT cls, MIN(doc_id) AS component,
+                   COUNT(*) AS cluster_size
+            FROM sp GROUP BY cls HAVING COUNT(*) >= 2
+        ),
+        r AS (
+            SELECT sp.cls, sp.doc_id,
+                   CAST(bit_count(sp.ah) AS INT) AS q_bits,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sp.cls
+                       ORDER BY bit_count(sp.ah) DESC, sp.doc_id ASC
+                   ) AS rn
+            FROM sp JOIN g USING (cls)
+        )
+        SELECT g.component,
+               r.doc_id AS canonical_doc,
+               r.q_bits AS canonical_bits,
+               g.cluster_size,
+               g.cluster_size - 1 AS n_dropped
+        FROM r JOIN g USING (cls)
+        WHERE r.rn = 1
+    """
+
+
+QUERIES = {
+    "ns_mm_image_dedup_cluster": q_ns_mm_image_dedup_cluster,
+    "ns_mm_audio_dedup_cluster": q_ns_mm_audio_dedup_cluster,
+}
+
+ORACLES = {
+    "ns_mm_image_dedup_cluster": _cluster_oracle(
+        _IMG_HASH_CTE, poison_filter_in_cte=True
+    ),
+    "ns_mm_audio_dedup_cluster": _cluster_oracle(
+        _AUDIO_SIG_CTE, poison_filter_in_cte=False
+    ),
+}

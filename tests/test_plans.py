@@ -356,6 +356,30 @@ def test_ngram_stats_spread_before_gram_generation(plans, name):
     assert "slice(" in plan and "array_join" in plan
 
 
+def test_q20_single_fact_exchange_and_broadcast_semis(plans):
+    """The Q20 shape's scale contract (relational_q20.py): the filtered
+    part list and the qualified-supplier set both ride BROADCAST
+    left-semi joins, the p_name prefix filter is pushed into the part
+    scan, and the lineitem fact table passes through exactly ONE
+    shuffle — the (suppkey, partkey) hash aggregate with a map-side
+    partial below it."""
+    plan = plans("rel_nested_semi_q20")
+    tree = plan.split("\n\n")[0]  # node names repeat in the details
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+    assert "StartsWith(p_name" in plan  # pushed to the part scan
+    assert "partial_sum" in plan  # map-side combine below the exchange
+    # one fact shuffle (+ the tiny distinct's): every other movement is
+    # a BroadcastExchange, which ships dimension rows, not the fact table
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln
+        and "Broadcast" not in ln
+        and "Reused" not in ln
+    ]
+    assert len(shuffles) <= 2, shuffles
+
+
 def test_disjunctive_q19_pushes_or_to_both_scans(plans):
     """The OR-across-the-join must be split into per-table superset
     disjunctions and pushed into BOTH parquet scans (quantity ranges to
@@ -423,7 +447,17 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
 
 
 @pytest.mark.parametrize(
-    "name", ["ns_mm_image_neardup", "ns_mm_audio_neardup", "ns_mm_video_neardup"]
+    "name",
+    [
+        "ns_mm_image_neardup",
+        "ns_mm_audio_neardup",
+        "ns_mm_video_neardup",
+        # the round-11 cluster queries fan the signature table out to
+        # THREE subtrees (both band-join sides + the quality lookup) —
+        # the one-materialization contract matters even more there
+        "ns_mm_image_dedup_cluster",
+        "ns_mm_audio_dedup_cluster",
+    ],
 )
 def test_neardup_joins_decode_exactly_once(plans, name):
     """The near-dup pipelines localCheckpoint their hash/fingerprint

@@ -37,6 +37,11 @@ MM_QUERIES = [
     "ns_mm_audio_neardup",
     "ns_mm_video_framehashes",
     "ns_mm_video_neardup",
+    # round 11: the landing leg and the cluster-resolution compositions —
+    # same closed forms, so the same randomized populations apply
+    "ns_mm_ingest_parquet",
+    "ns_mm_image_dedup_cluster",
+    "ns_mm_audio_dedup_cluster",
 ]
 
 
