@@ -1,10 +1,16 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): run the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and print the full record JSON line:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
+
+followed by a ≤2 KB compact summary as the FINAL line (totals +
+per-row ratios + steady ratios for the weak-looking rows) so the
+driver's 2000-char stdout tail always contains a complete, parseable
+record (VERDICT r10 #5). The full record is also written to
+``BENCH_FULL.json`` beside this script — the durable copy.
 
 Execution is measured end-to-end per query with results fully consumed via
 the noop sink (no driver collect skew). A `duckdb` key records the oracle
@@ -247,6 +253,54 @@ def run_duckdb(sf_dir: str) -> dict[str, float]:
     return times
 
 
+def _compact_summary(
+    record: dict, ratios: dict[str, float], max_bytes: int = 1900
+) -> str:
+    """The ≤2 KB FINAL stdout line (VERDICT r10 #5): the driver's
+    per-round record keeps only the last 2000 characters of bench
+    stdout, so the full record's single line self-truncates and its
+    leading dicts (cold walls, DuckDB denominators) vanish from the
+    durable record. The last line is therefore a summary guaranteed to
+    fit: totals, every per-row cold/DuckDB ratio, and the steady/DuckDB
+    ratio for the rows where the cold ratio looks weak (≥ 1.5 — exactly
+    the rows whose grading needs the first-exec-tax correction). The
+    complete record is the first stdout line AND ``BENCH_FULL.json``
+    next to this script — nothing is lost, only relocated.
+
+    If the ratio dict ever outgrows the budget, the LARGEST ratios are
+    kept and the cut is declared via ``ratio_kept_worst_n`` — a silent
+    truncation would read as "all rows within bounds" when it isn't."""
+    steady_ratio = {
+        n: round(record["steady"][n] / record["duckdb"][n], 3)
+        for n, r in ratios.items()
+        if r >= 1.5 and n in record["steady"] and record["duckdb"].get(n)
+    }
+    base = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": record["sf"],
+        "rows": len(record["queries"]),
+        "duck_total": round(sum(record["duckdb"].values()), 2),
+        "full": "BENCH_FULL.json",
+        "ratio": {n: round(r, 2) for n, r in ratios.items()},
+        "steady_ratio": steady_ratio,
+    }
+    line = json.dumps(base)
+    if len(line) <= max_bytes:
+        return line
+    base.pop("steady_ratio")
+    line = json.dumps(base)
+    while len(line) > max_bytes and base["ratio"]:
+        keep = sorted(base["ratio"], key=base["ratio"].get, reverse=True)[
+            : max(0, len(base["ratio"]) - 5)
+        ]
+        base["ratio"] = {n: base["ratio"][n] for n in keep}
+        base["ratio_kept_worst_n"] = len(keep)
+        line = json.dumps(base)
+    return line
+
+
 def main() -> None:
     sf_dir = SF_DIR
     # DuckDB first: the sub-second-denominator rows are the ones whose
@@ -264,21 +318,30 @@ def main() -> None:
         for name in spark_times
         if duck_times.get(name)
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": spark_times,
-                "sf": _sf_from_dir(sf_dir),
-                "duckdb": duck_times,
-                "ratio_vs_duckdb": ratios,
-                "steady": steady_times,
-                "warm_shared": warm_times,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": spark_times,
+        "sf": _sf_from_dir(sf_dir),
+        "duckdb": duck_times,
+        "ratio_vs_duckdb": ratios,
+        "steady": steady_times,
+        "warm_shared": warm_times,
+    }
+    # Durable full record: the repo copy survives even when the driver's
+    # stdout tail cuts the full line below (VERDICT r10 #5).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f)
+            f.write("\n")
+    except OSError as exc:
+        print(f"# could not write {full_path}: {exc}", file=sys.stderr)
+    print(json.dumps(record))
+    print(_compact_summary(record, ratios))
 
 
 if __name__ == "__main__":
