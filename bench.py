@@ -119,6 +119,15 @@ HEADLINE = [
     # the audio leg of the near-dup triad (energy fingerprints, same
     # exact-recall banding as images)
     "ns_mm_audio_neardup",
+    # round-11: media pair graphs resolved to clusters + canonical picks
+    # (decode -> banded pairs -> connected components -> keep-best), and
+    # the Q20 nested-semi shape. ns_mm_ingest_parquet is deliberately NOT
+    # a row: its DuckDB oracle is a closed form over doc_id (no file I/O),
+    # so the ratio would compare a listing-bound scan against arithmetic —
+    # see BENCH_NOTES.md.
+    "ns_mm_image_dedup_cluster",
+    "ns_mm_audio_dedup_cluster",
+    "rel_nested_semi_q20",
 ]
 
 
