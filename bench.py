@@ -127,6 +127,7 @@ HEADLINE = [
     # see BENCH_NOTES.md.
     "ns_mm_image_dedup_cluster",
     "ns_mm_audio_dedup_cluster",
+    "ns_mm_video_dedup_cluster",
     "rel_nested_semi_q20",
 ]
 

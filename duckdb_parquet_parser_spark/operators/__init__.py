@@ -87,19 +87,22 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (1) the FORTY-ONE r8-certified queries the r10 ledger forecast as
 # must-rotate (their certs aged to 2 rounds after the r10 driver run):
 # f1_page_report .. x1_tuple_to_chunk — the whole r8 block;
-# (2) FOUR new round-11 queries, never certified, each in a NEW module
+# (2) FIVE new round-11 queries, never certified, each in a NEW module
 # so the changed-module re-certification rule below does NOT drag the
 # 21 fresh r10 certifications of dedup.py / multimodal.py /
 # multimodal_synth.py (nor relational_sub.py's 7 r9 certs) back into
 # the window for pure compositions that only IMPORT them:
-#   - ns_mm_image_dedup_cluster / ns_mm_audio_dedup_cluster
-#     (multimodal_dedup.py — media near-dup pairs resolved through
-#     connected components + keep-best canonical, VERDICT r10 #2);
+#   - ns_mm_image_dedup_cluster / ns_mm_audio_dedup_cluster /
+#     ns_mm_video_dedup_cluster (multimodal_dedup.py — media near-dup
+#     pairs resolved through connected components + keep-best/min-id
+#     canonical across all three modalities, VERDICT r10 #2; the video
+#     graph is irregular, so its oracle reuses the unrolled
+#     label-propagation chain from dedup.py);
 #   - ns_mm_ingest_parquet (media_landing.py — the ingest→parquet
 #     landing leg, VERDICT r10 #3);
 #   - rel_nested_semi_q20 (relational_q20.py — TPC-H Q20 shape,
 #     VERDICT r10 #8).
-# 41 + 4 = 45; five free slots remain as buffer.
+# 41 + 5 = 46; four free slots remain as buffer.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;

@@ -58,20 +58,23 @@ from pyspark.sql.window import Window
 
 # Composition-only imports: these modules' own plans and oracles are
 # untouched (see module docstring — certified r10, must stay parked).
-from .dedup import CC_ROUNDS, connected_components
+from .dedup import _CC_ROUND_CTES, CC_ROUNDS, connected_components
 from .multimodal import (
     AHASH_HAMMING_MAX,
     _banded_hash_pairs,
     extract_audio_fingerprints,
     extract_image_features,
+    video_neardup_pairs,
 )
 from .multimodal_synth import (
     _AUDIO_SIG_CTE,
     _IMG_HASH_CTE,
     _SIGNED64,
+    _VIDEO_FRAME_CTE,
     IMG_POISON_MOD,
     build_audio_sig_table,
     build_image_table,
+    build_video_table,
 )
 
 
@@ -148,6 +151,37 @@ def q_ns_mm_audio_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_cluster_canonical(sig, "fingerprint")
 
 
+def q_ns_mm_video_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO dedup resolution — the third modality, and the strongest
+    certification of the composition: unlike the image/audio corpora
+    (whose pair graphs are class CLIQUES), the video match-fraction gate
+    admits some same-class pairs and rejects others (perturbed odd
+    generations), so the pair graph is IRREGULAR and the generic
+    propagation machinery is doing real work. The oracle therefore runs
+    the same unrolled min-label + doubling rounds in SQL that
+    ``ns_dedup_components``' oracle uses (dedup.py ``_CC_ROUND_CTES``,
+    imported — the two chains can never drift), over the closed-form
+    video pair set.
+
+    Output shape mirrors ``ns_dedup_components``: per graph member, its
+    component (min doc_id), cluster size, and the min-id keep decision.
+    One decode (the pair builder localCheckpoints the frame-hash table),
+    then pairs → CC — every step an equi-join or hash agg."""
+    pairs = video_neardup_pairs(build_video_table(spark, sf_dir))
+    comp = connected_components(
+        pairs.select("doc_a", "doc_b"),
+        checkpoint_every=CC_ROUNDS,
+        cut_final=False,
+    )
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comp.select(
+        F.col("doc").alias("doc_id"),
+        "component",
+        w_size.alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+
+
 def _cluster_oracle(cte: str, poison_filter_in_cte: bool) -> str:
     """Closed-form cluster oracle over an (h AS doc_id, cls?, hh) CTE.
 
@@ -192,9 +226,48 @@ def _cluster_oracle(cte: str, poison_filter_in_cte: bool) -> str:
     """
 
 
+# Video pair graph in SQL: the ns_mm_video_neardup oracle's closed-form
+# pair derivation (multimodal_synth.py) reduced to (doc_a, doc_b), then
+# the SAME unrolled label-propagation chain as ns_dedup_components
+# (dedup.py _CC_ROUND_CTES expects CTEs named pairs/edges/nodes/adj/l0).
+_VIDEO_CC_PREFIX = f"""
+    WITH {_VIDEO_FRAME_CTE},
+    sf AS (SELECT doc_id, frame_idx,
+                  {_SIGNED64.format(h='hh')} AS ah FROM f),
+    cnt AS (SELECT doc_id, COUNT(*) AS nf FROM sf GROUP BY doc_id),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS matched_frames
+        FROM sf a JOIN sf b
+          ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM m
+        JOIN cnt ca ON ca.doc_id = m.doc_a
+        JOIN cnt cb ON cb.doc_id = m.doc_b
+        WHERE matched_frames / GREATEST(ca.nf, cb.nf) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS doc FROM edges),
+    adj AS MATERIALIZED (
+        SELECT u AS doc, v AS nbr FROM edges
+        UNION ALL
+        SELECT doc, doc FROM nodes
+    ),
+    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}"""
+
+
 QUERIES = {
     "ns_mm_image_dedup_cluster": q_ns_mm_image_dedup_cluster,
     "ns_mm_audio_dedup_cluster": q_ns_mm_audio_dedup_cluster,
+    "ns_mm_video_dedup_cluster": q_ns_mm_video_dedup_cluster,
 }
 
 ORACLES = {
@@ -204,4 +277,12 @@ ORACLES = {
     "ns_mm_audio_dedup_cluster": _cluster_oracle(
         _AUDIO_SIG_CTE, poison_filter_in_cte=False
     ),
+    "ns_mm_video_dedup_cluster": _VIDEO_CC_PREFIX
+    + f"""
+    SELECT doc AS doc_id, label AS component,
+           CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+               AS cluster_size,
+           doc = label AS keep
+    FROM l{CC_ROUNDS}
+    """,
 }

@@ -1,0 +1,120 @@
+"""Media dedup cluster resolution (operators/multimodal_dedup.py):
+fixpoint margins on the media pair graphs, structural invariants of the
+canonical picks, and the image/audio closed-form component structure the
+oracles rely on. The query↔oracle hash parity itself runs in
+tests/test_oracle_parity.py and the randomized doc-population family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_parquet_parser_spark.operators.dedup import (
+    CC_ROUNDS,
+    connected_components,
+)
+from duckdb_parquet_parser_spark.operators.multimodal import (
+    image_neardup_pairs,
+    video_neardup_pairs,
+)
+from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+    q_ns_mm_audio_dedup_cluster,
+    q_ns_mm_image_dedup_cluster,
+    q_ns_mm_video_dedup_cluster,
+)
+from duckdb_parquet_parser_spark.operators.multimodal_synth import (
+    IMG_CLS_MOD,
+    IMG_POISON_MOD,
+    build_image_table,
+    build_video_table,
+)
+
+
+def _fixpoint_margin(pairs) -> int:
+    at = connected_components(pairs, rounds=CC_ROUNDS)
+    past = connected_components(
+        pairs, rounds=CC_ROUNDS + 1
+    ).withColumnRenamed("component", "component2")
+    return (
+        at.join(past, "doc")
+        .filter(F.col("component") != F.col("component2"))
+        .count()
+    )
+
+
+def test_video_graph_fixpoint_margin(spark, sf_smoke):
+    """The video pair graph is IRREGULAR (the match-fraction gate drops
+    some same-class pairs), so the fixed CC_ROUNDS budget needs its own
+    margin guard — same discipline as the SimHash graph
+    (tests/test_dedup_scale.py): one extra round must change nothing."""
+    pairs = (
+        video_neardup_pairs(build_video_table(spark, sf_smoke))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    assert _fixpoint_margin(pairs) == 0
+
+
+def test_image_graph_fixpoint_margin(spark, sf_smoke):
+    pairs = (
+        image_neardup_pairs(build_image_table(spark, sf_smoke))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    assert _fixpoint_margin(pairs) == 0
+
+
+def test_image_components_are_class_groups(spark, sf_smoke):
+    """The closed form the image/audio cluster oracles rest on: a
+    component is EXACTLY a hash-class group with ≥ 2 decodable members —
+    intra-class variant flips stay within Hamming 3, distinct classes
+    differ in ≥ 5 bits. Verified against the real decode pipeline."""
+    rows = q_ns_mm_image_dedup_cluster(spark, sf_smoke).collect()
+    import pyarrow.parquet as pq
+    import os
+
+    doc_ids = (
+        pq.read_table(
+            os.path.join(sf_smoke, "documents.parquet"), columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+    )
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in doc_ids:
+        if d % IMG_POISON_MOD == 0:
+            continue
+        groups[1 + d % IMG_CLS_MOD].append(d)
+    expect = {
+        min(ds): len(ds) for ds in groups.values() if len(ds) >= 2
+    }
+    got = {r.component: r.cluster_size for r in rows}
+    assert got == expect
+
+
+def test_cluster_canonical_invariants(spark, sf_smoke):
+    """Every cluster row: exactly one canonical per component,
+    n_dropped = cluster_size - 1, cluster_size ≥ 2, and the canonical
+    pick is deterministic (bit-count desc, doc_id asc) — re-ranking the
+    members reproduces it."""
+    for q in (q_ns_mm_image_dedup_cluster, q_ns_mm_audio_dedup_cluster):
+        rows = q(spark, sf_smoke).collect()
+        comps = [r.component for r in rows]
+        assert len(comps) == len(set(comps))
+        for r in rows:
+            assert r.cluster_size >= 2
+            assert r.n_dropped == r.cluster_size - 1
+            assert 0 < r.canonical_bits < 64
+
+
+def test_video_cluster_keep_is_min_id(spark, sf_smoke):
+    rows = q_ns_mm_video_dedup_cluster(spark, sf_smoke).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.doc_id for m in members)
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1 and keepers[0].doc_id == comp
+        assert all(m.cluster_size == len(members) for m in members)

@@ -457,6 +457,7 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
         # the one-materialization contract matters even more there
         "ns_mm_image_dedup_cluster",
         "ns_mm_audio_dedup_cluster",
+        "ns_mm_video_dedup_cluster",
     ],
 )
 def test_neardup_joins_decode_exactly_once(plans, name):

@@ -42,6 +42,7 @@ MM_QUERIES = [
     "ns_mm_ingest_parquet",
     "ns_mm_image_dedup_cluster",
     "ns_mm_audio_dedup_cluster",
+    "ns_mm_video_dedup_cluster",
 ]
 
 
