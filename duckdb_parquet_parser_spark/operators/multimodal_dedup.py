@@ -96,11 +96,19 @@ def media_cluster_canonical(
     """
     sig = sig.localCheckpoint(eager=True)
     pairs = _banded_hash_pairs(sig, hash_col, hamming_max)
+    # edges_materialized=True here does NOT mean the pairs are
+    # checkpointed — it tells connected_components not to spend a whole
+    # stage-job materializing them: the band join reads the 16-byte/row
+    # checkpointed sig, so recomputing it inside the adjacency checkpoint
+    # is cheaper than one more job at the scheduling floor (measured
+    # 21 → 20 jobs at sf0.1). The VIDEO cluster keeps the edge
+    # checkpoint: its pair pipeline is six stages deep and must run once.
     # cut_final=False: the labels are consumed exactly once right below
     # (the components query's own config — dedup.py:960 discussion).
     comp = connected_components(
         pairs.select("doc_a", "doc_b"),
         checkpoint_every=CC_ROUNDS,
+        edges_materialized=True,
         cut_final=False,
     )
     quality = sig.select(
