@@ -94,10 +94,15 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # the window for pure compositions that only IMPORT them:
 #   - ns_mm_image_dedup_cluster / ns_mm_audio_dedup_cluster /
 #     ns_mm_video_dedup_cluster (multimodal_dedup.py — media near-dup
-#     pairs resolved through connected components + keep-best/min-id
-#     canonical across all three modalities, VERDICT r10 #2; the video
-#     graph is irregular, so its oracle reuses the unrolled
-#     label-propagation chain from dedup.py);
+#     pair graphs resolved through connected components +
+#     keep-best/min-id canonical across all three modalities, VERDICT
+#     r10 #2; the video graph is irregular, so its oracle reuses the
+#     unrolled label-propagation chain from dedup.py. An
+#     ns_embed_dedup_cluster was built and REVERTED: the fixture's
+#     embedding pair graph is a sparse chain that under-converges at
+#     CC_ROUNDS and collapses to one giant component at sf0.1 — see
+#     tests/test_multimodal_dedup.py
+#     test_embed_graph_is_not_fixed_round_clusterable);
 #   - ns_mm_ingest_parquet (media_landing.py — the ingest→parquet
 #     landing leg, VERDICT r10 #3);
 #   - rel_nested_semi_q20 (relational_q20.py — TPC-H Q20 shape,

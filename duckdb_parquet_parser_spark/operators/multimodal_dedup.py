@@ -234,10 +234,26 @@ def _cluster_oracle(cte: str, poison_filter_in_cte: bool) -> str:
     """
 
 
+# Shared CC-chain suffix: symmetric edge list over a `pairs(doc_a,
+# doc_b)` CTE, then the SAME unrolled label-propagation chain as
+# ns_dedup_components (dedup.py _CC_ROUND_CTES expects CTEs named
+# edges/nodes/adj/l0).
+_CC_CHAIN_SUFFIX = f""",
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS doc FROM edges),
+    adj AS MATERIALIZED (
+        SELECT u AS doc, v AS nbr FROM edges
+        UNION ALL
+        SELECT doc, doc FROM nodes
+    ),
+    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}"""
+
 # Video pair graph in SQL: the ns_mm_video_neardup oracle's closed-form
-# pair derivation (multimodal_synth.py) reduced to (doc_a, doc_b), then
-# the SAME unrolled label-propagation chain as ns_dedup_components
-# (dedup.py _CC_ROUND_CTES expects CTEs named pairs/edges/nodes/adj/l0).
+# pair derivation (multimodal_synth.py) reduced to (doc_a, doc_b).
 _VIDEO_CC_PREFIX = f"""
     WITH {_VIDEO_FRAME_CTE},
     sf AS (SELECT doc_id, frame_idx,
@@ -257,19 +273,7 @@ _VIDEO_CC_PREFIX = f"""
         JOIN cnt ca ON ca.doc_id = m.doc_a
         JOIN cnt cb ON cb.doc_id = m.doc_b
         WHERE matched_frames / GREATEST(ca.nf, cb.nf) >= 0.5
-    ),
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    nodes AS MATERIALIZED (SELECT DISTINCT u AS doc FROM edges),
-    adj AS MATERIALIZED (
-        SELECT u AS doc, v AS nbr FROM edges
-        UNION ALL
-        SELECT doc, doc FROM nodes
-    ),
-    l0 AS (SELECT doc, doc AS label FROM nodes){_CC_ROUND_CTES}"""
+    ){_CC_CHAIN_SUFFIX}"""
 
 
 QUERIES = {

@@ -63,6 +63,41 @@ def test_image_graph_fixpoint_margin(spark, sf_smoke):
     assert _fixpoint_margin(pairs) == 0
 
 
+def test_embed_graph_is_not_fixed_round_clusterable(spark, sf_smoke):
+    """Round-11 dead-end, pinned as knowledge: an `ns_embed_dedup_cluster`
+    query (CC over the ns_embed_neardup pair graph) was built and
+    REVERTED. The synthetic embeddings are near-random (max pairwise
+    cosine ≈ 0.5), so the 0.3-threshold graph is a sparse CHAIN: at
+    sf0.001 the CC_ROUNDS=4 doubling budget leaves >100 mislabels (the
+    oracle, unrolling the same rounds, agrees — parity alone masks
+    under-convergence, which is exactly what the fixpoint-margin guard
+    exists to catch), small-SF fixpoint needs ~12 rounds, and at sf0.1
+    the graph collapses into ONE 1999-node component — "cluster
+    resolution" over it is semantically empty. This test pins the
+    diagnosis: the graph IS connected-chain-shaped, so any future
+    attempt must either raise the cosine threshold above the fixture's
+    similarity ceiling (which empties the graph) or use
+    iterate-to-convergence CC with a recursive-CTE oracle. Do not
+    re-land the fixed-round version."""
+    from duckdb_parquet_parser_spark.operators.similarity import (
+        q_ns_embed_neardup,
+    )
+
+    pairs = (
+        q_ns_embed_neardup(spark, sf_smoke)
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        .localCheckpoint(eager=True)
+    )
+    margin = _fixpoint_margin(pairs)
+    assert margin > 0, (
+        "the embed pair graph now converges within CC_ROUNDS — the "
+        "round-11 revert rationale no longer holds; an embed cluster "
+        "query is back on the table (see this test's docstring)"
+    )
+
+
 def test_image_components_are_class_groups(spark, sf_smoke):
     """The closed form the image/audio cluster oracles rest on: a
     component is EXACTLY a hash-class group with ≥ 2 decodable members —
