@@ -77,13 +77,20 @@ def _landing_dir(sf_dir: str) -> str:
         if entry.startswith(f"{path_tag}_") and "." not in entry:
             shutil.rmtree(full, ignore_errors=True)  # stale fingerprint
             continue
-        try:
-            with open(os.path.join(full, _LANDING_MARKER)) as f:
-                if not os.path.isdir(f.read().strip()):
-                    shutil.rmtree(full, ignore_errors=True)  # dead source
-            continue
-        except OSError:
-            pass  # no marker: crashed OR concurrent — check age below
+        # A `.landing.` temp dir whose rename never happened carries a
+        # marker too (the marker is written LAST, inside the temp dir) —
+        # a live-source marker must not immunize it, or a lander killed
+        # between marker write and rename leaks a full parquet copy
+        # forever (code review r11). Age-gate it like the marker-less
+        # case instead of trusting the marker.
+        if ".landing." not in entry:
+            try:
+                with open(os.path.join(full, _LANDING_MARKER)) as f:
+                    if not os.path.isdir(f.read().strip()):
+                        shutil.rmtree(full, ignore_errors=True)  # dead src
+                continue
+            except OSError:
+                pass  # no marker: crashed OR concurrent — check age below
         try:
             if now - os.stat(full).st_mtime > _LANDING_GRACE_SECONDS:
                 shutil.rmtree(full, ignore_errors=True)

@@ -61,6 +61,7 @@ from pyspark.sql.window import Window
 from .dedup import _CC_ROUND_CTES, CC_ROUNDS, connected_components
 from .multimodal import (
     AHASH_HAMMING_MAX,
+    VIDEO_MATCH_FRAC,
     _banded_hash_pairs,
     extract_audio_fingerprints,
     extract_image_features,
@@ -264,7 +265,7 @@ _VIDEO_CC_PREFIX = f"""
                COUNT(*) AS matched_frames
         FROM sf a JOIN sf b
           ON a.frame_idx = b.frame_idx AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        WHERE bit_count(xor(a.ah, b.ah)) <= {AHASH_HAMMING_MAX}
         GROUP BY 1, 2
     ),
     pairs AS MATERIALIZED (
@@ -272,7 +273,7 @@ _VIDEO_CC_PREFIX = f"""
         FROM m
         JOIN cnt ca ON ca.doc_id = m.doc_a
         JOIN cnt cb ON cb.doc_id = m.doc_b
-        WHERE matched_frames / GREATEST(ca.nf, cb.nf) >= 0.5
+        WHERE matched_frames / GREATEST(ca.nf, cb.nf) >= {VIDEO_MATCH_FRAC}
     ){_CC_CHAIN_SUFFIX}"""
 
 

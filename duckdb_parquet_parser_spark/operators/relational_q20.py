@@ -129,7 +129,8 @@ ORACLES = {
                    > sum(CAST(l_quantity AS DECIMAL(18,6)))
                AND sum(CASE WHEN l_shipdate >= TIMESTAMP '{Q20_LO}'
                              AND l_shipdate < TIMESTAMP '{Q20_HI}'
-                            THEN 1 ELSE 0 END) > 0
+                            THEN CAST(l_quantity AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END) > 0
           )
     """,
 }

@@ -7,6 +7,14 @@ the main bench; paste the table into BENCH_NOTES.md.
 
     python scripts/watch_rows.py --rows ns_tfidf_topterms \
         rel_multi_exists_q21 ns_shared_ngrams --reps 3
+
+CAVEAT (code review r11): this probe warms the session but does NOT run
+bench.py's unmeasured one-time maintenance (clustered layout, staged
+streaming source, dedup signature artifact). Rows that depend on those
+(f1_clustered_prune, f1_regex_manifest, streaming_*,
+ns_dedup_incremental*) must be probed AFTER a bench.py run on the same
+machine, or rep-0 silently includes maintenance work the bench
+methodology excludes and the bands don't compare.
 """
 
 from __future__ import annotations
@@ -84,10 +92,13 @@ def main() -> int:
 
     queries, oracles = collect_queries()
     spark = get_spark(app_name="watch-rows")
-    # warm the session once, unmeasured
-    queries["rel_agg_q1"](spark, args.sf).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the session once per SF, unmeasured (the weak-scaling block
+    # reads the small SF too — an unwarmed footer cache would charge
+    # rep 0 a first-read tax the bench methodology excludes)
+    for warm_sf in (args.sf, args.small_sf):
+        queries["rel_agg_q1"](spark, warm_sf).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     print(f"floor probe: {_floor_probe(spark)} s/job")
     header = ["rep"]

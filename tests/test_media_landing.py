@@ -104,7 +104,37 @@ def test_fresh_markerless_sibling_survives(spark, sf_smoke):
         _landing_dir(sf_smoke)
         assert os.path.exists(fresh)
     finally:
-        os.rmdir(fresh)
+        # ignore_errors: if the prune regresses and eats `fresh`, the
+        # assertion above must surface — not a cleanup FileNotFoundError
+        import shutil
+
+        shutil.rmtree(fresh, ignore_errors=True)
+
+
+def test_crashed_landing_temp_pruned_after_grace(spark, sf_smoke, tmp_path):
+    """A `.landing.` temp dir with a LIVE-source marker inside is a
+    crashed publish (the rename never happened) — it must age out like
+    the marker-less case, not be immunized by its marker (code review
+    r11: the leak was a full parquet copy per crash, kept forever)."""
+    import time
+
+    out = land_media_parquet(spark, sf_smoke)
+    base = os.path.dirname(out)
+    crashed = os.path.join(base, "beefbeefbeef_cafecafecafe.landing.99999")
+    os.makedirs(crashed, exist_ok=True)
+    with open(os.path.join(crashed, "_source.txt"), "w") as f:
+        f.write(os.path.abspath(sf_smoke))  # source IS alive
+    try:
+        _landing_dir(sf_smoke)
+        assert os.path.exists(crashed)  # fresh: concurrent-landing grace
+        old = time.time() - 7200
+        os.utime(crashed, (old, old))
+        _landing_dir(sf_smoke)
+        assert not os.path.exists(crashed)  # aged out despite live marker
+    finally:
+        import shutil
+
+        shutil.rmtree(crashed, ignore_errors=True)
 
 
 def test_ingest_oracle_constants_derive_from_encoders():

@@ -59,6 +59,10 @@ REL_QUERIES = [
     # and NULL×n > Σ are both UNKNOWN → dropped identically)
     "rel_outer_hist_q13",
     "rel_anti_avg_q22",
+    # round-11: Q20's nested semi + grouped window-majority threshold
+    # under NULL l_quantity (skipped by both DECIMAL sums identically)
+    # and NULL/dangling part and supplier keys (semi-joins drop them)
+    "rel_nested_semi_q20",
 ]
 
 _STATUSES = ["F", "O", "P"]
