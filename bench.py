@@ -129,6 +129,10 @@ HEADLINE = [
     "ns_mm_audio_dedup_cluster",
     "ns_mm_video_dedup_cluster",
     "rel_nested_semi_q20",
+    # Q7/Q8 are honest data-bound rows: their oracles run the same full
+    # join pipelines (no closed form), so the ratios price real work
+    "rel_volume_q7",
+    "rel_mktshare_q8",
 ]
 
 

@@ -87,7 +87,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (1) the FORTY-ONE r8-certified queries the r10 ledger forecast as
 # must-rotate (their certs aged to 2 rounds after the r10 driver run):
 # f1_page_report .. x1_tuple_to_chunk — the whole r8 block;
-# (2) FIVE new round-11 queries, never certified, each in a NEW module
+# (2) SEVEN new round-11 queries, never certified, each in a NEW module
 # so the changed-module re-certification rule below does NOT drag the
 # 21 fresh r10 certifications of dedup.py / multimodal.py /
 # multimodal_synth.py (nor relational_sub.py's 7 r9 certs) back into
@@ -106,8 +106,10 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 #   - ns_mm_ingest_parquet (media_landing.py — the ingest→parquet
 #     landing leg, VERDICT r10 #3);
 #   - rel_nested_semi_q20 (relational_q20.py — TPC-H Q20 shape,
-#     VERDICT r10 #8).
-# 41 + 5 = 46; four free slots remain as buffer.
+#     VERDICT r10 #8), plus rel_volume_q7 / rel_mktshare_q8 (same
+#     module — bilateral nation-pair volume and one-pass conditional
+#     market share, rounding out the TPC-H join-shape family).
+# 41 + 7 = 48; two free slots remain as buffer.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;

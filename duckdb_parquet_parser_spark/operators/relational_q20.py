@@ -1,6 +1,8 @@
-"""TPC-H Q20-shaped nested semi-join + correlated grouped threshold —
-the one common correlated-subquery pattern not yet in the §2.4 family
-(VERDICT r10 #8; complements Q4/Q17/Q18/Q21/Q22 in relational_sub.py).
+"""Round-11 TPC-H additions: Q20 (nested semi-join + correlated grouped
+threshold — the one common correlated-subquery pattern not yet in the
+§2.4 family, VERDICT r10 #8; complements Q4/Q17/Q18/Q21/Q22 in
+relational_sub.py), Q7 (bilateral nation-pair volume by ship year) and
+Q8 (national market share as a one-pass conditional aggregate).
 
 Q20's shape is a THREE-deep nesting: suppliers IN (supply relationships
 OF parts IN (name-filtered parts) WHERE a correlated per-relationship
@@ -41,7 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions import DEC
+from ..functions import DEC, dsum
 
 Q20_PART_PREFIX = "small gear"
 Q20_LO, Q20_HI = "1996-01-01", "1997-01-01"
@@ -107,9 +109,212 @@ def q_rel_nested_semi_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"rel_nested_semi_q20": q_rel_nested_semi_q20}
+Q7_NATION_A, Q7_NATION_B = "NATION_3", "NATION_7"
+Q7_LO, Q7_HI = "1996-01-01", "1998-01-01"
+
+Q8_REGION = "ASIA"
+Q8_SHARE_NATION = "NATION_12"
+Q8_PART_TYPE = "PROMO"
+
+
+def q_rel_volume_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral volume: revenue shipped between two
+    nations (either direction), by supplier nation, customer nation and
+    ship year. The two nation dims are filtered BEFORE touching the
+    facts, so supplier and customer shrink to the two-nation subsets
+    and broadcast; the only big exchange is the lineitem⋈orders
+    orderkey join — the canonical Q7 plan. Revenue follows the
+    engine-wide DECIMAL discipline (dsum)."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cross_pair = (
+        (F.col("supp_nation") == Q7_NATION_A)
+        & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B)
+        & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(cross_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_rel_mktshare_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: of the order volume that
+    ``Q8_REGION`` customers spent on ``Q8_PART_TYPE`` parts, the share
+    supplied by ``Q8_SHARE_NATION``, per order year. The share is a
+    conditional aggregate over ONE grouped pass (sum-if / sum), not a
+    self-join; both volume sums are exact DECIMAL (identical in both
+    engines), and only the final share divides — the same
+    double-of-exact-decimals discipline as davg, rounded to 9 places."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    cust_nations = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(cust_nations),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").withColumnRenamed(
+                    "n_name", "supp_nation"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_PART_TYPE)
+        .select("p_partkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_share = F.col("supp_nation") == Q8_SHARE_NATION
+    grouped = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust).withColumnRenamed("c_custkey", "ck"),
+            F.col("o_custkey") == F.col("ck"),
+            "left_semi",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(is_share, volume.cast(DEC)).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(volume.cast(DEC)).cast("double").alias("total_volume"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.round(
+            F.col("nation_volume") / F.col("total_volume"), 9
+        ).alias("mkt_share"),
+    )
+
+
+QUERIES = {
+    "rel_nested_semi_q20": q_rel_nested_semi_q20,
+    "rel_volume_q7": q_rel_volume_q7,
+    "rel_mktshare_q8": q_rel_mktshare_q8,
+}
 
 ORACLES = {
+    "rel_volume_q7": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(CAST(volume AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey
+              AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = '{Q7_NATION_A}'
+                    AND n2.n_name = '{Q7_NATION_B}')
+                OR (n1.n_name = '{Q7_NATION_B}'
+                    AND n2.n_name = '{Q7_NATION_A}'))
+              AND l_shipdate >= TIMESTAMP '{Q7_LO}'
+              AND l_shipdate < TIMESTAMP '{Q7_HI}'
+        )
+        GROUP BY 1, 2, 3
+    """,
+    "rel_mktshare_q8": f"""
+        SELECT o_year, nation_volume, total_volume,
+               ROUND(nation_volume / total_volume, 9) AS mkt_share
+        FROM (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CASE WHEN n1.n_name = '{Q8_SHARE_NATION}'
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                      AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE) AS nation_volume,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                       AS total_volume
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+                     AND p_type = '{Q8_PART_TYPE}'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey IN (
+                SELECT c_custkey
+                FROM customer
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                WHERE r_name = '{Q8_REGION}'
+            )
+            GROUP BY 1
+        )
+    """,
     "rel_nested_semi_q20": f"""
         SELECT s_suppkey, s_name, n_name
         FROM supplier JOIN nation ON s_nationkey = n_nationkey

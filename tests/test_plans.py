@@ -380,6 +380,28 @@ def test_q20_single_fact_exchange_and_broadcast_semis(plans):
     assert len(shuffles) <= 2, shuffles
 
 
+def test_q7_single_fact_exchange(plans):
+    """Q7's scale contract: both nation-filtered dim subsets broadcast
+    (supplier and customer shrink to two nations before touching facts),
+    the shipdate window is pushed into the lineitem scan, and the only
+    big exchange is the lineitem⋈orders orderkey join."""
+    plan = plans("rel_volume_q7")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "GreaterThanOrEqual(l_shipdate" in plan  # pushed window
+    assert "partial_sum" in plan
+    shuffles = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln
+        and "Broadcast" not in ln
+        and "Reused" not in ln
+    ]
+    # at the fixture SF even orders broadcasts (only the group-by
+    # exchange remains); at scale the orderkey join adds two sides
+    assert len(shuffles) <= 3, shuffles
+
+
 def test_disjunctive_q19_pushes_or_to_both_scans(plans):
     """The OR-across-the-join must be split into per-table superset
     disjunctions and pushed into BOTH parquet scans (quantity ranges to

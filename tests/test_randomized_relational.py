@@ -61,8 +61,12 @@ REL_QUERIES = [
     "rel_anti_avg_q22",
     # round-11: Q20's nested semi + grouped window-majority threshold
     # under NULL l_quantity (skipped by both DECIMAL sums identically)
-    # and NULL/dangling part and supplier keys (semi-joins drop them)
+    # and NULL/dangling part and supplier keys (semi-joins drop them);
+    # Q7/Q8 volume shapes under NULL prices/discounts (volume NULL →
+    # skipped by both engines' sums) and dangling join keys
     "rel_nested_semi_q20",
+    "rel_volume_q7",
+    "rel_mktshare_q8",
 ]
 
 _STATUSES = ["F", "O", "P"]
