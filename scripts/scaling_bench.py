@@ -36,6 +36,11 @@ QUERIES = [
     # round-5 additions: the two data-bound n-gram statistics rows
     "ns_dupgram_profile",
     "ns_shared_ngrams",
+    # round-11: the media cluster pipelines — the Python decode stage is
+    # the data-parallel leg (mapInPandas over row splits); the CC tail
+    # is job-floor-bound, so expect partial, not linear, scaling
+    "ns_mm_image_dedup_cluster",
+    "ns_mm_video_dedup_cluster",
 ]
 
 _CHILD = r"""
