@@ -79,6 +79,86 @@ from .multimodal_synth import (
 )
 
 
+def connected_components_converged(
+    edges: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """(doc, component) + rounds used: min-label propagation with pointer
+    doubling ITERATED TO CONVERGENCE — the library answer to the pinned
+    embed-graph dead end (see test_embed_graph_is_not_fixed_round_
+    clusterable): ``dedup.connected_components`` runs a FIXED round
+    budget sized to near-clique duplicate graphs, which silently
+    under-converges on unknown-diameter graphs (sparse cosine chains).
+    This variant pays one extra count job per round to compare labels
+    against the previous round and stops at the provable fixpoint,
+    raising loudly if ``max_rounds`` doesn't reach it (doubling covers
+    diameter ~2^rounds, so 64 is astronomically safe — the cap is a
+    runaway guard, not a tuning knob).
+
+    Same per-round scale shape as the fixed-round pipeline: the
+    adjacency is hash-partitioned once and checkpointed; each round
+    exchanges only the label frame; labels are checkpointed per round
+    (the comparison consumes them anyway, so the cut is free). Cost vs
+    fixed-round: one count action per round + however many extra rounds
+    the graph actually needs — exactly the price of not knowing the
+    diameter up front.
+
+    NOT yet a certified query: the SQL oracle for convergence is a
+    recursive CTE (fixpoint semantics), which the unrolled-chain
+    technique can't express — r12 work if an operator needs it."""
+    from ..session import checkpoint_df
+
+    ed = checkpoint_df(edges.select("doc_a", "doc_b"), eager=True)
+    bi = ed.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).union(
+        ed.select(F.col("doc_b"), F.col("doc_a"))
+    )
+    adj = checkpoint_df(
+        bi.union(
+            bi.select("doc").distinct().select("doc", F.col("doc").alias("nbr"))
+        ).repartition(F.col("nbr")),
+        eager=True,
+    )
+    labels: DataFrame | None = None
+    for r in range(max_rounds):
+        if r == 0:
+            # identity labels: min over {self} ∪ N is min(nbr) over the
+            # self-looped adjacency (dedup.py's round-1 specialization)
+            prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
+        else:
+            prop = (
+                adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
+                .groupBy("doc")
+                .agg(F.min("label").alias("label"))
+            )
+        parent = prop.select(
+            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+        )
+        nxt = checkpoint_df(
+            prop.join(parent, prop.label == parent.p_doc, "left").select(
+                "doc",
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
+            ),
+            eager=True,
+        )
+        if labels is not None:
+            changed = (
+                nxt.withColumnRenamed("label", "new_label")
+                .join(labels, "doc")
+                .filter(F.col("new_label") != F.col("label"))
+                .count()
+            )
+            if changed == 0:
+                return (
+                    nxt.select("doc", F.col("label").alias("component")),
+                    r + 1,
+                )
+        labels = nxt
+    raise RuntimeError(
+        f"connected_components_converged: no fixpoint within "
+        f"{max_rounds} rounds — the graph has pathological diameter or "
+        "the edge list is unstable between evaluations"
+    )
+
+
 def media_cluster_canonical(
     sig: DataFrame, hash_col: str, hamming_max: int = AHASH_HAMMING_MAX
 ) -> DataFrame:

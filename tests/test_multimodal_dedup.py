@@ -98,6 +98,58 @@ def test_embed_graph_is_not_fixed_round_clusterable(spark, sf_smoke):
     )
 
 
+def test_converged_cc_reaches_fixpoint_on_the_chain_graph(spark, sf_smoke):
+    """The convergent variant must label the exact graph the fixed-round
+    pipeline cannot: the embed cosine chain. Ground truth = a fixed-round
+    run at a budget safely past the measured fixpoint (~12 rounds at the
+    fixture SFs)."""
+    from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+        connected_components_converged,
+    )
+    from duckdb_parquet_parser_spark.operators.similarity import (
+        q_ns_embed_neardup,
+    )
+
+    pairs = (
+        q_ns_embed_neardup(spark, sf_smoke)
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+        .localCheckpoint(eager=True)
+    )
+    conv, rounds = connected_components_converged(pairs)
+    truth = connected_components(pairs, rounds=16).withColumnRenamed(
+        "component", "truth"
+    )
+    diff = (
+        conv.join(truth, "doc")
+        .filter(F.col("component") != F.col("truth"))
+        .count()
+    )
+    assert diff == 0
+    assert 2 <= rounds <= 16, rounds
+    # every label is a real min: no node points above itself
+    assert conv.filter(F.col("component") > F.col("doc")).count() == 0
+
+
+def test_converged_cc_adversarial_long_path(spark):
+    """A 200-node pure path — diameter far beyond CC_ROUNDS coverage —
+    must resolve to ONE component labeled by its minimum node."""
+    from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+        connected_components_converged,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
+    conv, rounds = connected_components_converged(edges)
+    rows = conv.collect()
+    assert len(rows) == 200
+    assert all(r.component == 0 for r in rows)
+    # doubling: fixpoint in O(log diameter) rounds, not O(diameter)
+    assert rounds <= 12, rounds
+
+
 def test_image_components_are_class_groups(spark, sf_smoke):
     """The closed form the image/audio cluster oracles rest on: a
     component is EXACTLY a hash-class group with ≥ 2 decodable members —
