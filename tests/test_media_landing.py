@@ -128,6 +128,11 @@ def test_crashed_landing_temp_pruned_after_grace(spark, sf_smoke, tmp_path):
         _landing_dir(sf_smoke)
         assert os.path.exists(crashed)  # fresh: concurrent-landing grace
         old = time.time() - 7200
+        # Age EVERYTHING inside: the grace check is the recursive newest
+        # mtime (ADVICE r11), so a crashed temp only ages out once all of
+        # its contents have — exactly the "nothing written for an hour"
+        # signal that distinguishes a crash from a slow live write.
+        os.utime(os.path.join(crashed, "_source.txt"), (old, old))
         os.utime(crashed, (old, old))
         _landing_dir(sf_smoke)
         assert not os.path.exists(crashed)  # aged out despite live marker
@@ -135,6 +140,34 @@ def test_crashed_landing_temp_pruned_after_grace(spark, sf_smoke, tmp_path):
         import shutil
 
         shutil.rmtree(crashed, ignore_errors=True)
+
+
+def test_slow_live_landing_survives_stale_toplevel_mtime(spark, sf_smoke):
+    """ADVICE r11: a landing legitimately running longer than the grace
+    hour keeps writing into SUBDIRECTORIES (Spark's committer), which
+    does not touch the temp dir's top-level mtime. The age gate must key
+    off the recursive newest mtime — a stale top with one fresh nested
+    file is a LIVE write, and pruning it would torpedo the other
+    process."""
+    import time
+
+    out = land_media_parquet(spark, sf_smoke)
+    base = os.path.dirname(out)
+    slow = os.path.join(base, "abadc0deabad_feedf00dfeed.landing.4242")
+    nested = os.path.join(slow, "_temporary", "0")
+    os.makedirs(nested, exist_ok=True)
+    with open(os.path.join(nested, "part-00000"), "w") as f:
+        f.write("in flight")  # fresh nested write
+    old = time.time() - 7200
+    os.utime(os.path.join(slow, "_temporary"), (old, old))
+    os.utime(slow, (old, old))  # top-level looks abandoned
+    try:
+        _landing_dir(sf_smoke)
+        assert os.path.exists(slow), "live slow landing was reaped"
+    finally:
+        import shutil
+
+        shutil.rmtree(slow, ignore_errors=True)
 
 
 def test_ingest_oracle_constants_derive_from_encoders():

