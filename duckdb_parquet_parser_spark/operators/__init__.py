@@ -17,6 +17,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import (
         corpus,
         dedup,
+        embed_cluster,
         filters,
         media_landing,
         multimodal,
@@ -42,6 +43,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (
+        embed_cluster,
         multimodal_dedup,
         media_landing,
         relational_q20,

@@ -1,0 +1,133 @@
+"""Embedding near-duplicate CLUSTER resolution on iterate-to-convergence
+connected components (VERDICT r11 missing #1).
+
+The round-11 attempt at this query was built, went oracle-parity GREEN,
+and was then reverted by its own fixpoint-margin guard: the synthetic
+embeddings are near-random, so the 0.3-cosine pair graph is a sparse
+CHAIN whose diameter blows past the fixed ``CC_ROUNDS`` doubling budget
+(~12-round fixpoint at the small SFs, one giant 1999-node component at
+sf0.1) — and because the oracle unrolled the SAME rounds, parity agreed
+with the wrong answer. Differential testing cannot see under-convergence
+when both sides under-converge identically; that failure mode is pinned
+in tests/test_multimodal_dedup.py (test_embed_graph_is_not_fixed_round_
+clusterable) and is exactly why this query now runs
+``connected_components_converged`` (multimodal_dedup.py): min-label
+propagation + pointer doubling iterated to a PROVABLE fixpoint (a
+per-round changed-label count hitting zero), not to a guessed budget.
+
+The oracle is a DuckDB ``WITH RECURSIVE`` transitive closure — fixpoint
+semantics in the oracle to match fixpoint semantics in the query. The
+unrolled-chain technique (dedup.py ``_CC_ROUND_CTES``) structurally
+cannot express "iterate until nothing changes"; the recursive CTE can,
+so query and oracle converge INDEPENDENTLY and the hash comparison is a
+real two-implementation check again. The closure is O(Σ component²) rows
+— fine for an sf0.01 yardstick, never the production plan.
+
+Output contract mirrors ``ns_dedup_components`` (dedup.py:960): one row
+per vector that appears in a near-dup pair — its component (= min vec_id
+reachable), the cluster size, and the min-id keep decision.
+
+Job budget (CI-guarded in tests/test_plans.py): the pair stage is
+``ns_embed_neardup``'s certified plan unchanged (~7 stage-jobs); the CC
+stage runs rounds in UNROLLED 2-round blocks — one label checkpoint +
+one monotone sum probe per block, the per-round AQE exchange jobs inside
+(measured ≤ 16 stage-jobs per block at sf0.1) — so
+jobs ≤ 12 + 16 × (rounds / 2). The sf0.1 giant component (1999-node
+cosine chain) converges in 3 blocks = 6 rounds ≈ 45 CC jobs, 4.7 s;
+the guard allows rounds ≤ ``EMBED_CC_MAX_ROUNDS``. Convergence is the
+price of an unknown diameter: a fixed budget was measurably wrong on
+this exact graph.
+
+Scale shape (100 TB): candidate pairs come from the certified IVF
+cluster-then-verify plan (O(Σ cell²), no crossJoin beyond the broadcast
+centroid table); the CC rounds exchange only the (doc, label) frame,
+O(log diameter) of them thanks to doubling — the giant sf0.1 component
+(diameter ≫ CC_ROUNDS) resolves in ≤ 10 rounds
+(tests/test_multimodal_dedup.py exercises it at sf0.1). The per-round
+count action is a scalar job over the already-checkpointed label frame.
+
+This lives in its OWN module (the round-11 new-module rule): it only
+IMPORTS similarity.py / multimodal_dedup.py / dedup.py machinery, whose
+certified plans are untouched and must stay parked.
+
+Reference analog: none — SURVEY.md §2.5 north-star surface (the
+reference stops at pairwise dup detection, main.cpp:21-35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Composition-only imports (certified modules, plans untouched).
+from .multimodal_dedup import connected_components_converged
+from .similarity import ORACLES as _SIM_ORACLES
+from .similarity import q_ns_embed_neardup
+
+#: Rounds the fixture chain graphs actually need is ≤ 8 (block-granular
+#: upper bound); the guard in tests/test_plans.py budgets stage-jobs as
+#: 12 + 16 per 2-round block actually run.
+EMBED_CC_MAX_ROUNDS = 10
+
+
+def embed_components_with_rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """(per-vector component labels, rounds-to-fixpoint) over the
+    ``ns_embed_neardup`` pair graph. Split out from the query so tests
+    can assert the convergence round count and the job budget."""
+    pairs = q_ns_embed_neardup(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return connected_components_converged(pairs)
+
+
+def q_ns_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters with keep/drop decisions: the
+    ``ns_dedup_components`` contract over the cosine pair graph, labeled
+    by convergent CC (see module docstring for why fixed-round CC is
+    provably insufficient on this graph)."""
+    comp, _rounds = embed_components_with_rounds(spark, sf_dir)
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return comp.select(
+        F.col("doc").alias("vec_id"),
+        "component",
+        w_size.cast("long").alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+
+
+QUERIES = {"ns_embed_dedup_cluster": q_ns_embed_dedup_cluster}
+
+# Fixpoint vs fixpoint: the recursive closure computes min-reachable
+# per node with DuckDB's own termination rule (UNION dedup — iteration
+# stops when no new (vec_id, label) fact appears), fully independent of
+# the query's round structure. Self-pairs seed the recursion, so every
+# pair endpoint is labeled even if a component is a single edge.
+ORACLES = {
+    "ns_embed_dedup_cluster": f"""
+        WITH RECURSIVE pairs AS (
+            {_SIM_ORACLES["ns_embed_neardup"]}
+        ), edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_b, vec_a FROM pairs
+        ), reach (vec_id, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label
+            FROM edges e JOIN reach r ON r.vec_id = e.dst
+        ), comp AS (
+            SELECT vec_id, min(label) AS component
+            FROM reach GROUP BY vec_id
+        ), sizes AS (
+            SELECT component, count(*) AS cluster_size
+            FROM comp GROUP BY component
+        )
+        SELECT c.vec_id, c.component,
+               CAST(s.cluster_size AS BIGINT) AS cluster_size,
+               c.vec_id = c.component AS keep
+        FROM comp c JOIN sizes s ON s.component = c.component
+    """,
+}

@@ -80,7 +80,7 @@ from .multimodal_synth import (
 
 
 def connected_components_converged(
-    edges: DataFrame, max_rounds: int = 64
+    edges: DataFrame, max_rounds: int = 64, probe_every: int = 2
 ) -> tuple[DataFrame, int]:
     """(doc, component) + rounds used: min-label propagation with pointer
     doubling ITERATED TO CONVERGENCE — the library answer to the pinned
@@ -96,15 +96,29 @@ def connected_components_converged(
 
     Same per-round scale shape as the fixed-round pipeline: the
     adjacency is hash-partitioned once and checkpointed; each round
-    exchanges only the label frame; labels are checkpointed per round
-    (the comparison consumes them anyway, so the cut is free). Cost vs
-    fixed-round: one count action per round + however many extra rounds
-    the graph actually needs — exactly the price of not knowing the
-    diameter up front.
+    exchanges only the label frame, checkpointed per round. Cost vs
+    fixed-round: the convergence PROBE + however many extra rounds the
+    graph actually needs — exactly the price of not knowing the diameter
+    up front. Two r12 cost cuts keep that probe cheap:
 
-    NOT yet a certified query: the SQL oracle for convergence is a
-    recursive CTE (fixpoint semantics), which the unrolled-chain
-    technique can't express — r12 work if an operator needs it."""
+    - MONOTONE PROBE: min-label propagation can only ever DECREASE a
+      label, so the labeling changed iff the global label sum moved — a
+      one-row aggregate over the frame just checkpointed (≈1 job), not a
+      full previous-vs-next join. decimal(38,0) accumulation: at 10⁹
+      nodes × 10¹⁸-range ids an int64 sum overflows and a silent wrap
+      could fake a fixpoint.
+    - BLOCKED ROUNDS: ``probe_every`` rounds run UNROLLED under one
+      checkpoint (the fixed-round pipeline's checkpoint_every trick —
+      the doubling join's two sides are the same subplan, so AQE reuses
+      the exchange), then one cut + one probe per block. Sum unchanged
+      across a block ⇒ no round in it changed anything (monotonicity) ⇒
+      the fixpoint was already reached at block start; the returned
+      round count is the block-granular upper bound.
+
+    Certified consumer: ``ns_embed_dedup_cluster`` (embed_cluster.py) —
+    its DuckDB oracle is a ``WITH RECURSIVE`` transitive closure, i.e.
+    fixpoint semantics on BOTH sides, the check the unrolled-chain
+    technique structurally can't express."""
     from ..session import checkpoint_df
 
     ed = checkpoint_df(edges.select("doc_a", "doc_b"), eager=True)
@@ -118,40 +132,42 @@ def connected_components_converged(
         eager=True,
     )
     labels: DataFrame | None = None
-    for r in range(max_rounds):
-        if r == 0:
-            # identity labels: min over {self} ∪ N is min(nbr) over the
-            # self-looped adjacency (dedup.py's round-1 specialization)
-            prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
-        else:
-            prop = (
-                adj.join(labels.withColumnRenamed("doc", "nbr"), "nbr")
-                .groupBy("doc")
-                .agg(F.min("label").alias("label"))
+    label_sum = None
+    rounds_done = 0
+    while rounds_done < max_rounds:
+        block = min(probe_every, max_rounds - rounds_done)
+        cur = labels
+        for _ in range(block):
+            if cur is None:
+                # identity labels: min over {self} ∪ N is min(nbr) over
+                # the self-looped adjacency (dedup.py's round-1
+                # specialization — the labels join algebraically elided)
+                prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
+            else:
+                prop = (
+                    adj.join(cur.withColumnRenamed("doc", "nbr"), "nbr")
+                    .groupBy("doc")
+                    .agg(F.min("label").alias("label"))
+                )
+            parent = prop.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
             )
-        parent = prop.select(
-            F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-        )
-        nxt = checkpoint_df(
-            prop.join(parent, prop.label == parent.p_doc, "left").select(
+            cur = prop.join(parent, prop.label == parent.p_doc, "left").select(
                 "doc",
                 F.least("label", F.coalesce("p_label", "label")).alias("label"),
-            ),
-            eager=True,
-        )
-        if labels is not None:
-            changed = (
-                nxt.withColumnRenamed("label", "new_label")
-                .join(labels, "doc")
-                .filter(F.col("new_label") != F.col("label"))
-                .count()
             )
-            if changed == 0:
-                return (
-                    nxt.select("doc", F.col("label").alias("component")),
-                    r + 1,
-                )
-        labels = nxt
+        nxt = checkpoint_df(cur, eager=True)
+        rounds_done += block
+        nxt_sum = (
+            nxt.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .first()["s"]
+        )
+        if label_sum is not None and nxt_sum == label_sum:
+            return (
+                nxt.select("doc", F.col("label").alias("component")),
+                rounds_done,
+            )
+        labels, label_sum = nxt, nxt_sum
     raise RuntimeError(
         f"connected_components_converged: no fixpoint within "
         f"{max_rounds} rounds — the graph has pathological diameter or "

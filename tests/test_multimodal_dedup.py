@@ -72,13 +72,15 @@ def test_embed_graph_is_not_fixed_round_clusterable(spark, sf_smoke):
     oracle, unrolling the same rounds, agrees — parity alone masks
     under-convergence, which is exactly what the fixpoint-margin guard
     exists to catch), small-SF fixpoint needs ~12 rounds, and at sf0.1
-    the graph collapses into ONE 1999-node component — "cluster
-    resolution" over it is semantically empty. This test pins the
-    diagnosis: the graph IS connected-chain-shaped, so any future
-    attempt must either raise the cosine threshold above the fixture's
-    similarity ceiling (which empties the graph) or use
-    iterate-to-convergence CC with a recursive-CTE oracle. Do not
-    re-land the fixed-round version."""
+    the graph collapses into ONE 1999-node component. This test pins
+    the diagnosis: the graph IS connected-chain-shaped — which is WHY
+    the certified query (`ns_embed_dedup_cluster`, embed_cluster.py,
+    round 12) runs iterate-to-convergence CC against a WITH RECURSIVE
+    fixpoint oracle: two INDEPENDENT convergence rules, so parity is a
+    real check again. Do not re-land the fixed-round version; if this
+    assertion ever flips (margin hits zero) the fixed-round pipeline
+    became sufficient for THIS fixture, but the convergent query stays —
+    real corpora don't promise bounded diameters either."""
     from duckdb_parquet_parser_spark.operators.similarity import (
         q_ns_embed_neardup,
     )
@@ -93,8 +95,8 @@ def test_embed_graph_is_not_fixed_round_clusterable(spark, sf_smoke):
     margin = _fixpoint_margin(pairs)
     assert margin > 0, (
         "the embed pair graph now converges within CC_ROUNDS — the "
-        "round-11 revert rationale no longer holds; an embed cluster "
-        "query is back on the table (see this test's docstring)"
+        "fixed-round pipeline became sufficient for this fixture; the "
+        "convergent ns_embed_dedup_cluster stays (see docstring)"
     )
 
 
