@@ -26,6 +26,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         ngram_stats,
         positional,
         relational,
+        relational_q2,
         relational_q20,
         relational_sub,
         scalars,
@@ -46,6 +47,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         embed_cluster,
         multimodal_dedup,
         media_landing,
+        relational_q2,
         relational_q20,
         multimodal,
         multimodal_synth,

@@ -585,3 +585,95 @@ def test_embed_cluster_job_budget_and_convergence(spark):
     if bench_sf.rstrip("/").endswith("sf0.1"):
         # the documented giant component: one 1999-node chain
         assert nodes == 1999 and top["count"] == 1999, (nodes, top)
+
+
+def test_q2_q11_single_fact_exchange_and_pushdown(spark, sf_smoke):
+    """Round-12 Q2/Q11 scale contracts (relational_q2.py). Visible plan
+    (above the lineage cut): every join is a broadcast, exactly ONE
+    non-broadcast exchange survives. Below the cut (the split-out
+    un-checkpointed aggregates): the p_size filter reaches the part
+    scan, the fact aggregate runs with a map-side partial, and the only
+    exchange is the grouped aggregate's."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parquet_parser_spark.catalog import load_table
+    from duckdb_parquet_parser_spark.operators.relational_q2 import (
+        Q2_PART_SIZE,
+        Q2_REGION,
+        Q11_NATION_PREFIX,
+        _q2_supply,
+        _q11_grouped,
+    )
+    def non_broadcast_exchanges(plan: str) -> list[str]:
+        tree = plan.split("\n\n")[0]
+        return [
+            ln.strip() for ln in tree.splitlines()
+            if "Exchange" in ln
+            and "Broadcast" not in ln
+            and "Reused" not in ln
+        ]
+
+    # Q2's visible join-back is a broadcast hash join on (part, cost);
+    # Q11's scalar threshold is a 1-ROW BroadcastNestedLoopJoin (a
+    # no-condition join against the global aggregate — the Q22 broadcast
+    # scalar shape, constant-size build side, never quadratic).
+    for name, join_node in (
+        ("rel_min_supplycost_q2", "BroadcastHashJoin"),
+        ("rel_value_share_q11", "BroadcastNestedLoopJoin"),
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_smoke))
+        tree = plan.split("\n\n")[0]
+        assert "SortMergeJoin" not in tree, name
+        assert "CartesianProduct" not in tree, name
+        assert join_node in tree, name
+        assert len(non_broadcast_exchanges(plan)) <= 1, (
+            name, non_broadcast_exchanges(plan)
+        )
+
+    # below-the-cut shapes
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    parts = (
+        load_table(spark, sf_smoke, "part")
+        .filter(F.col("p_size") == Q2_PART_SIZE)
+        .select("p_partkey")
+    )
+    region_supp = (
+        load_table(spark, sf_smoke, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_smoke, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_smoke, "region").filter(
+                            F.col("r_name") == Q2_REGION
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply_plan = formatted_plan(_q2_supply(li, parts, region_supp))
+    assert "EqualTo(p_size" in supply_plan  # pushed to the part scan
+    assert "partial_min" in supply_plan  # map-side combine
+    assert len(non_broadcast_exchanges(supply_plan)) == 1
+
+    band_supp = (
+        load_table(spark, sf_smoke, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_smoke, "nation").filter(
+                    F.col("n_name").startswith(Q11_NATION_PREFIX)
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    grouped_plan = formatted_plan(_q11_grouped(li, band_supp))
+    assert "partial_sum" in grouped_plan
+    assert "LeftSemi" in grouped_plan  # the band prune never widens rows
+    assert len(non_broadcast_exchanges(grouped_plan)) == 1

@@ -67,6 +67,15 @@ REL_QUERIES = [
     "rel_nested_semi_q20",
     "rel_volume_q7",
     "rel_mktshare_q8",
+    # round-12: Q2's correlated-min under NULL l_extendedprice (NULL
+    # costs skipped by MIN identically; a (part,supp) group whose every
+    # price is NULL yields a NULL cost that can never equal the per-part
+    # min) and dangling supplier keys (inner join to the region subset
+    # drops them); Q11's share-of-global threshold under NULL prices
+    # (both DECIMAL sums skip) and NULL part keys (grouped as their own
+    # key by BOTH engines' GROUP BY)
+    "rel_min_supplycost_q2",
+    "rel_value_share_q11",
 ]
 
 _STATUSES = ["F", "O", "P"]
