@@ -133,6 +133,15 @@ HEADLINE = [
     # join pipelines (no closed form), so the ratios price real work
     "rel_volume_q7",
     "rel_mktshare_q8",
+    # round-12: convergent-CC embed clusters — an honest HEAVY denominator
+    # (DuckDB's WITH RECURSIVE transitive closure materializes ~4M rows
+    # for the sf0.1 giant component, ~16 s) against the O(log d)
+    # doubling-round plan; Q2/Q11 are sub-second-denominator floor rows
+    # (single pruned fact aggregate both sides), steady-repped like the
+    # rest of that category
+    "ns_embed_dedup_cluster",
+    "rel_min_supplycost_q2",
+    "rel_value_share_q11",
 ]
 
 
@@ -306,8 +315,12 @@ def _compact_summary(
     base.pop("steady_ratio")
     line = json.dumps(base)
     while len(line) > max_bytes and base["ratio"]:
+        # drop ONE entry per pass — the smallest ratio — so the worst
+        # rows always survive truncation (ADVICE r11: the old
+        # drop-5-per-pass could empty the dict once ≤5 remained,
+        # contradicting the keep-the-largest intent)
         keep = sorted(base["ratio"], key=base["ratio"].get, reverse=True)[
-            : max(0, len(base["ratio"]) - 5)
+            : len(base["ratio"]) - 1
         ]
         base["ratio"] = {n: base["ratio"][n] for n in keep}
         base["ratio_kept_worst_n"] = len(keep)

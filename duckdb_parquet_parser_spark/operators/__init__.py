@@ -86,56 +86,41 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-11 rotation (VERDICT r10 #1). Head composition (45 of 50 slots,
+# Round-12 rotation (VERDICT r11 #1). Head composition (49 of 50 slots,
 # verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the FORTY-ONE r8-certified queries the r10 ledger forecast as
-# must-rotate (their certs aged to 2 rounds after the r10 driver run):
-# f1_page_report .. x1_tuple_to_chunk — the whole r8 block;
-# (2) SEVEN new round-11 queries, never certified, each in a NEW module
-# so the changed-module re-certification rule below does NOT drag the
-# 21 fresh r10 certifications of dedup.py / multimodal.py /
-# multimodal_synth.py (nor relational_sub.py's 7 r9 certs) back into
-# the window for pure compositions that only IMPORT them:
-#   - ns_mm_image_dedup_cluster / ns_mm_audio_dedup_cluster /
-#     ns_mm_video_dedup_cluster (multimodal_dedup.py — media near-dup
-#     pair graphs resolved through connected components +
-#     keep-best/min-id canonical across all three modalities, VERDICT
-#     r10 #2; the video graph is irregular, so its oracle reuses the
-#     unrolled label-propagation chain from dedup.py. An
-#     ns_embed_dedup_cluster was built and REVERTED: the fixture's
-#     embedding pair graph is a sparse chain that under-converges at
-#     CC_ROUNDS and collapses to one giant component at sf0.1 — see
-#     tests/test_multimodal_dedup.py
-#     test_embed_graph_is_not_fixed_round_clusterable);
-#   - ns_mm_ingest_parquet (media_landing.py — the ingest→parquet
-#     landing leg, VERDICT r10 #3);
-#   - rel_nested_semi_q20 (relational_q20.py — TPC-H Q20 shape,
-#     VERDICT r10 #8), plus rel_volume_q7 / rel_mktshare_q8 (same
-#     module — bilateral nation-pair volume and one-pass conditional
-#     market share, rounding out the TPC-H join-shape family).
-# 41 + 7 = 48; two free slots remain as buffer.
+# (1) the THIRTY-SEVEN r9-certified queries the r11 ledger forecast as
+# must-rotate (their certs aged to 2 rounds after the r11 driver run):
+# udf_scalar_pandas .. stream_tumbling — the whole r9 block;
+# (2) multimodal_synth.py's EIGHT queries + media_landing.py's
+# ns_mm_ingest_parquet: both modules' executable code changed this round
+# (the crashed-staging-temp-leak fix and the cache-lifecycle
+# consolidation into cache.py — VERDICT r11 wrongs #1/#2), so the
+# re-certification rule below puts their nine queries back in the
+# window (budgeted by the verdict: 37 + 8 = 45 ≤ 50);
+# (3) THREE new round-12 queries, never certified, each in a NEW module
+# so untouched certified modules stay parked:
+#   - ns_embed_dedup_cluster (embed_cluster.py — iterate-to-convergence
+#     connected components over the embed cosine pair graph against a
+#     WITH RECURSIVE fixpoint oracle, VERDICT r11 missing #1; the
+#     round-11 fixed-round dead end stays pinned in
+#     tests/test_multimodal_dedup.py);
+#   - rel_min_supplycost_q2 / rel_value_share_q11 (relational_q2.py —
+#     TPC-H Q2's correlated regional minimum and Q11's share-of-global
+#     threshold, VERDICT r11 missing #3).
+# 37 + 9 + 3 = 49; one free slot remains as buffer.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
 # docstring-only edits do not count.
 #
-# Parked below: the 50 r10-certified queries (fresh), then the 37
-# r9-certified queries whose certs age to 2 rounds after the r11 run —
-# they MUST lead the round-12 window; the generated ledger's forecast
-# names them. Trust the ledger over this prose if they ever disagree.
+# Parked below: the 40 queries whose latest cert is r10 (they age to 2
+# rounds after the r12 run — they MUST lead the round-13 window; the
+# generated ledger's forecast names them), then the 49 r11-certified.
+# Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r10-certified (50) — fresh, parked; rotate r12/r13
-    "ns_mm_meta",
-    "ns_mm_features",
+    # r10-certified (40) — age to 2 rounds after the r12 run:
+    # they MUST lead the round-13 window (ledger forecast)
     "ns_mm_framesample",
-    "ns_mm_ingest",
-    "ns_mm_image_features",
-    "ns_mm_image_neardup",
-    "ns_mm_audio_features",
-    "ns_mm_audio_fingerprint",
-    "ns_mm_audio_neardup",
-    "ns_mm_video_framehashes",
-    "ns_mm_video_neardup",
     "udf_grouped_agg",
     "ns_tfidf_topterms",
     "ns_contamination",
@@ -175,43 +160,54 @@ ROTATION_TAIL = [
     "rel_scalar_funcs",
     "rel_case_expr",
     "stream_sliding",
-    # r9-certified (37) — certs age to 2 rounds after the r11 run:
-    # they MUST lead the round-12 window (ledger forecast)
-    "udf_scalar_pandas",
-    "w1_roundtrip",
-    "w1_roundtrip_zstd",
-    "w2_dict_decision",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_partitioned_read",
-    "f1_clustered_prune",
-    "w_zorder_prune",
-    "r1_rowgroup_meta",
-    "r6_chunk_values",
-    "r8_page_index",
-    "streaming_tumbling_rt",
-    "streaming_enrich",
-    "ns_heavy_hitters_cms",
-    "rel_agg_q1",
-    "rel_join_q3",
-    "rel_merge_upsert",
-    "rel_join_q5",
-    "rel_window_rank",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_window_lag",
-    "rel_subquery",
-    "rel_percentiles",
-    "rel_exists_q4",
-    "rel_corr_scalar_q17",
-    "rel_group_in_q18",
-    "rel_multi_exists_q21",
-    "rel_window_range_time",
-    "rel_outer_hist_q13",
-    "rel_anti_avg_q22",
-    "ns_dupgram_profile",
-    "ns_shared_ngrams",
-    "ns_common_token_ratio",
-    "ns_quality_logit",
-    "stream_tumbling",
+    # r11-certified (49) — fresh, parked; rotate r13/r14
+    "ns_mm_image_dedup_cluster",
+    "ns_mm_audio_dedup_cluster",
+    "ns_mm_video_dedup_cluster",
+    "rel_nested_semi_q20",
+    "rel_volume_q7",
+    "rel_mktshare_q8",
+    "udf_table_function",
+    "w4_pywriter_roundtrip",
+    "src_csv_roundtrip",
+    "f1_regex_manifest",
+    "src_bucketed_join",
+    "r7_chunk_bytes",
+    "r6_fleet_audit",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_session_stateful",
+    "ns_pipeline_curate",
+    "ns_sample_stratified",
+    "ns_text_tokens",
+    "ns_text_quality",
+    "ns_text_langid",
+    "ns_text_fingerprint",
+    "ns_text_rollhash",
+    "ns_text_redact",
+    "ns_text_repetition",
+    "ns_quantile_sketch",
+    "ns_vocab_topk",
+    "ns_seq_pack",
+    "ns_mixture_weights",
+    "ns_doclen_histogram",
+    "ns_approx_distinct_hll",
+    "r10_positional_stream",
+    "r10_file_order",
+    "x1_chunk_index",
+    "x1_tuple_to_chunk",
+    "x1_chunk_greedy",
+    "r4_rowgroup_scan",
+    "f1_page_report",
+    "ns_knn_bruteforce",
+    "ns_ann_lsh_buckets",
+    "ns_ann_ivf_topk",
+    "ns_kmeans_embed",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
+    "rel_outer_join",
+    "rel_pivot",
+    "stream_session",
+    "ns_mm_meta",
+    "ns_mm_features",
 ]

@@ -116,6 +116,24 @@ def main() -> int:
     for row in table:
         print(" | ".join(row))
 
+    # Denominator-spread summary (VERDICT r11 perf watch item): the
+    # components cold ratio swung 1.03→1.94 across same-day runs because
+    # the DUCKDB side moved, not the plan — surface min/median/max of
+    # the interleaved denominators and the ratio against the MEDIAN so a
+    # one-sample denominator can never own the headline number.
+    import statistics
+
+    for i, n in enumerate(args.rows):
+        sparks = [float(r[1 + 2 * i]) for r in table]
+        ducks = [float(r[2 + 2 * i]) for r in table]
+        med = statistics.median(ducks)
+        print(
+            f"summary {n}: spark min/med {min(sparks)}/"
+            f"{round(statistics.median(sparks), 3)} | duck min/med/max "
+            f"{min(ducks)}/{round(med, 3)}/{max(ducks)} | "
+            f"ratio_vs_median_denom {round(min(sparks) / med, 2)}"
+        )
+
     for n in args.rows:
         print(f"jobs {n}: {_job_count(spark, queries[n], args.sf, n)}")
 
