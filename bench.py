@@ -142,6 +142,7 @@ HEADLINE = [
     "ns_embed_dedup_cluster",
     "rel_min_supplycost_q2",
     "rel_value_share_q11",
+    "rel_supplier_cnt_q16",
 ]
 
 

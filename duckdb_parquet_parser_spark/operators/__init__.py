@@ -86,7 +86,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-12 rotation (VERDICT r11 #1). Head composition (49 of 50 slots,
+# Round-12 rotation (VERDICT r11 #1). Head composition (50 of 50 slots,
 # verified against the generated ledger — scripts/cert_ledger.py):
 # (1) the THIRTY-SEVEN r9-certified queries the r11 ledger forecast as
 # must-rotate (their certs aged to 2 rounds after the r11 driver run):
@@ -104,10 +104,12 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 #     WITH RECURSIVE fixpoint oracle, VERDICT r11 missing #1; the
 #     round-11 fixed-round dead end stays pinned in
 #     tests/test_multimodal_dedup.py);
-#   - rel_min_supplycost_q2 / rel_value_share_q11 (relational_q2.py —
-#     TPC-H Q2's correlated regional minimum and Q11's share-of-global
-#     threshold, VERDICT r11 missing #3).
-# 37 + 9 + 3 = 49; one free slot remains as buffer.
+#   - rel_min_supplycost_q2 / rel_value_share_q11 /
+#     rel_supplier_cnt_q16 (relational_q2.py — TPC-H Q2's correlated
+#     regional minimum, Q11's share-of-global threshold (VERDICT r11
+#     missing #3), and Q16's distinct-supplier count under a broadcast
+#     anti-join exclusion).
+# 37 + 9 + 4 = 50; the window is exactly full.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;

@@ -196,9 +196,57 @@ def q_rel_value_share_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q16_EXCL_BRAND = "Brand#11"
+Q16_EXCL_TYPE_PREFIX = "PROMO"
+Q16_SIZES = (1, 4, 9, 15, 23, 36, 45, 49)
+
+
+def q_rel_supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: per (brand, type, size) of
+    the negatively-filtered part family, how many DISTINCT suppliers
+    ship it — excluding flagged suppliers (negative balance, the
+    fixture's stand-in for Q16's complaint-comment scan). The exclusion
+    is a broadcast LEFT ANTI join; the oracle spells the same semantics
+    as NOT EXISTS (not the spec's NOT IN: under the randomized NULL-key
+    fixtures NOT IN's three-valued logic empties the result when the
+    subquery holds a NULL, while anti-join/NOT EXISTS keep unmatched
+    rows — the two engines must agree on ONE semantics, documented
+    here). The distinct aggregate is Spark's standard two-phase plan:
+    partial dedup on (group keys, suppkey), exchange, count — the only
+    fact-table exchanges, both on the pre-aggregated frame."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & ~F.col("p_type").startswith(Q16_EXCL_TYPE_PREFIX)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 QUERIES = {
     "rel_min_supplycost_q2": q_rel_min_supplycost_q2,
     "rel_value_share_q11": q_rel_value_share_q11,
+    "rel_supplier_cnt_q16": q_rel_supplier_cnt_q16,
 }
 
 ORACLES = {
@@ -244,5 +292,21 @@ ORACLES = {
         FROM v
         WHERE val * (SELECT count(*) FROM v) * {Q11_THRESH_DEN}
               > {Q11_THRESH_NUM} * (SELECT sum(val) FROM v)
+    """,
+    # NOT EXISTS, not NOT IN — anti-join semantics on NULL keys (see the
+    # query docstring); sizes list interpolated from the one constant.
+    "rel_supplier_cnt_q16": f"""
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> '{Q16_EXCL_BRAND}'
+          AND p_type NOT LIKE '{Q16_EXCL_TYPE_PREFIX}%'
+          AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+          AND NOT EXISTS (
+              SELECT 1 FROM supplier
+              WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
     """,
 }

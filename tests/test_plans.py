@@ -677,3 +677,15 @@ def test_q2_q11_single_fact_exchange_and_pushdown(spark, sf_smoke):
     assert "partial_sum" in grouped_plan
     assert "LeftSemi" in grouped_plan  # the band prune never widens rows
     assert len(non_broadcast_exchanges(grouped_plan)) == 1
+
+    # Q16: broadcast dim + broadcast LEFT ANTI exclusion; the distinct
+    # aggregate's two-phase plan owns the only (≤2) fact exchanges, both
+    # over the pre-aggregated (group keys, suppkey) frame
+    q16_plan = formatted_plan(QUERIES["rel_supplier_cnt_q16"](spark, sf_smoke))
+    q16_tree = q16_plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in q16_tree
+    assert "BroadcastHashJoin" in q16_tree and "LeftAnti" in q16_tree
+    assert "In(p_size" in q16_plan  # size set pushed to the part scan
+    assert len(non_broadcast_exchanges(q16_plan)) <= 2, (
+        non_broadcast_exchanges(q16_plan)
+    )

@@ -76,6 +76,11 @@ REL_QUERIES = [
     # key by BOTH engines' GROUP BY)
     "rel_min_supplycost_q2",
     "rel_value_share_q11",
+    # Q16's distinct-supplier count under an anti-join exclusion: the
+    # oracle deliberately uses NOT EXISTS (= left-anti semantics) so
+    # NULL supplier keys survive identically in both engines; NULL
+    # group keys collapse into their own group in both
+    "rel_supplier_cnt_q16",
 ]
 
 _STATUSES = ["F", "O", "P"]
