@@ -207,3 +207,47 @@ def test_video_cluster_keep_is_min_id(spark, sf_smoke):
         keepers = [m for m in members if m.keep]
         assert len(keepers) == 1 and keepers[0].doc_id == comp
         assert all(m.cluster_size == len(members) for m in members)
+
+
+def test_converged_cc_matches_union_find_on_random_graphs(spark):
+    """The convergent variant against an exact union-find on SEEDED
+    RANDOM graphs — unlike the fixed-round test (test_dedup_scale.py),
+    no rounds budget is supplied at all: convergence itself must find
+    the right stopping point on every shape (paths glued to cliques,
+    stars, sparse noise), and the probe must never stop early."""
+    import random
+
+    from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+        connected_components_converged,
+    )
+
+    def exact(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        edges = [(rng.randrange(70), rng.randrange(70)) for _ in range(50)]
+        # glue a path onto a clique so diameter and density coexist
+        edges += [(100 + i, 101 + i) for i in range(25)]
+        edges += [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]
+        edges += [(125, 200)]  # path end → clique: one long component
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = exact(edges, nodes)
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        comp, rounds = connected_components_converged(df)
+        got = {r["doc"]: r["component"] for r in comp.collect()}
+        assert got == want, seed
+        assert rounds <= 12, (seed, rounds)

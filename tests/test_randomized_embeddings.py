@@ -25,6 +25,12 @@ SIM_QUERIES = [
     "ns_ann_lsh_buckets",
     "ns_ann_ivf_topk",
     "ns_kmeans_embed",
+    # round-12: convergent-CC clusters over the near-dup pair graph —
+    # random fixtures produce exact-duplicate CLIQUES (cos 1.0 ties) and
+    # chain fragments; the WITH RECURSIVE oracle converges independently
+    # of the query's doubling rounds, so this differential actually
+    # checks fixpoint-vs-fixpoint on arbitrary graph shapes
+    "ns_embed_dedup_cluster",
 ]
 
 DIM = 64
