@@ -91,13 +91,21 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (1) the THIRTY-SEVEN r9-certified queries the r11 ledger forecast as
 # must-rotate (their certs aged to 2 rounds after the r11 driver run):
 # udf_scalar_pandas .. stream_tumbling — the whole r9 block;
-# (2) multimodal_synth.py's EIGHT queries + media_landing.py's
-# ns_mm_ingest_parquet: both modules' executable code changed this round
+# (2) NINE re-certifications: multimodal_synth.py's eight queries +
+# media_landing.py's ns_mm_ingest_parquet. The changed lifecycle code
 # (the crashed-staging-temp-leak fix and the cache-lifecycle
-# consolidation into cache.py — VERDICT r11 wrongs #1/#2), so the
-# re-certification rule below puts their nine queries back in the
-# window (budgeted by the verdict: 37 + 8 = 45 ≤ 50);
-# (3) THREE new round-12 queries, never certified, each in a NEW module
+# consolidation into cache.py — VERDICT r11 wrongs #1/#2) sits ON THE
+# EXECUTION PATH of exactly these nine queries (_media_dir /
+# stage_media_dir / _landing_dir / land_media_parquet), so the
+# QUERY-granular rule below pulls them back in (the verdict budgeted
+# the eight: 37 + 8 = 45 ≤ 50). Contrast multimodal_dedup.py: its
+# connected_components_converged was also rewritten this round, but NO
+# certified query calls it — its only consumer is the new
+# ns_embed_dedup_cluster — so the module's three r11-certified cluster
+# queries (which run dedup.py's fixed-round pipeline) correctly stay
+# parked; the rule is about a query's executable path, not about which
+# file was touched;
+# (3) FOUR new round-12 queries, never certified, each in a NEW module
 # so untouched certified modules stay parked:
 #   - ns_embed_dedup_cluster (embed_cluster.py — iterate-to-convergence
 #     connected components over the embed cosine pair graph against a

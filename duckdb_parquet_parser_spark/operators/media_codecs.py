@@ -66,12 +66,14 @@ def unregister_codec(magic: bytes) -> None:
     _CODECS.pop(bytes(magic), None)
 
 
-def _decode_with(codecs, payload: bytes):
+def _decode_with(ordered_codecs, payload: bytes):
     # longest-prefix match: a 4-byte container signature must beat a
-    # 2-byte generic one when both claim the payload
-    for magic in sorted(codecs, key=len, reverse=True):
+    # 2-byte generic one when both claim the payload. The caller hands
+    # the magics PRE-SORTED — sorting per payload would be per-row
+    # overhead in the mapInPandas hot loop (code review r12).
+    for magic, fn in ordered_codecs:
         if payload[: len(magic)] == magic:
-            return codecs[magic](payload), "plugin"
+            return fn(payload), "plugin"
     img = decode_image(payload)
     return img, ("ppm" if payload[:2] == b"P6" else "bmp")
 
@@ -84,14 +86,17 @@ def extract_image_features_via(df: DataFrame) -> DataFrame:
     path (dims, channel means, 64-bit aHash) as the built-ins."""
     import pandas as pd
 
-    codecs = dict(_CODECS)  # snapshot: the plan ships what was registered
+    # snapshot: the plan ships what was registered, longest magic first
+    ordered_codecs = sorted(
+        _CODECS.items(), key=lambda kv: len(kv[0]), reverse=True
+    )
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
-                    img, fmt = _decode_with(codecs, bytes(payload))
+                    img, fmt = _decode_with(ordered_codecs, bytes(payload))
                     means = img.reshape(-1, 3).mean(axis=0)
                     ah = average_hash(img)
                     ah = ah - (1 << 64) if ah >= (1 << 63) else ah

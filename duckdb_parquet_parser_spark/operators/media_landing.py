@@ -43,7 +43,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import (
-    GRACE_SECONDS as _LANDING_GRACE_SECONDS,
     MARKER_NAME as _LANDING_MARKER,
     content_tags,
     per_user_cache_dir,

@@ -132,7 +132,12 @@ def connected_components_converged(
         eager=True,
     )
     labels: DataFrame | None = None
-    label_sum = None
+    # Sentinel, NOT None: F.sum over an EMPTY label frame is NULL/None,
+    # and a zero-edge graph must converge on its (empty) second block —
+    # None-as-"no previous sum" would make None == None unreachable and
+    # burn all max_rounds before raising (code review r12).
+    _unset = object()
+    label_sum: object = _unset
     rounds_done = 0
     while rounds_done < max_rounds:
         block = min(probe_every, max_rounds - rounds_done)
@@ -162,7 +167,7 @@ def connected_components_converged(
             nxt.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
             .first()["s"]
         )
-        if label_sum is not None and nxt_sum == label_sum:
+        if label_sum is not _unset and nxt_sum == label_sum:
             return (
                 nxt.select("doc", F.col("label").alias("component")),
                 rounds_done,

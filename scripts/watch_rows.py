@@ -127,11 +127,14 @@ def main() -> int:
         sparks = [float(r[1 + 2 * i]) for r in table]
         ducks = [float(r[2 + 2 * i]) for r in table]
         med = statistics.median(ducks)
+        # a sub-millisecond oracle rounds to 0.0 — report the ratio as
+        # unboundable instead of dividing by zero
+        ratio = round(min(sparks) / med, 2) if med > 0 else "inf(denom~0)"
         print(
             f"summary {n}: spark min/med {min(sparks)}/"
             f"{round(statistics.median(sparks), 3)} | duck min/med/max "
             f"{min(ducks)}/{round(med, 3)}/{max(ducks)} | "
-            f"ratio_vs_median_denom {round(min(sparks) / med, 2)}"
+            f"ratio_vs_median_denom {ratio}"
         )
 
     for n in args.rows:

@@ -251,3 +251,20 @@ def test_converged_cc_matches_union_find_on_random_graphs(spark):
         got = {r["doc"]: r["component"] for r in comp.collect()}
         assert got == want, seed
         assert rounds <= 12, (seed, rounds)
+
+
+def test_converged_cc_empty_edge_set(spark):
+    """Zero near-dup pairs is a legitimate corpus state (a clean random
+    seed, a threshold above the similarity ceiling): the convergent CC
+    must return an EMPTY labeling after its second (empty) block, not
+    burn max_rounds and raise — F.sum over an empty frame is NULL, which
+    the sentinel-based probe must treat as a comparable value (code
+    review r12)."""
+    from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+        connected_components_converged,
+    )
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    comp, rounds = connected_components_converged(empty)
+    assert comp.count() == 0
+    assert rounds <= 4, rounds  # two blocks, not the 64-round runaway
