@@ -41,6 +41,11 @@ QUERIES = [
     # is job-floor-bound, so expect partial, not linear, scaling
     "ns_mm_image_dedup_cluster",
     "ns_mm_video_dedup_cluster",
+    # round-12: convergent-CC embed clusters — the pair stage
+    # (applyInPandas per IVF cell) is the data-parallel leg; the blocked
+    # CC rounds are exchange-parallel with a per-block probe job, so
+    # expect partial scaling with a floor like the media clusters
+    "ns_embed_dedup_cluster",
 ]
 
 _CHILD = r"""
