@@ -1,0 +1,154 @@
+"""Round-13 PENDING queries — built and differentially tested in round
+12, deliberately NOT registered in ``operators/__init__.py``: the
+round-12 certification window is exactly full (50/50), and registering
+another head query would push a must-rotate (``stream_tumbling``) out of
+the driver's first-50. Round 13 moves these dicts into the contract
+(merge ``QUERIES_PENDING``/``ORACLES_PENDING`` into a registered module
+or import this one) — their differential already runs every round via
+tests/test_pending_r13.py, so registration is a rename, not new risk.
+
+- ``ns_source_cap`` — per-SOURCE quality-capped sampling, the curation
+  step between scoring and training-mix assembly: for every provenance
+  bucket (the ``documents.source`` column), rank docs by the certified
+  quality logit (``ns_quality_logit``'s integer score, reused verbatim
+  so the gates can never disagree) with doc_id tiebreak, and keep the
+  top ``SOURCE_CAP``. Real pipelines cap per-domain/per-crawl exactly
+  like this to stop one megasite from dominating the mixture. Scale
+  shape: ONE hash exchange on ``source`` feeding a rank window; with
+  skewed sources the window is the standard two-phase cap (per-partition
+  pre-top-K then final) — at the fixture's 20 uniform sources the plain
+  window is the right plan, and the per-row score is a zero-shuffle
+  projection.
+- ``rel_top_supplier_q15`` — TPC-H Q15's top-revenue-supplier shape:
+  per-supplier revenue over a ship-date quarter, keeping every supplier
+  whose revenue EQUALS the global maximum (ties kept, per spec). The
+  global max is a 1-row broadcast off the same checkpointed aggregate
+  (the Q11/Q22 broadcast-scalar discipline); revenue compares as exact
+  DECIMAL — equality against a max is only sound because both engines
+  sum the same decimals with no float rounding.
+
+Reference analog: none (reference has no relational/curation surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import DEC
+from ..session import checkpoint_df
+from .ngram_stats import (
+    LOGIT_BIAS,
+    LOGIT_W_CHARS,
+    LOGIT_W_DISTINCT,
+    LOGIT_W_TOKENS,
+    q_ns_quality_logit,
+)
+
+SOURCE_CAP = 10
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_ns_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop decisions: rank by quality logit (desc),
+    doc_id tiebreak, keep the top SOURCE_CAP of each source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .withColumn("src_rank", F.row_number().over(w).cast("int"))
+        .select(
+            "doc_id",
+            "source",
+            "logit_micro",
+            "src_rank",
+            (F.col("src_rank") <= SOURCE_CAP).alias("kept"),
+        )
+    )
+
+
+def q_rel_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers achieving the quarter's maximum revenue (ties kept):
+    one fact exchange (the per-supplier aggregate, checkpointed for its
+    two consumers), global max as a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_HI).cast("timestamp"))
+    )
+    revenue = checkpoint_df(
+        li.groupBy("l_suppkey").agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            ).alias("total_revenue")
+        ),
+        eager=True,
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey"),
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+QUERIES_PENDING = {
+    "ns_source_cap": q_ns_source_cap,
+    "rel_top_supplier_q15": q_rel_top_supplier_q15,
+}
+
+_LOGIT_SQL = (
+    f"{LOGIT_BIAS} + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}"
+    f" + len(list_distinct(string_split(text, ' '))) * {LOGIT_W_DISTINCT}"
+    f" + length(text) * {LOGIT_W_CHARS}"
+)
+
+ORACLES_PENDING = {
+    "ns_source_cap": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CAST({_LOGIT_SQL} AS BIGINT) AS logit_micro
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, source, logit_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY logit_micro DESC, doc_id
+               ) AS INT) AS src_rank,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY logit_micro DESC, doc_id
+               ) <= {SOURCE_CAP} AS kept
+        FROM scored
+    """,
+    "rel_top_supplier_q15": f"""
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+              AND l_shipdate < TIMESTAMP '{Q15_HI}'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+}
