@@ -107,9 +107,94 @@ def q_rel_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q10_LO, Q10_HI = "1996-01-01", "1996-04-01"
+Q10_TOP = 20
+
+
+def q_rel_returned_top_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10's returned-item shape: revenue a customer generated in
+    RETURNED lineitems ('R' flag) for orders placed in the quarter — the
+    'who is returning the most value' report — top ``Q10_TOP`` with
+    customer/nation attributes. Ordering ties break on custkey so the
+    top-K SET is deterministic in both engines (the revenue compare is
+    exact DECIMAL; only the output casts to double). Plan: returnflag
+    pushed into the lineitem scan, order window pushed into orders, one
+    orderkey exchange, customer/nation broadcast, TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    DEC
+                )
+            ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_ns_source_droprate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup DROP RATE — curation telemetry: which
+    provenance buckets are dirtiest. Composes the certified
+    ``ns_dedup_components`` keep/drop decisions (SimHash pair graph →
+    CC → min-id keep) with the documents dimension: per source, total
+    docs, docs the dedup policy drops, and the cross-multiplied-safe
+    rate in basis points (integer — no float division drift). Docs that
+    appear in NO near-dup pair have no components row and are KEPT
+    (coalesce, left join)."""
+    from .dedup import q_ns_dedup_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = q_ns_dedup_components(spark, sf_dir).select("doc_id", "keep")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.coalesce(F.col("keep"), F.lit(True)), 0).otherwise(1)
+            ).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            # integer floor division on BOTH sides (Spark `div`, DuckDB
+            # `//`): float division + cast would truncate in Spark but
+            # ROUND in DuckDB's CAST — an off-by-one waiting for a ratio
+            # that lands on .5
+            F.expr("(n_dropped * 10000) div n_docs").alias("drop_bps"),
+        )
+    )
+
+
 QUERIES_PENDING = {
     "ns_source_cap": q_ns_source_cap,
     "rel_top_supplier_q15": q_rel_top_supplier_q15,
+    "rel_returned_top_q10": q_rel_returned_top_q10,
+    "ns_source_droprate": q_ns_source_droprate,
 }
 
 _LOGIT_SQL = (
@@ -151,4 +236,44 @@ ORACLES_PENDING = {
         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
+    "rel_returned_top_q10": f"""
+        WITH rev AS (
+            SELECT o_custkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,6))) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '{Q10_LO}'
+              AND o_orderdate < TIMESTAMP '{Q10_HI}'
+            GROUP BY 1
+        )
+        SELECT c_custkey, c_name, n_name,
+               CAST(revenue AS DOUBLE) AS revenue
+        FROM rev
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY rev.revenue DESC, c_custkey
+        LIMIT {Q10_TOP}
+    """,
 }
+
+# The drop-rate oracle wraps the FULL certified components oracle (the
+# unrolled min-label chain) as a CTE — imported, not copied, so the two
+# can never drift — then aggregates keep/drop per provenance bucket.
+from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
+
+ORACLES_PENDING["ns_source_droprate"] = f"""
+    WITH comp AS (
+        {_DEDUP_ORACLES["ns_dedup_components"]}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN coalesce(c.keep, TRUE) THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_dropped,
+           (CAST(sum(CASE WHEN coalesce(c.keep, TRUE) THEN 0 ELSE 1 END)
+                 AS BIGINT) * 10000) // CAST(count(*) AS BIGINT)
+               AS drop_bps
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY 1
+"""
