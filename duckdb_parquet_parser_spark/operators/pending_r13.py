@@ -277,3 +277,47 @@ ORACLES_PENDING["ns_source_droprate"] = f"""
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
     GROUP BY 1
 """
+
+
+SOURCE_CAP_SALTS = 32
+
+
+def per_source_keepers(df: DataFrame, k: int = SOURCE_CAP) -> DataFrame:
+    """Skew-safe KEPT-ONLY variant of the per-source cap for 100 TB.
+
+    ``q_ns_source_cap``'s output contract (a rank for EVERY doc) forces
+    one full sort per source — fine at the fixture's uniform 20 sources,
+    but a megasource (half the crawl from one domain) lands on a single
+    window task. When the pipeline only needs the KEEPERS, the cap is a
+    salted two-phase top-K: (1) local row_number within
+    (source, doc_id mod SALTS) keeps ≤ k per bucket — any row with ≥ k
+    better rows in its OWN bucket has ≥ k better rows in its source, so
+    its global rank exceeds k and it can never be a keeper; (2) the
+    global re-rank runs over ≤ k × SALTS candidate rows per source.
+    Dropping non-candidates cannot change the survivors' relative order,
+    so ranks 1..k are IDENTICAL to the full-window variant's (equivalence
+    pinned in tests/test_pending_r13.py).
+
+    Input: (doc_id, source, logit_micro); output: the ≤ k keepers per
+    source with their exact ``src_rank``.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("doc_id"), F.lit(SOURCE_CAP_SALTS))
+    )
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cands = (
+        salted.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_salt", "_lr")
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    return (
+        cands.withColumn(
+            "src_rank", F.row_number().over(w_global).cast("int")
+        )
+        .filter(F.col("src_rank") <= k)
+    )

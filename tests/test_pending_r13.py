@@ -48,3 +48,43 @@ def test_source_cap_structure(spark, sf_smoke):
         assert {r["src_rank"] for r in kept} == set(
             range(1, len(kept) + 1)
         ), src
+
+
+def test_skew_safe_keepers_equivalent_to_window_variant(spark, sf_smoke):
+    """The salted two-phase cap must return EXACTLY the full-window
+    variant's keepers with identical ranks — the docstring's pruning
+    argument (a row beaten k times in its own salt bucket can't be a
+    global keeper), checked end-to-end."""
+    from duckdb_parquet_parser_spark.operators.pending_r13 import (
+        per_source_keepers,
+    )
+
+    full = q_ns_source_cap(spark, sf_smoke)
+    want = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in full.filter("kept").collect()
+    }
+    base = full.select("doc_id", "source", "logit_micro")
+    got = {
+        (r["doc_id"], r["source"], r["src_rank"])
+        for r in per_source_keepers(base, SOURCE_CAP).collect()
+    }
+    assert got == want
+    # and on a deliberately skewed frame: one megasource, salts do work
+    import pyspark.sql.functions as F
+
+    skewed = base.withColumn(
+        "source", F.when(F.col("doc_id") % 5 != 0, "mega").otherwise("rest")
+    )
+    w = {
+        (r["doc_id"], r["src_rank"])
+        for r in per_source_keepers(skewed, 7).collect()
+        if r["source"] == "mega"
+    }
+    # exact reference: sort driver-side
+    rows = sorted(
+        ((r["logit_micro"], r["doc_id"]) for r in skewed.filter(
+            "source = 'mega'").collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:7]
+    assert w == {(doc, i + 1) for i, (_, doc) in enumerate(rows)}
