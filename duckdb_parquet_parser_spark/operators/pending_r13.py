@@ -26,6 +26,18 @@ tests/test_pending_r13.py, so registration is a rename, not new risk.
   (the Q11/Q22 broadcast-scalar discipline); revenue compares as exact
   DECIMAL — equality against a max is only sound because both engines
   sum the same decimals with no float rounding.
+- ``rel_returned_top_q10`` — TPC-H Q10's returned-item revenue report,
+  deterministic top-20 (exact-DECIMAL ordering, custkey tiebreak).
+- ``ns_source_droprate`` — per-provenance near-dup drop rate in basis
+  points: the certified ``ns_dedup_components`` keep/drop decisions
+  joined back to the documents dimension; the oracle WRAPS the imported
+  components oracle as a CTE so the two can never drift. Integer floor
+  division on both sides (Spark ``div``, DuckDB ``//``) — Spark's
+  double→long cast truncates where DuckDB's CAST rounds.
+
+``per_source_keepers`` (bottom) is the 100 TB skew-safe variant of the
+cap for pipelines that only need the keepers — salted local top-K, then
+a global re-rank over ≤ k × SALTS candidates per source.
 
 Reference analog: none (reference has no relational/curation surface).
 """
