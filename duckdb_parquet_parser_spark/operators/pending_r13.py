@@ -333,3 +333,64 @@ def per_source_keepers(df: DataFrame, k: int = SOURCE_CAP) -> DataFrame:
         )
         .filter(F.col("src_rank") <= k)
     )
+
+
+def q_ns_dedup_components_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEXT dedup clusters on iterate-to-convergence CC — the convergent
+    sibling of the certified ``ns_dedup_components`` (which runs a FIXED
+    CC_ROUNDS budget sized to near-clique SimHash graphs and holds a
+    fixpoint-margin guard). A real scraped corpus can produce chained
+    near-dups whose diameter exceeds any fixed budget — the round-11
+    embed-graph dead end proved both that this happens and that an
+    unrolled oracle can't see it. Same output contract as
+    ``ns_dedup_components``: (doc_id, component, cluster_size, keep).
+
+    Oracle note for registration: the ``WITH RECURSIVE`` closure is
+    O(Σ component²) — fine at the driver's sf0.01 gate (largest fixture
+    cluster 408 docs, closure ≈ 166 K rows), but it must join
+    ``bench.ORACLE_SKIP_AT_BENCH_SF`` if benched: at sf0.1 the closure
+    is the >10-minute case the unrolled-chain oracle was built to avoid
+    (BENCH_NOTES round 4)."""
+    from .dedup import _simhash_pairs_materialized
+    from .multimodal_dedup import connected_components_converged
+
+    pairs = _simhash_pairs_materialized(spark, sf_dir)
+    comp, _rounds = connected_components_converged(pairs)
+    w_size = Window.partitionBy("component")
+    return comp.select(
+        F.col("doc").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(w_size).cast("long").alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+
+
+QUERIES_PENDING["ns_dedup_components_converged"] = (
+    q_ns_dedup_components_converged
+)
+
+from .dedup import ORACLES as _DEDUP_ORACLES2  # noqa: E402,F811
+
+ORACLES_PENDING["ns_dedup_components_converged"] = f"""
+    WITH RECURSIVE pairs AS (
+        {_DEDUP_ORACLES2["ns_dedup_simhash_pairs"]}
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach (doc_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ), comp AS (
+        SELECT doc_id, min(label) AS component FROM reach GROUP BY 1
+    ), sizes AS (
+        SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT c.doc_id, c.component,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           c.doc_id = c.component AS keep
+    FROM comp c JOIN sizes s ON s.component = c.component
+"""
