@@ -121,9 +121,11 @@ def main() -> int:
     # the DUCKDB side moved, not the plan — surface min/median/max of
     # the interleaved denominators and the ratio against the MEDIAN so a
     # one-sample denominator can never own the headline number.
+    # --reps 0 (job-counts/weak-scaling only) leaves the table empty:
+    # skip the summary instead of min()-ing an empty sequence (ADVICE r12)
     import statistics
 
-    for i, n in enumerate(args.rows):
+    for i, n in enumerate(args.rows if table else []):
         sparks = [float(r[1 + 2 * i]) for r in table]
         ducks = [float(r[2 + 2 * i]) for r in table]
         med = statistics.median(ducks)
