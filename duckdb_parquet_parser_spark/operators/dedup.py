@@ -839,6 +839,12 @@ CC_ROUNDS = 4  # doubling rounds; covers component diameter ≥ 2^4 (test-
 
 CC_CHECKPOINT_EVERY = 2  # lineage-cut cadence, see connected_components
 
+# Convergent-CC runaway guard for the text queries: doubling covers
+# diameter ~2^rounds, and the SimHash fixtures converge in ONE
+# CC_ROUNDS-sized block — 16 rounds (4 blocks) is a pathological-graph
+# ceiling, not a tuning knob (the RuntimeError names the real causes).
+TEXT_CC_MAX_ROUNDS = 16
+
 
 def connected_components(
     edges: DataFrame,
@@ -849,7 +855,19 @@ def connected_components(
     final_doubling: bool = True,
 ) -> DataFrame:
     """(doc, component): connected components of an undirected pair graph,
-    component id = min doc_id in the component.
+    component id = min doc_id in the component. FIXED-ROUND FAST PATH —
+    demoted round 13 (VERDICT r12 #3): the certified text and embedding
+    queries run ``connected_components_converged`` below; this variant is
+    for callers with a VERIFIED diameter bound and a guard. It is only
+    correct when ``rounds`` covers the graph's diameter, and it cannot
+    tell you when that stops being true — every remaining consumer must
+    pin a fixpoint-margin test on its own graph family (the media cluster
+    pipelines do: their class-clique / frame-match graphs have
+    closed-form diameter ≤ 3, tests/test_multimodal_dedup.py margins,
+    plus the converged-vs-fast-path equality check in
+    tests/test_dedup_scale.py). Do NOT point it at an unknown-shape graph
+    — that is the round-11 dead end (both the query AND an unrolled
+    oracle under-converge identically; parity cannot see it).
 
     Algorithm: synchronous min-label propagation with pointer doubling —
     each round every node takes the min label over {self} ∪ neighbors
@@ -857,13 +875,10 @@ def connected_components(
     then one label-of-label join halves the remaining path length (the
     classic Shiloach-Vishkin / MapReduce-CC trick; see "Connected
     Components in MapReduce and Beyond"). A FIXED round count replaces the
-    per-round convergence count: doubling covers diameter ~2^rounds, LSH
-    duplicate graphs are near-cliques (diameter ≤ 3 in practice), and each
-    convergence check was a whole extra job per round — half the
-    iteration cost for a bound that is loose anyway. tests/test_dedup_scale
-    asserts rounds and rounds+1 produce identical labels on the fixtures
-    (= fixpoint reached with margin); the oracle runs the same unrolled
-    rounds in SQL.
+    per-round convergence probe: doubling covers diameter ~2^rounds, the
+    media duplicate graphs are near-cliques (diameter ≤ 3 by
+    construction), and skipping the probe saves one job per block —
+    worth it ONLY under the guards above.
 
     Scale shape (100 TB): every step is an equi-join or groupBy keyed on
     doc id — hash-partitioned, AQE-balanced, no global ordering anywhere.
@@ -957,6 +972,134 @@ def connected_components(
     return labels.select("doc", F.col("label").alias("component"))
 
 
+def connected_components_converged(
+    edges: DataFrame,
+    max_rounds: int = 64,
+    probe_every: int = 2,
+    edges_materialized: bool = False,
+) -> tuple[DataFrame, int]:
+    """(doc, component) + rounds used: min-label propagation with pointer
+    doubling ITERATED TO CONVERGENCE — the principled CC primitive, home
+    of every certified graph consumer since round 13 (text components /
+    canonical via ``q_ns_dedup_components``/``q_ns_dedup_cluster_
+    canonical``, embeddings via embed_cluster.py). Round 11 proved that a
+    fixed round budget silently under-converges on unknown-diameter
+    graphs (a sparse cosine CHAIN) and that an oracle unrolling the SAME
+    rounds agrees with the wrong answer — so the fixed-round
+    ``connected_components`` above is demoted to a guarded fast path and
+    the certified queries run this variant.
+
+    Round structure: ``probe_every`` propagation+doubling rounds run
+    UNROLLED under one lineage cut (AQE reuses the doubling join's twin
+    subplans), then ONE probe job decides convergence. The round-13 probe
+    is a STATIONARITY CHECK, not the r12 sum compare: run one synchronous
+    min-propagation round over the just-checkpointed labels and count
+    strict decreases. Zero decreases proves the EXACT fixpoint in one
+    observation — for a labeling ``l`` with ``l(x) ≤ x`` (monotonicity
+    from the identity start), stationarity under synchronous propagation
+    means no adjacent pair has ``l(u) < l(v)``, so labels are constant on
+    every component; the component's min id m has ``l(m) ≤ m``, hence the
+    constant IS m — the true CC labeling. The r12 design needed a whole
+    EXTRA confirming block (two equal consecutive block sums), one more
+    checkpoint + the block's join work; the stationarity probe pays one
+    adjacency join + count on the label frame and confirms at the block
+    where convergence actually happened. It also closes the r12 ADVICE
+    edge structurally: a graph converging in the FINAL block of
+    ``max_rounds`` is detected by that block's probe instead of raising.
+
+    Raises ``RuntimeError`` if ``max_rounds`` propagation rounds don't
+    reach the fixpoint — doubling covers diameter ~2^rounds, so the
+    default 64 is a runaway guard (an unstable edge list, not a real
+    graph), not a tuning knob.
+
+    Scale shape (100 TB): identical to the fast path — the adjacency is
+    hash-partitioned once and checkpointed, every round exchanges only
+    the (doc, label) frame, O(log diameter) rounds; the probe is one more
+    label-frame join per block. ``edges_materialized=True`` skips the
+    edge lineage cut when the caller hands an already-checkpointed frame
+    (the memoized pair table) — same contract as the fast path.
+
+    Job budget per block: 1 label checkpoint + ~4 stationarity-probe AQE
+    jobs + the block's internal AQE stage materializations (≤ 16 at
+    bench SF, tests/test_plans.py embed budget). Text near-clique graphs
+    converge at block 1 with ``probe_every=CC_ROUNDS``; the full
+    components pipeline measures 29 jobs at sf0.1 (restated waiver
+    budget ≤ 30 — the probe and the surfaced block-checkpoint jobs are
+    the convergence price; the wall is BETTER: the checkpointed labels
+    cut warm_shared 3.38 → 2.79 s, BENCH_NOTES r13)."""
+    from ..session import checkpoint_df
+
+    if probe_every < 1:
+        raise ValueError(f"probe_every must be >= 1, got {probe_every}")
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    ed = edges.select("doc_a", "doc_b")
+    if not edges_materialized:
+        ed = checkpoint_df(ed, eager=True)
+    bi = ed.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).union(
+        ed.select(F.col("doc_b"), F.col("doc_a"))
+    )
+    adj = checkpoint_df(
+        bi.union(
+            bi.select("doc").distinct().select("doc", F.col("doc").alias("nbr"))
+        ).repartition(F.col("nbr")),
+        eager=True,
+    )
+    labels: DataFrame | None = None
+    rounds_done = 0
+    while rounds_done < max_rounds:
+        block = min(probe_every, max_rounds - rounds_done)
+        cur = labels
+        for _ in range(block):
+            if cur is None:
+                # identity labels: min over {self} ∪ N is min(nbr) over
+                # the self-looped adjacency (the fast path's round-1
+                # specialization — the labels join algebraically elided)
+                prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
+            else:
+                prop = (
+                    adj.join(cur.withColumnRenamed("doc", "nbr"), "nbr")
+                    .groupBy("doc")
+                    .agg(F.min("label").alias("label"))
+                )
+            parent = prop.select(
+                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
+            )
+            cur = prop.join(parent, prop.label == parent.p_doc, "left").select(
+                "doc",
+                F.least("label", F.coalesce("p_label", "label")).alias("label"),
+            )
+        nxt = checkpoint_df(cur, eager=True)
+        rounds_done += block
+        # stationarity probe: one synchronous propagation round over the
+        # checkpointed labels; a strict decrease anywhere means another
+        # block is needed (the probe round's work is discarded — one
+        # cheap label-frame join, not a lineage the next block inherits).
+        # A zero-edge graph probes an empty frame: changed = 0, converged
+        # on block 1 (no sentinel dance — count, not a nullable sum).
+        probe = (
+            adj.join(nxt.withColumnRenamed("doc", "nbr"), "nbr")
+            .groupBy("doc")
+            .agg(F.min("label").alias("p_label"))
+        )
+        changed = (
+            probe.join(nxt, "doc")
+            .filter(F.col("p_label") < F.col("label"))
+            .count()
+        )
+        if changed == 0:
+            return (
+                nxt.select("doc", F.col("label").alias("component")),
+                rounds_done,
+            )
+        labels = nxt
+    raise RuntimeError(
+        f"connected_components_converged: no fixpoint within "
+        f"{max_rounds} rounds — the graph has pathological diameter or "
+        "the edge list is unstable between evaluations"
+    )
+
+
 def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the SimHash near-dup
     pair graph (hamming ≤ 3). Per doc: its component (= min doc_id in the
@@ -964,27 +1107,45 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (representative = min id). This is the step that turns pairwise
     near-dup evidence into actual drop decisions in a training pipeline.
 
-    Materialization config (round 8, re-measured round 9 at sf0.1): the
-    pair table and the adjacency are checkpointed (reused across rounds /
-    sessions); the label rounds run UNROLLED under the one consumer query
-    with no mid or final cut (``checkpoint_every=rounds,
-    cut_final=False``) — runtime exchange reuse keeps the doubling joins
-    single-evaluation, and skipping the two label-checkpoint jobs cut the
-    CC tail 3.5 s → 2.6 s. Round 9 elides the round-1 labels join
-    algebraically (identity labels — see connected_components), 16 → 14
-    stage-jobs, 7.7 → 4.6 s cold CC tail at sf0.1 on the r9 machine.
-    Ending the last round on propagation (``final_doubling=False``, one
-    job fewer) was ALSO shipped briefly and then REVERTED: the base-5000
-    randomized sweep found a graph (docs seed 5003, an 83-edge chain-y
-    cluster) where doubling-3 + one hop under-converges (2 mislabels)
-    while full doubling-4 is exact — the full final doubling stays, and
-    that seed is pinned in tests/test_randomized_docs.py."""
+    Round 13 migrates the labeling to ``connected_components_converged``
+    (VERDICT r12 #3): the fixed-round variant's correctness rested on a
+    graph-shape argument (SimHash near-dup graphs are near-cliques ⇒
+    diameter ≤ 3) that round 11's embed-chain dead end proved can break
+    silently — and when it breaks, an oracle unrolling the same rounds
+    agrees with the wrong answer. Convergent CC runs ``CC_ROUNDS`` rounds
+    unrolled per block (the same single-consumer AQE-reuse shape the
+    fixed-round config had), then one stationarity probe; the fixture
+    graphs converge at block 1. Job cost over the old plan: the label
+    checkpoint + the probe, plus the block's AQE materializations now
+    surfacing as their own jobs instead of folding into the consumer —
+    20 → 29 measured at sf0.1, restated waiver budget ≤ 30
+    (tests/test_plans.py; floor-normalized 30 × 0.164 ≈ 4.9 s, still
+    under the waiver's 5 s leg) — while the WALL improves: warm_shared
+    3.38 → 2.79 s because the consumer reads checkpointed labels instead
+    of re-carrying four unrolled rounds. The oracle stays
+    the linear unrolled min-label chain (bench-runnable where the
+    recursive closure is quadratic in the giant cluster); the parity
+    check is now STRONGER than fixed-vs-unrolled ever was: the Spark side
+    provably converges, so if ``CC_ROUNDS`` unrolled oracle rounds ever
+    under-converge on a fixture, the hash comparison trips instead of
+    both sides agreeing on the wrong labels. ``ns_dedup_components_
+    converged`` (curation.py) runs this same pipeline against a
+    ``WITH RECURSIVE`` fixpoint oracle — two independent oracle
+    techniques over one implementation.
+
+    Fixed-round history, kept for the fast path's guard rationale: round
+    8/9 tuned the unrolled no-cut config (16 → 14 stage-jobs, 7.7 → 4.6 s
+    cold CC tail at sf0.1); ``final_doubling=False`` was shipped briefly
+    and REVERTED — the base-5000 randomized sweep found a graph (docs
+    seed 5003, an 83-edge chain-y cluster, pinned in
+    tests/test_randomized_docs.py) where doubling-3 + one hop
+    under-converges while full doubling-4 is exact."""
     pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp = connected_components(
+    comp, _rounds = connected_components_converged(
         pairs,
-        checkpoint_every=CC_ROUNDS,
+        max_rounds=TEXT_CC_MAX_ROUNDS,
+        probe_every=CC_ROUNDS,
         edges_materialized=True,
-        cut_final=False,
     )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
@@ -1012,15 +1173,17 @@ def q_ns_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``component`` drives both windows (cluster size + quality rank share
     the partitioning) and the rn=1 filter. |graph docs| rows through one
     equi-join and one exchange — no all-pairs work beyond the already
-    banded candidate generation."""
+    banded candidate generation. Labels come from the convergent CC since
+    round 13 (same migration + budget rationale as
+    ``q_ns_dedup_components``)."""
     from .ngram_stats import q_ns_quality_logit
 
     pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp = connected_components(
+    comp, _rounds = connected_components_converged(
         pairs,
-        checkpoint_every=CC_ROUNDS,
+        max_rounds=TEXT_CC_MAX_ROUNDS,
+        probe_every=CC_ROUNDS,
         edges_materialized=True,
-        cut_final=False,
     )
     scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
     joined = comp.join(scored, comp["doc"] == scored["doc_id"]).select(

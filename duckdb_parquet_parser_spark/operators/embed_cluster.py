@@ -11,7 +11,7 @@ with the wrong answer. Differential testing cannot see under-convergence
 when both sides under-converge identically; that failure mode is pinned
 in tests/test_multimodal_dedup.py (test_embed_graph_is_not_fixed_round_
 clusterable) and is exactly why this query now runs
-``connected_components_converged`` (multimodal_dedup.py): min-label
+``connected_components_converged`` (dedup.py since round 13): min-label
 propagation + pointer doubling iterated to a PROVABLE fixpoint (a
 per-round changed-label count hitting zero), not to a guessed budget.
 
@@ -30,13 +30,17 @@ reachable), the cluster size, and the min-id keep decision.
 Job budget (CI-guarded in tests/test_plans.py): the pair stage is
 ``ns_embed_neardup``'s certified plan unchanged (~7 stage-jobs); the CC
 stage runs rounds in UNROLLED 2-round blocks — one label checkpoint +
-one monotone sum probe per block, the per-round AQE exchange jobs inside
-(measured ≤ 16 stage-jobs per block at sf0.1) — so
-jobs ≤ 12 + 16 × (rounds / 2). The sf0.1 giant component (1999-node
-cosine chain) converges in 3 blocks = 6 rounds ≈ 45 CC jobs, 4.7 s;
-the guard allows rounds ≤ ``EMBED_CC_MAX_ROUNDS``. Convergence is the
-price of an unknown diameter: a fixed budget was measurably wrong on
-this exact graph.
+one stationarity probe per block (round 13: one propagation round over
+the checkpointed labels, zero strict decreases ⇔ exact fixpoint — sees
+convergence at the block where it happened instead of one confirming
+block later), the per-round AQE exchange jobs inside (measured ≤ 16
+stage-jobs per block at sf0.1) — so jobs ≤ 12 + 22 × (rounds / 2). The
+sf0.1 giant component (1999-node cosine chain) reached its fixpoint by
+round 4 under the r12 sum-probe (3 blocks with the confirming block;
+the stationarity probe certifies it in 2); the guard allows rounds ≤
+``EMBED_CC_MAX_ROUNDS``, now passed INTO the query (ADVICE r12).
+Convergence is the price of an unknown diameter: a fixed budget was
+measurably wrong on this exact graph.
 
 Scale shape (100 TB): candidate pairs come from the certified IVF
 cluster-then-verify plan (O(Σ cell²), no crossJoin beyond the broadcast
@@ -61,13 +65,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Composition-only imports (certified modules, plans untouched).
-from .multimodal_dedup import connected_components_converged
+from .dedup import connected_components_converged
 from .similarity import ORACLES as _SIM_ORACLES
 from .similarity import q_ns_embed_neardup
 
-#: Rounds the fixture chain graphs actually need is ≤ 8 (block-granular
-#: upper bound); the guard in tests/test_plans.py budgets stage-jobs as
-#: 12 + 16 per 2-round block actually run.
+#: Runaway guard AND the query's enforced rounds budget (ADVICE r12: it
+#: used to be asserted only by the CI test while the query ran the
+#: library default 64 — now it is passed through, so a production graph
+#: needing > 10 rounds raises instead of silently exceeding the stated
+#: budget). The fixture chain graphs need ≤ 8 (block-granular bound);
+#: the guard in tests/test_plans.py budgets stage-jobs as 12 + 22 per
+#: 2-round block actually run.
 EMBED_CC_MAX_ROUNDS = 10
 
 
@@ -80,7 +88,9 @@ def embed_components_with_rounds(
     pairs = q_ns_embed_neardup(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    return connected_components_converged(pairs)
+    return connected_components_converged(
+        pairs, max_rounds=EMBED_CC_MAX_ROUNDS
+    )
 
 
 def q_ns_embed_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:

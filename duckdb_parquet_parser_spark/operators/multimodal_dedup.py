@@ -79,105 +79,11 @@ from .multimodal_synth import (
 )
 
 
-def connected_components_converged(
-    edges: DataFrame, max_rounds: int = 64, probe_every: int = 2
-) -> tuple[DataFrame, int]:
-    """(doc, component) + rounds used: min-label propagation with pointer
-    doubling ITERATED TO CONVERGENCE — the library answer to the pinned
-    embed-graph dead end (see test_embed_graph_is_not_fixed_round_
-    clusterable): ``dedup.connected_components`` runs a FIXED round
-    budget sized to near-clique duplicate graphs, which silently
-    under-converges on unknown-diameter graphs (sparse cosine chains).
-    This variant pays one extra count job per round to compare labels
-    against the previous round and stops at the provable fixpoint,
-    raising loudly if ``max_rounds`` doesn't reach it (doubling covers
-    diameter ~2^rounds, so 64 is astronomically safe — the cap is a
-    runaway guard, not a tuning knob).
-
-    Same per-round scale shape as the fixed-round pipeline: the
-    adjacency is hash-partitioned once and checkpointed; each round
-    exchanges only the label frame, checkpointed per round. Cost vs
-    fixed-round: the convergence PROBE + however many extra rounds the
-    graph actually needs — exactly the price of not knowing the diameter
-    up front. Two r12 cost cuts keep that probe cheap:
-
-    - MONOTONE PROBE: min-label propagation can only ever DECREASE a
-      label, so the labeling changed iff the global label sum moved — a
-      one-row aggregate over the frame just checkpointed (≈1 job), not a
-      full previous-vs-next join. decimal(38,0) accumulation: at 10⁹
-      nodes × 10¹⁸-range ids an int64 sum overflows and a silent wrap
-      could fake a fixpoint.
-    - BLOCKED ROUNDS: ``probe_every`` rounds run UNROLLED under one
-      checkpoint (the fixed-round pipeline's checkpoint_every trick —
-      the doubling join's two sides are the same subplan, so AQE reuses
-      the exchange), then one cut + one probe per block. Sum unchanged
-      across a block ⇒ no round in it changed anything (monotonicity) ⇒
-      the fixpoint was already reached at block start; the returned
-      round count is the block-granular upper bound.
-
-    Certified consumer: ``ns_embed_dedup_cluster`` (embed_cluster.py) —
-    its DuckDB oracle is a ``WITH RECURSIVE`` transitive closure, i.e.
-    fixpoint semantics on BOTH sides, the check the unrolled-chain
-    technique structurally can't express."""
-    from ..session import checkpoint_df
-
-    ed = checkpoint_df(edges.select("doc_a", "doc_b"), eager=True)
-    bi = ed.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).union(
-        ed.select(F.col("doc_b"), F.col("doc_a"))
-    )
-    adj = checkpoint_df(
-        bi.union(
-            bi.select("doc").distinct().select("doc", F.col("doc").alias("nbr"))
-        ).repartition(F.col("nbr")),
-        eager=True,
-    )
-    labels: DataFrame | None = None
-    # Sentinel, NOT None: F.sum over an EMPTY label frame is NULL/None,
-    # and a zero-edge graph must converge on its (empty) second block —
-    # None-as-"no previous sum" would make None == None unreachable and
-    # burn all max_rounds before raising (code review r12).
-    _unset = object()
-    label_sum: object = _unset
-    rounds_done = 0
-    while rounds_done < max_rounds:
-        block = min(probe_every, max_rounds - rounds_done)
-        cur = labels
-        for _ in range(block):
-            if cur is None:
-                # identity labels: min over {self} ∪ N is min(nbr) over
-                # the self-looped adjacency (dedup.py's round-1
-                # specialization — the labels join algebraically elided)
-                prop = adj.groupBy("doc").agg(F.min("nbr").alias("label"))
-            else:
-                prop = (
-                    adj.join(cur.withColumnRenamed("doc", "nbr"), "nbr")
-                    .groupBy("doc")
-                    .agg(F.min("label").alias("label"))
-                )
-            parent = prop.select(
-                F.col("doc").alias("p_doc"), F.col("label").alias("p_label")
-            )
-            cur = prop.join(parent, prop.label == parent.p_doc, "left").select(
-                "doc",
-                F.least("label", F.coalesce("p_label", "label")).alias("label"),
-            )
-        nxt = checkpoint_df(cur, eager=True)
-        rounds_done += block
-        nxt_sum = (
-            nxt.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
-            .first()["s"]
-        )
-        if label_sum is not _unset and nxt_sum == label_sum:
-            return (
-                nxt.select("doc", F.col("label").alias("component")),
-                rounds_done,
-            )
-        labels, label_sum = nxt, nxt_sum
-    raise RuntimeError(
-        f"connected_components_converged: no fixpoint within "
-        f"{max_rounds} rounds — the graph has pathological diameter or "
-        "the edge list is unstable between evaluations"
-    )
+# Round 13: connected_components_converged moved to dedup.py — the graph
+# primitives live together and the circular-import trap (dedup's certified
+# text queries now RUN the convergent variant) dissolves. Re-exported here
+# because this module introduced it (r12) and tests/docs reference it.
+from .dedup import connected_components_converged  # noqa: F401
 
 
 def media_cluster_canonical(
