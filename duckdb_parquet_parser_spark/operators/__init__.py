@@ -16,6 +16,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     broken module never takes down the whole contract)."""
     from . import (
         corpus,
+        curation,
         dedup,
         embed_cluster,
         filters,
@@ -44,6 +45,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (
+        curation,
         embed_cluster,
         multimodal_dedup,
         media_landing,
@@ -86,91 +88,43 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-12 rotation (VERDICT r11 #1). Head composition (50 of 50 slots,
-# verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the THIRTY-SEVEN r9-certified queries the r11 ledger forecast as
-# must-rotate (their certs aged to 2 rounds after the r11 driver run):
-# udf_scalar_pandas .. stream_tumbling — the whole r9 block;
-# (2) NINE re-certifications: multimodal_synth.py's eight queries +
-# media_landing.py's ns_mm_ingest_parquet. The changed lifecycle code
-# (the crashed-staging-temp-leak fix and the cache-lifecycle
-# consolidation into cache.py — VERDICT r11 wrongs #1/#2) sits ON THE
-# EXECUTION PATH of exactly these nine queries (_media_dir /
-# stage_media_dir / _landing_dir / land_media_parquet), so the
-# QUERY-granular rule below pulls them back in (the verdict budgeted
-# the eight: 37 + 8 = 45 ≤ 50). Contrast multimodal_dedup.py: its
-# connected_components_converged was also rewritten this round, but NO
-# certified query calls it — its only consumer is the new
-# ns_embed_dedup_cluster — so the module's three r11-certified cluster
-# queries (which run dedup.py's fixed-round pipeline) correctly stay
-# parked; the rule is about a query's executable path, not about which
-# file was touched;
-# (3) FOUR new round-12 queries, never certified, each in a NEW module
-# so untouched certified modules stay parked:
-#   - ns_embed_dedup_cluster (embed_cluster.py — iterate-to-convergence
-#     connected components over the embed cosine pair graph against a
-#     WITH RECURSIVE fixpoint oracle, VERDICT r11 missing #1; the
-#     round-11 fixed-round dead end stays pinned in
-#     tests/test_multimodal_dedup.py);
-#   - rel_min_supplycost_q2 / rel_value_share_q11 /
-#     rel_supplier_cnt_q16 (relational_q2.py — TPC-H Q2's correlated
-#     regional minimum, Q11's share-of-global threshold (VERDICT r11
-#     missing #3), and Q16's distinct-supplier count under a broadcast
-#     anti-join exclusion).
-# 37 + 9 + 4 = 50; the window is exactly full.
+# Round-13 rotation (VERDICT r12 #1/#2). Head composition (50 of 50
+# slots, verified against the generated ledger — scripts/cert_ledger.py):
+# (1) the FORTY r10-certified queries the r12 ledger forecast as
+# must-rotate (certs aged to 2 rounds after the r12 driver run):
+# ns_mm_framesample .. stream_sliding — the whole r10 block;
+# (2) FIVE registrations from the round-12 staged surface
+# (operators/curation.py, formerly pending_r13.py): ns_source_cap,
+# rel_top_supplier_q15, rel_returned_top_q10, ns_source_droprate,
+# ns_dedup_components_converged — never certified, differentially
+# tested at two SFs every round since r12 (tests/test_curation.py);
+# (3) ONE re-certification: ns_embed_dedup_cluster — its executable
+# path changed twice this round (connected_components_converged moved
+# to dedup.py and its convergence probe became the stationarity check;
+# EMBED_CC_MAX_ROUNDS is now passed through, ADVICE r12). The migrated
+# text queries (ns_dedup_components, ns_dedup_cluster_canonical) ALSO
+# changed executable paths, but they sit in the r10 must-rotate block
+# already — the zero-cost moment VERDICT r12 #3 named;
+# (4) ONE new query: ns_mm_png_features (operators/png_media.py — real
+# zlib-compressed PNG decode through the media_codecs plug seam);
+# (5) THREE floats from the oldest parked block (r11-certified
+# rel_date_string_funcs / rel_json_map_funcs / rel_outer_join): the r14
+# must-rotate forecast is an 89-query bulge (49 r11 + 40-ish r12 certs
+# age together) — a >50 window is impossible, so the only lever is
+# pre-certifying the oldest parked certs whenever head slots are free.
+# 40 + 5 + 1 + 1 + 3 = 50; the window is exactly full.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
 # docstring-only edits do not count.
 #
-# Parked below: the 40 queries whose latest cert is r10 (they age to 2
-# rounds after the r12 run — they MUST lead the round-13 window; the
-# generated ledger's forecast names them), then the 49 r11-certified.
-# Trust the ledger over this prose if they ever disagree.
+# Parked below: 46 r11-certified + 49 r12-certified. After the r13 run
+# the r11 certs age to 2 rounds: they MUST lead the round-14 window,
+# oldest-first, with the r12 block close behind (the bulge). Trust the
+# ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r10-certified (40) — age to 2 rounds after the r12 run:
-    # they MUST lead the round-13 window (ledger forecast)
-    "ns_mm_framesample",
-    "udf_grouped_agg",
-    "ns_tfidf_topterms",
-    "ns_contamination",
-    "ns_chunk_split",
-    "r2_schema",
-    "r2_counts",
-    "r3_full_column_scan",
-    "r9_projection",
-    "f2_null_semantics",
-    "f3_string_columns",
-    "f1_regex_filter",
-    "f1_regex_docs",
-    "f1_neg_regex",
-    "ns_dedup_exact",
-    "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
-    "ns_dedup_incremental",
-    "ns_dedup_incremental_persisted",
-    "ns_dedup_simhash",
-    "ns_dedup_simhash_pairs",
-    "ns_dedup_components",
-    "ns_dedup_cluster_canonical",
-    "ns_ngram_jaccard",
-    "ns_embed_neardup",
-    "rel_disjunctive_q19",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_window_running",
-    "rel_sort_topk",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_distinct",
-    "rel_scalar_funcs",
-    "rel_case_expr",
-    "stream_sliding",
-    # r11-certified (49) — fresh, parked; rotate r13/r14
+    # r11-certified (46 of 49) — 3 floated into the r13 head to
+    # pre-trim the 89-query r14 bulge (oldest-certs-first)
     "ns_mm_image_dedup_cluster",
     "ns_mm_audio_dedup_cluster",
     "ns_mm_video_dedup_cluster",
@@ -213,11 +167,59 @@ ROTATION_TAIL = [
     "ns_ann_lsh_buckets",
     "ns_ann_ivf_topk",
     "ns_kmeans_embed",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    "rel_outer_join",
     "rel_pivot",
     "stream_session",
     "ns_mm_meta",
     "ns_mm_features",
+    # r12-certified (49 of 50; ns_embed_dedup_cluster re-certifies in
+    # the r13 head — its convergent-CC primitive changed, ADVICE r12)
+    "ns_mm_ingest_parquet",
+    "rel_min_supplycost_q2",
+    "rel_value_share_q11",
+    "rel_supplier_cnt_q16",
+    "ns_mm_ingest",
+    "ns_mm_image_features",
+    "ns_mm_image_neardup",
+    "ns_mm_audio_features",
+    "ns_mm_audio_fingerprint",
+    "ns_mm_audio_neardup",
+    "ns_mm_video_framehashes",
+    "ns_mm_video_neardup",
+    "udf_scalar_pandas",
+    "w1_roundtrip",
+    "w1_roundtrip_zstd",
+    "w2_dict_decision",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_read",
+    "f1_clustered_prune",
+    "w_zorder_prune",
+    "r1_rowgroup_meta",
+    "r6_chunk_values",
+    "r8_page_index",
+    "streaming_tumbling_rt",
+    "streaming_enrich",
+    "ns_heavy_hitters_cms",
+    "rel_agg_q1",
+    "rel_join_q3",
+    "rel_merge_upsert",
+    "rel_join_q5",
+    "rel_window_rank",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_window_lag",
+    "rel_subquery",
+    "rel_percentiles",
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_multi_exists_q21",
+    "rel_window_range_time",
+    "rel_outer_hist_q13",
+    "rel_anti_avg_q22",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
+    "stream_tumbling",
 ]

@@ -1,11 +1,11 @@
-"""Round-13 PENDING queries — built and differentially tested in round
-12, deliberately NOT registered in ``operators/__init__.py``: the
-round-12 certification window is exactly full (50/50), and registering
-another head query would push a must-rotate (``stream_tumbling``) out of
-the driver's first-50. Round 13 moves these dicts into the contract
-(merge ``QUERIES_PENDING``/``ORACLES_PENDING`` into a registered module
-or import this one) — their differential already runs every round via
-tests/test_pending_r13.py, so registration is a rename, not new risk.
+"""Curation-stage operators: per-source capping, provenance telemetry,
+and the convergent text-dedup certification twin, plus the TPC-H
+Q15/Q10 report shapes. Built and differentially tested in round 12 as
+``pending_r13`` (the round-12 window was exactly full — registering
+would have evicted a must-rotate), REGISTERED in round 13 (VERDICT r12
+#2): the differential had already run every round via the local gate
+(now tests/test_curation.py), so registration was a rename, not new
+risk.
 
 - ``ns_source_cap`` — per-SOURCE quality-capped sampling, the curation
   step between scoring and training-mix assembly: for every provenance
@@ -202,7 +202,7 @@ def q_ns_source_droprate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES_PENDING = {
+QUERIES = {
     "ns_source_cap": q_ns_source_cap,
     "rel_top_supplier_q15": q_rel_top_supplier_q15,
     "rel_returned_top_q10": q_rel_returned_top_q10,
@@ -215,7 +215,7 @@ _LOGIT_SQL = (
     f" + length(text) * {LOGIT_W_CHARS}"
 )
 
-ORACLES_PENDING = {
+ORACLES = {
     "ns_source_cap": f"""
         WITH scored AS (
             SELECT doc_id, source,
@@ -275,7 +275,7 @@ ORACLES_PENDING = {
 # can never drift — then aggregates keep/drop per provenance bucket.
 from .dedup import ORACLES as _DEDUP_ORACLES  # noqa: E402
 
-ORACLES_PENDING["ns_source_droprate"] = f"""
+ORACLES["ns_source_droprate"] = f"""
     WITH comp AS (
         {_DEDUP_ORACLES["ns_dedup_components"]}
     )
@@ -338,42 +338,35 @@ def per_source_keepers(df: DataFrame, k: int = SOURCE_CAP) -> DataFrame:
 def q_ns_dedup_components_converged(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """TEXT dedup clusters on iterate-to-convergence CC — the convergent
-    sibling of the certified ``ns_dedup_components`` (which runs a FIXED
-    CC_ROUNDS budget sized to near-clique SimHash graphs and holds a
-    fixpoint-margin guard). A real scraped corpus can produce chained
-    near-dups whose diameter exceeds any fixed budget — the round-11
-    embed-graph dead end proved both that this happens and that an
-    unrolled oracle can't see it. Same output contract as
-    ``ns_dedup_components``: (doc_id, component, cluster_size, keep).
+    """TEXT dedup clusters against the ``WITH RECURSIVE`` fixpoint
+    oracle. When this was staged (round 12), ``ns_dedup_components``
+    still ran a FIXED CC_ROUNDS budget and this was its convergent
+    sibling; round 13 migrated the components query itself to
+    ``connected_components_converged`` (VERDICT r12 #3), so the Spark
+    side is now ONE pipeline — delegated, not duplicated — certified
+    against TWO independent oracle techniques: the linear unrolled
+    min-label chain (``ns_dedup_components``, bench-runnable at sf0.1)
+    and this query's recursive transitive closure (fixpoint semantics
+    the unrolled chain structurally can't express — the round-11
+    lesson). Output contract: (doc_id, component, cluster_size, keep).
 
-    Oracle note for registration: the ``WITH RECURSIVE`` closure is
-    O(Σ component²) — fine at the driver's sf0.01 gate (largest fixture
-    cluster 408 docs, closure ≈ 166 K rows), but it must join
-    ``bench.ORACLE_SKIP_AT_BENCH_SF`` if benched: at sf0.1 the closure
-    is the >10-minute case the unrolled-chain oracle was built to avoid
-    (BENCH_NOTES round 4)."""
-    from .dedup import _simhash_pairs_materialized
-    from .multimodal_dedup import connected_components_converged
+    Oracle cost (why this row is in ``bench.ORACLE_SKIP_AT_BENCH_SF``):
+    the closure is O(Σ component²) — fine at the driver's sf0.01 gate
+    (largest fixture cluster 408 docs, closure ≈ 166 K rows), but at
+    sf0.1 it is the >10-minute case the unrolled-chain oracle was built
+    to avoid (BENCH_NOTES round 4); the Spark side still runs there."""
+    from .dedup import q_ns_dedup_components
 
-    pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp, _rounds = connected_components_converged(pairs)
-    w_size = Window.partitionBy("component")
-    return comp.select(
-        F.col("doc").alias("doc_id"),
-        "component",
-        F.count(F.lit(1)).over(w_size).cast("long").alias("cluster_size"),
-        (F.col("doc") == F.col("component")).alias("keep"),
-    )
+    return q_ns_dedup_components(spark, sf_dir)
 
 
-QUERIES_PENDING["ns_dedup_components_converged"] = (
+QUERIES["ns_dedup_components_converged"] = (
     q_ns_dedup_components_converged
 )
 
 from .dedup import ORACLES as _DEDUP_ORACLES2  # noqa: E402,F811
 
-ORACLES_PENDING["ns_dedup_components_converged"] = f"""
+ORACLES["ns_dedup_components_converged"] = f"""
     WITH RECURSIVE pairs AS (
         {_DEDUP_ORACLES2["ns_dedup_simhash_pairs"]}
     ), edges AS (

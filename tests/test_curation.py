@@ -1,31 +1,29 @@
-"""Round-13 pending queries (operators/pending_r13.py): the full
-query-vs-oracle differential runs HERE every round even though the
-queries aren't registered in the driver contract yet — the round-12
-window is exactly full, so registration waits for the round-13 rotation
-(see the module docstring). When round 13 registers them, this test
-keeps running unchanged as the local gate."""
+"""Curation-operator gates (operators/curation.py — the round-12 staged
+queries, registered in the round-13 contract): the query-vs-oracle
+differential ran HERE every round while the queries were parked as
+``pending_r13``; after registration it keeps running unchanged as the
+local gate beside the driver's, plus the structural invariants the hash
+alone doesn't explain."""
 
 from __future__ import annotations
 
 import pytest
 
-from duckdb_parquet_parser_spark.operators.pending_r13 import (
-    ORACLES_PENDING,
-    QUERIES_PENDING,
+from duckdb_parquet_parser_spark.operators.curation import (
+    ORACLES,
+    QUERIES,
     SOURCE_CAP,
     q_ns_source_cap,
 )
 from duckdb_parquet_parser_spark.testing import compare_query
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES_PENDING))
+@pytest.mark.parametrize("name", sorted(QUERIES))
 @pytest.mark.parametrize(
     "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
-def test_pending_query_matches_oracle(spark, name, sf_dir):
-    res = compare_query(
-        spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
-    )
+def test_curation_query_matches_oracle(spark, name, sf_dir):
+    res = compare_query(spark, sf_dir, name, QUERIES[name], ORACLES[name])
     assert res.ok, res
 
 
@@ -55,7 +53,7 @@ def test_skew_safe_keepers_equivalent_to_window_variant(spark, sf_smoke):
     variant's keepers with identical ranks — the docstring's pruning
     argument (a row beaten k times in its own salt bucket can't be a
     global keeper), checked end-to-end."""
-    from duckdb_parquet_parser_spark.operators.pending_r13 import (
+    from duckdb_parquet_parser_spark.operators.curation import (
         per_source_keepers,
     )
 
