@@ -153,6 +153,10 @@ HEADLINE = [
     "rel_top_supplier_q15",
     "rel_returned_top_q10",
     "ns_dedup_components_converged",
+    # real zlib-compressed PNG decode through the codec plug seam
+    # (png_media.py); like the other mm rows its closed-form oracle
+    # prices the relational skeleton, not the inflate+defilter work
+    "ns_mm_png_features",
 ]
 
 

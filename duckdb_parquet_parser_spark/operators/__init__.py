@@ -25,6 +25,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal_dedup,
         multimodal_synth,
         ngram_stats,
+        png_media,
         positional,
         relational,
         relational_q2,
@@ -46,6 +47,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         curation,
+        png_media,
         embed_cluster,
         multimodal_dedup,
         media_landing,

