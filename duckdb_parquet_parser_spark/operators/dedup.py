@@ -1127,11 +1127,19 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive closure is quadratic in the giant cluster); the parity
     check is now STRONGER than fixed-vs-unrolled ever was: the Spark side
     provably converges, so if ``CC_ROUNDS`` unrolled oracle rounds ever
-    under-converge on a fixture, the hash comparison trips instead of
-    both sides agreeing on the wrong labels. ``ns_dedup_components_
-    converged`` (curation.py) runs this same pipeline against a
-    ``WITH RECURSIVE`` fixpoint oracle — two independent oracle
-    techniques over one implementation.
+    under-converge, the hash comparison trips instead of both sides
+    agreeing on the wrong labels. And it DID trip, the same round: the
+    first post-migration randomized sweep caught the 4-round oracle
+    under-converging on seed 22's random duplicate graph (the exact
+    round-11 masking failure, now surfaced on the ORACLE side by the
+    convergent query). Consequence, pinned in tests/test_randomized_
+    docs.py: the unrolled oracle is valid exactly where the margin test
+    pins the input at its 4-round fixpoint (driver fixtures, bench SF);
+    randomized families adjudicate this pipeline against EXACT
+    ``WITH RECURSIVE`` closures instead. ``ns_dedup_components_
+    converged`` (curation.py) runs this same pipeline against the
+    recursive fixpoint oracle at the driver gate too — two independent
+    oracle techniques over one implementation.
 
     Fixed-round history, kept for the fast path's guard rationale: round
     8/9 tuned the unrolled no-cut config (16 → 14 stage-jobs, 7.7 → 4.6 s

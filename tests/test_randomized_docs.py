@@ -61,16 +61,27 @@ DOC_QUERIES = [
     # the batch split
     "ns_quantile_sketch",
     "ns_dedup_incremental",
-    # keep-best canonical selection: random quality ties and random
-    # cluster shapes exercise the (logit DESC, doc_id ASC) tiebreak
-    "ns_dedup_cluster_canonical",
     # round-9: the two-snapshot artifact variant (fresh artifact per random
-    # fixture — the path keys on abs dir + content fingerprint), and the CC
-    # family whose round structure changed this round (round-1 elision +
-    # propagation-final): random duplicate graphs guard the round budget
+    # fixture — the path keys on abs dir + content fingerprint)
     "ns_dedup_incremental_persisted",
     "ns_dedup_simhash_pairs",
-    "ns_dedup_components",
+    # round-13: the registered curation surface — the per-source cap's
+    # (logit DESC, doc_id ASC) tiebreak under random score ties, and the
+    # components pipeline against the recursive fixpoint oracle on random
+    # duplicate graphs (two independent convergence rules on unplanned
+    # graph shapes). The CC rows whose REGISTERED oracles are the
+    # CC_ROUNDS-unrolled chain (ns_dedup_components,
+    # ns_dedup_cluster_canonical, ns_source_droprate) are NOT in this
+    # list: the unrolled chain is only valid where the fixpoint-margin
+    # test pins the input at its 4-round fixpoint (the driver fixtures /
+    # bench SF), and the first post-migration sweep PROVED it — seed 22's
+    # random graph needs >4 rounds, the convergent Spark side exposed the
+    # oracle under-converging (the exact round-11 masking failure, now on
+    # the oracle side). Those three run below against EXACT recursive-
+    # closure oracles instead (test_cc_family_exact_closure_on_random_
+    # fixtures).
+    "ns_source_cap",
+    "ns_dedup_components_converged",
     "f1_regex_docs",
     "f2_null_semantics",
     "r10_positional_stream",
@@ -148,3 +159,69 @@ def test_doc_queries_match_oracles_on_random_fixtures(spark, tmp_path, seed):
     bad = [str(r) for r in results if not r.ok]
     assert not bad, "\n".join(bad)
     assert len(results) == len(DOC_QUERIES)
+
+
+# --- Exact-closure adjudication for the CC family on random graphs ---
+#
+# The REGISTERED oracles for ns_dedup_components / ns_dedup_cluster_
+# canonical / ns_source_droprate unroll CC_ROUNDS min-label+doubling
+# stages — linear and bench-feasible, but only correct where the input
+# graph reaches its fixpoint within those rounds (the driver fixtures,
+# pinned by the margin test). Random graphs carry no such guarantee —
+# seed 22 proved it in round 13 — so HERE the same queries are checked
+# against WITH RECURSIVE transitive-closure oracles: exact on any graph,
+# trivially cheap at 120 nodes. Built by swapping ONLY the label chain
+# inside the registered SQL (pairs/edges/adjacency/final-select stay
+# byte-identical), so the two oracle variants can never drift apart in
+# what they label.
+
+from duckdb_parquet_parser_spark.operators.curation import (  # noqa: E402
+    ORACLES as _CURATION_ORACLES,
+)
+from duckdb_parquet_parser_spark.operators.dedup import (  # noqa: E402
+    CC_ROUNDS,
+    ORACLES as _DEDUP_ORACLES,
+    _CC_ROUND_CTES,
+)
+from duckdb_parquet_parser_spark.operators import collect_queries  # noqa: E402
+from duckdb_parquet_parser_spark.testing import compare_query  # noqa: E402
+
+_EXACT_CHAIN = f""",
+    reach AS (
+        SELECT doc AS doc_id, doc AS label FROM nodes
+        UNION
+        SELECT a.doc, r.label FROM adj a JOIN reach r ON r.doc_id = a.nbr
+    ),
+    l{CC_ROUNDS} AS MATERIALIZED (
+        SELECT doc_id AS doc, min(label) AS label FROM reach GROUP BY 1
+    )"""
+
+
+def _exact(sql: str) -> str:
+    assert _CC_ROUND_CTES in sql
+    return sql.replace("WITH ", "WITH RECURSIVE ", 1).replace(
+        _CC_ROUND_CTES, _EXACT_CHAIN
+    )
+
+
+_COMPONENTS_EXACT = _exact(_DEDUP_ORACLES["ns_dedup_components"])
+_EXACT_ORACLES = {
+    "ns_dedup_components": _COMPONENTS_EXACT,
+    "ns_dedup_cluster_canonical": _exact(
+        _DEDUP_ORACLES["ns_dedup_cluster_canonical"]
+    ),
+    # the registered droprate oracle embeds the components oracle as a
+    # CTE verbatim — swap in the exact variant the same way
+    "ns_source_droprate": _CURATION_ORACLES["ns_source_droprate"].replace(
+        _DEDUP_ORACLES["ns_dedup_components"], _COMPONENTS_EXACT
+    ),
+}
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 5003])
+def test_cc_family_exact_closure_on_random_fixtures(spark, tmp_path, seed):
+    sf_dir = _make_fixture(tmp_path, seed)
+    queries, _ = collect_queries()
+    for name, sql in _EXACT_ORACLES.items():
+        res = compare_query(spark, sf_dir, name, queries[name], sql)
+        assert res.ok, res

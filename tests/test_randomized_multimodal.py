@@ -43,6 +43,10 @@ MM_QUERIES = [
     "ns_mm_image_dedup_cluster",
     "ns_mm_audio_dedup_cluster",
     "ns_mm_video_dedup_cluster",
+    # round 13: the PNG codec-seam query — same closed form over doc_id,
+    # so random populations exercise the zlib/defilter decode + both
+    # poison species on unplanned doc_id sets
+    "ns_mm_png_features",
 ]
 
 

@@ -76,6 +76,12 @@ REL_QUERIES = [
     # key by BOTH engines' GROUP BY)
     "rel_min_supplycost_q2",
     "rel_value_share_q11",
+    # round-13: Q15's ties-kept global max under NULL prices (a supplier
+    # whose every volume is NULL has NULL revenue; NULL = max is UNKNOWN
+    # → dropped by both engines) and Q10's deterministic top-20 (exact
+    # DECIMAL ordering, custkey tiebreak) under random return flags
+    "rel_top_supplier_q15",
+    "rel_returned_top_q10",
     # Q16's distinct-supplier count under an anti-join exclusion: the
     # oracle deliberately uses NOT EXISTS (= left-anti semantics) so
     # NULL supplier keys survive identically in both engines; NULL
