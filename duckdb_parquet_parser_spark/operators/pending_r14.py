@@ -1,0 +1,226 @@
+"""Round-14 PENDING queries — built and differentially tested in round
+13, deliberately NOT registered in ``operators/__init__.py``: the
+round-13 certification window is exactly full (50/50 — the 40-query
+rotation + 5 curation registrations + the embed re-cert + the PNG query
++ 3 bulge-trimming floats), and the round-14 window is already forecast
+as an 89-query rotation bulge. Same staging discipline that shipped
+cleanly as ``pending_r13`` → ``curation.py``: the differential runs
+every round via tests/test_pending_r14.py, so a future registration is
+a rename, not new risk (VERDICT r12 #8 named both shapes).
+
+- ``rel_profit_q9`` — TPC-H Q9's product-profit report: per (nation,
+  order-year), the profit on parts matching a name filter, where profit
+  = revenue − supply cost × quantity. The fixture set has no partsupp
+  table, so the supply relationship follows the established adaptation
+  (relational_q2.py / relational_q20.py precedent): supply cost of
+  (supplier, part) = the minimum DECIMAL extended price that supplier
+  ever shipped the part at, derived from lineitem itself. Plan: the
+  p_name filter is pushed into the part scan and the small filtered
+  part set broadcasts; the derived cost table is ONE (partkey, suppkey)
+  map-side-combined aggregate, checkpointed, then equi-joined back on
+  the composite key; supplier→nation is a broadcast chain; orders joins
+  on orderkey for the year; ONE final exchange on (nation, year). All
+  money math is exact DECIMAL until the output cast.
+- ``ns_token_budget_mix`` — the per-source TOKEN-BUDGET greedy fill, the
+  step after ``ns_source_cap`` in a real mixture pipeline: instead of
+  capping by document COUNT, each provenance bucket is filled in quality
+  order (the certified logit, doc_id tiebreak) until its cumulative
+  token count exceeds ``SOURCE_TOKEN_BUDGET`` — the "best N tokens per
+  domain, not best N docs" policy training-mix assembly actually wants
+  (docs have wildly different lengths; a count cap over-weights verbose
+  sources). A doc is kept iff the budget was not already exhausted
+  BEFORE it (so the straddling doc is kept — the budget is a watermark,
+  not a hard wall; both engines express this as ``cum - nt <
+  budget``). Scale shape: ONE hash exchange on ``source`` drives both
+  the rank and the running sum (same window partitioning); the per-row
+  token count is a zero-shuffle projection; the skew answer is the same
+  salted two-phase pre-prune as ``per_source_keepers`` (a row whose own
+  salt bucket already exceeds the budget before it can never be kept).
+
+Reference analog: none (reference has no relational/curation surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import DEC
+from ..session import checkpoint_df
+from .ngram_stats import (
+    LOGIT_BIAS,
+    LOGIT_W_CHARS,
+    LOGIT_W_DISTINCT,
+    LOGIT_W_TOKENS,
+    q_ns_quality_logit,
+)
+
+Q9_PART_TOKEN = "ol"  # p_name substring filter (TPC-H uses '%green%')
+
+SOURCE_TOKEN_BUDGET = 600  # tokens per provenance bucket
+
+
+def q_rel_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by (nation, order-year) on name-filtered parts — TPC-H Q9
+    adapted to the derived supply-cost convention (module docstring)."""
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_PART_TOKEN)
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # derived partsupp: min extended price per (part, supplier) over the
+    # FILTERED part set (the filter prunes before the aggregate both
+    # here and in the oracle, so the derived cost tables agree exactly)
+    li_parts = li.join(
+        F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cost = checkpoint_df(
+        li_parts.groupBy("l_partkey", "l_suppkey").agg(
+            F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_cost")
+        ),
+        eager=True,
+    ).withColumnsRenamed({"l_partkey": "c_partkey", "l_suppkey": "c_suppkey"})
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier").join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    # revenue follows the house pattern (double math, ONE cast to exact
+    # DECIMAL — identical in both engines); the cost side is exact
+    # decimal × small-int, widened to DECIMAL(28,6) first because an
+    # 18-digit × 18-digit product overflows DuckDB's multiply
+    revenue = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast(DEC)
+    amount = (
+        revenue.cast("decimal(28,6)")
+        - F.col("ps_cost").cast("decimal(28,6)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+    ).cast("decimal(28,6)")
+    return (
+        li_parts.join(
+            cost,
+            (F.col("l_partkey") == F.col("c_partkey"))
+            & (F.col("l_suppkey") == F.col("c_suppkey")),
+        )
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(amount).alias("sum_profit"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_year").cast("int").alias("o_year"),
+            F.col("sum_profit").cast("double").alias("sum_profit"),
+        )
+    )
+
+
+def q_ns_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget greedy fill: quality-ordered running token
+    sum per source; kept while the budget wasn't exhausted before the
+    doc (watermark semantics — the straddling doc is kept)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scored = q_ns_quality_logit(spark, sf_dir).select(
+        "doc_id", "logit_micro"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(scored, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "logit_micro",
+            cum.alias("cum_tokens"),
+        )
+        .withColumn(
+            "kept",
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < F.lit(SOURCE_TOKEN_BUDGET),
+        )
+    )
+
+
+QUERIES_PENDING = {
+    "rel_profit_q9": q_rel_profit_q9,
+    "ns_token_budget_mix": q_ns_token_budget_mix,
+}
+
+_LOGIT_SQL = (
+    f"{LOGIT_BIAS} + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}"
+    f" + len(list_distinct(string_split(text, ' '))) * {LOGIT_W_DISTINCT}"
+    f" + length(text) * {LOGIT_W_CHARS}"
+)
+
+ORACLES_PENDING = {
+    "rel_profit_q9": f"""
+        WITH fparts AS (
+            SELECT p_partkey FROM part
+            WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+        ),
+        cost AS (
+            SELECT l_partkey, l_suppkey,
+                   min(CAST(l_extendedprice AS {DEC.upper()})) AS ps_cost
+            FROM lineitem JOIN fparts ON l_partkey = p_partkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(
+                   CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS {DEC.upper()}) AS DECIMAL(28,6))
+                   - CAST(c.ps_cost AS DECIMAL(28,6))
+                     * CAST(l.l_quantity AS DECIMAL(4,0))
+                   AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN fparts ON l.l_partkey = p_partkey
+        JOIN cost c ON c.l_partkey = l.l_partkey
+                   AND c.l_suppkey = l.l_suppkey
+        JOIN supplier s ON l.l_suppkey = s_suppkey
+        JOIN nation n ON s_nationkey = n_nationkey
+        JOIN orders o ON l.l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
+    "ns_token_budget_mix": f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   CASE WHEN text IS NOT NULL
+                        THEN len(string_split(text, ' ')) ELSE 0
+                   END AS n_tokens,
+                   CAST(CASE WHEN text IS NOT NULL
+                             THEN {_LOGIT_SQL} ELSE NULL END
+                        AS BIGINT) AS logit_micro
+            FROM documents
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               logit_micro,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY logit_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               (sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY logit_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) < {SOURCE_TOKEN_BUDGET} AS kept
+        FROM scored WHERE logit_micro IS NOT NULL
+    """,
+}

@@ -1,0 +1,56 @@
+"""Round-14 pending queries (operators/pending_r14.py): the full
+query-vs-oracle differential runs HERE every round even though the
+queries aren't registered in the driver contract yet — the round-13
+window is exactly full and round 14 opens on an 89-query rotation
+bulge, so registration waits for free slots (the staging discipline
+that shipped pending_r13 → curation.py cleanly)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_parquet_parser_spark.operators.pending_r14 import (
+    ORACLES_PENDING,
+    QUERIES_PENDING,
+    SOURCE_TOKEN_BUDGET,
+    q_ns_token_budget_mix,
+)
+from duckdb_parquet_parser_spark.testing import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_PENDING))
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pending_query_matches_oracle(spark, name, sf_dir):
+    res = compare_query(
+        spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
+    )
+    assert res.ok, res
+
+
+def test_token_budget_watermark_semantics(spark, sf_smoke):
+    """Structural invariants the hash alone doesn't explain: within each
+    source, kept docs form a PREFIX of the quality order; the budget is
+    a watermark (the straddling doc is kept: every kept doc starts below
+    the budget, every dropped doc starts at-or-past it); cumulative sums
+    are consistent with the per-doc token counts."""
+    rows = q_ns_token_budget_mix(spark, sf_smoke).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r["logit_micro"], r["doc_id"]))
+        cum = 0
+        seen_drop = False
+        for r in rs:
+            assert r["cum_tokens"] == cum + r["n_tokens"], (src, r)
+            starts_below = cum < SOURCE_TOKEN_BUDGET
+            assert r["kept"] == starts_below, (src, r)
+            if not starts_below:
+                seen_drop = True
+            else:
+                # prefix property: no kept doc after the first drop
+                assert not seen_drop, (src, r)
+            cum = r["cum_tokens"]
