@@ -703,3 +703,51 @@ def test_q2_q11_single_fact_exchange_and_pushdown(spark, sf_smoke):
     assert len(non_broadcast_exchanges(q16_plan)) <= 2, (
         non_broadcast_exchanges(q16_plan)
     )
+
+
+def test_r13_curation_relational_plan_locks(spark, sf_smoke):
+    """Round-13 registration scale contracts (operators/curation.py),
+    same discipline as the Q2/Q11/Q16 locks: broadcast every small side,
+    push the row-group-prunable predicates into the scans, at most ONE
+    non-broadcast exchange per query, and Q10's top-K must be a
+    TakeOrderedAndProject (never a global sort)."""
+    from duckdb_parquet_parser_spark.operators.curation import QUERIES
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    def non_broadcast_exchanges(plan: str) -> list[str]:
+        tree = plan.split("\n\n")[0]
+        return [
+            ln.strip() for ln in tree.splitlines()
+            if "Exchange" in ln
+            and "Broadcast" not in ln
+            and "Reused" not in ln
+        ]
+
+    # Q15: the per-supplier aggregate is checkpointed (ExistingRDD); the
+    # global max joins back as a 1-row broadcast, supplier broadcasts —
+    # the only visible exchange is the max aggregate's own
+    q15 = formatted_plan(QUERIES["rel_top_supplier_q15"](spark, sf_smoke))
+    q15_tree = q15.split("\n\n")[0]
+    assert "SortMergeJoin" not in q15_tree and "CartesianProduct" not in q15_tree
+    assert q15_tree.count("BroadcastHashJoin") >= 2
+    assert "ExistingRDD" in q15_tree  # the checkpointed fact aggregate
+    assert len(non_broadcast_exchanges(q15)) <= 1, non_broadcast_exchanges(q15)
+
+    # Q10: returnflag + the order-date window pushed to the scans, ONE
+    # custkey exchange, customer⋈nation broadcast, TakeOrderedAndProject
+    q10 = formatted_plan(QUERIES["rel_returned_top_q10"](spark, sf_smoke))
+    q10_tree = q10.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in q10_tree
+    assert "SortMergeJoin" not in q10_tree
+    assert "EqualTo(l_returnflag,R)" in q10
+    assert "GreaterThanOrEqual(o_orderdate" in q10
+    assert len(non_broadcast_exchanges(q10)) == 1, non_broadcast_exchanges(q10)
+
+    # source cap: the quality-logit join broadcasts; ONE hash exchange
+    # on source feeds the rank window (the skew-safe salted variant is
+    # the library path for megasources — per_source_keepers)
+    cap = formatted_plan(QUERIES["ns_source_cap"](spark, sf_smoke))
+    cap_tree = cap.split("\n\n")[0]
+    assert "BroadcastHashJoin" in cap_tree
+    assert "Window" in cap_tree
+    assert len(non_broadcast_exchanges(cap)) == 1, non_broadcast_exchanges(cap)
