@@ -144,15 +144,20 @@ HEADLINE = [
     "rel_value_share_q11",
     "rel_supplier_cnt_q16",
     # round-13 registrations (operators/curation.py): the per-source
-    # quality cap + provenance drop-rate curation pair, the Q15/Q10
-    # report shapes, and the convergent-components certification twin
-    # (Spark side priced at bench SF; its recursive oracle is skipped —
-    # see ORACLE_SKIP_AT_BENCH_SF)
+    # quality cap + provenance drop-rate curation pair and the Q15/Q10
+    # report shapes. ns_dedup_components_converged is deliberately NOT a
+    # row: its Spark plan is the ns_dedup_components pipeline verbatim
+    # (a delegation — one implementation, two oracle techniques), so a
+    # second row would double-price the identical work, and its
+    # recursive oracle can't run at bench SF (ORACLE_SKIP_AT_BENCH_SF)
+    # — a wall with no denominator only distorts the aggregate.
+    # ns_source_droprate's cold wall is the components pipeline + one
+    # broadcast join + one agg (same waiver category; its warm_shared
+    # row below prices the recurring marginal cost).
     "ns_source_cap",
     "ns_source_droprate",
     "rel_top_supplier_q15",
     "rel_returned_top_q10",
-    "ns_dedup_components_converged",
     # real zlib-compressed PNG decode through the codec plug seam
     # (png_media.py); like the other mm rows its closed-form oracle
     # prices the relational skeleton, not the inflate+defilter work
@@ -289,7 +294,14 @@ def run_spark(
         "overwrite"
     ).save()  # populates BOTH the banded-signature and pair-table memos
     warm: dict[str, float] = {}
-    for name in ("ns_dedup_simhash_pairs", "ns_dedup_components"):
+    for name in (
+        "ns_dedup_simhash_pairs",
+        "ns_dedup_components",
+        # droprate's marginal cost over the shared pair/CC tables — the
+        # production shape (the dedup job persists components; telemetry
+        # reads it), vs its cold row which re-prices the whole pipeline
+        "ns_source_droprate",
+    ):
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)

@@ -308,7 +308,7 @@ def per_source_keepers(df: DataFrame, k: int = SOURCE_CAP) -> DataFrame:
     global re-rank runs over ≤ k × SALTS candidate rows per source.
     Dropping non-candidates cannot change the survivors' relative order,
     so ranks 1..k are IDENTICAL to the full-window variant's (equivalence
-    pinned in tests/test_pending_r13.py).
+    pinned in tests/test_curation.py).
 
     Input: (doc_id, source, logit_micro); output: the ≤ k keepers per
     source with their exact ``src_rank``.

@@ -667,6 +667,7 @@ def q_ns_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # harness calls it before each timed row so every measurement is cold.
 _SIMHASH_BANDS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 _SIMHASH_PAIRS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_CC_LABELS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _docs_fingerprint(sf_dir: str) -> str:
@@ -717,7 +718,7 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     # for the whole session even though no lookup can ever hit them again
     # (ADVICE r8). Stale same-app frames get a prompt unpersist; dead-app
     # frames have no live blocks to free.
-    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
+    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO, _CC_LABELS_MEMO):
         for k in list(memo):
             if k[0] != app_id:
                 del memo[k]
@@ -732,7 +733,7 @@ def clear_simhash_memos() -> None:
     once the frames are unreferenced; the explicit unpersist just makes
     it prompt). The bench harness calls this before each timed row so
     measurements are cold and order-independent."""
-    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO):
+    for memo in (_SIMHASH_BANDS_MEMO, _SIMHASH_PAIRS_MEMO, _CC_LABELS_MEMO):
         for df in memo.values():
             _unpersist_memoized(df)
         memo.clear()
@@ -1100,6 +1101,32 @@ def connected_components_converged(
     )
 
 
+def _text_components_materialized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The convergent component labels of the SimHash near-dup graph,
+    computed once per (session, sf_dir) — the shared input for every
+    label consumer (components, canonical selection, per-source drop
+    rate). In a production pipeline this is the persisted `components`
+    table the dedup job writes before the policy/telemetry jobs read it
+    — same rationale as the pair-table memo above. The converged frame
+    is already checkpointed (the final block's lineage cut), so the
+    memo stores it directly."""
+    key = _memo_key(spark, sf_dir)
+    cached = _CC_LABELS_MEMO.get(key)
+    if cached is not None:
+        return cached
+    pairs = _simhash_pairs_materialized(spark, sf_dir)
+    comp, _rounds = connected_components_converged(
+        pairs,
+        max_rounds=TEXT_CC_MAX_ROUNDS,
+        probe_every=CC_ROUNDS,
+        edges_materialized=True,
+    )
+    _CC_LABELS_MEMO[key] = comp
+    return comp
+
+
 def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the SimHash near-dup
     pair graph (hamming ≤ 3). Per doc: its component (= min doc_id in the
@@ -1148,13 +1175,7 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed 5003, an 83-edge chain-y cluster, pinned in
     tests/test_randomized_docs.py) where doubling-3 + one hop
     under-converges while full doubling-4 is exact."""
-    pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp, _rounds = connected_components_converged(
-        pairs,
-        max_rounds=TEXT_CC_MAX_ROUNDS,
-        probe_every=CC_ROUNDS,
-        edges_materialized=True,
-    )
+    comp = _text_components_materialized(spark, sf_dir)
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
     return comp.select(
         F.col("doc").alias("doc_id"),
@@ -1186,13 +1207,7 @@ def q_ns_dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_ns_dedup_components``)."""
     from .ngram_stats import q_ns_quality_logit
 
-    pairs = _simhash_pairs_materialized(spark, sf_dir)
-    comp, _rounds = connected_components_converged(
-        pairs,
-        max_rounds=TEXT_CC_MAX_ROUNDS,
-        probe_every=CC_ROUNDS,
-        edges_materialized=True,
-    )
+    comp = _text_components_materialized(spark, sf_dir)
     scored = q_ns_quality_logit(spark, sf_dir).select("doc_id", "logit_micro")
     joined = comp.join(scored, comp["doc"] == scored["doc_id"]).select(
         "component", "doc_id", "logit_micro"
