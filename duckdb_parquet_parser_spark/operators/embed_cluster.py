@@ -23,7 +23,7 @@ so query and oracle converge INDEPENDENTLY and the hash comparison is a
 real two-implementation check again. The closure is O(Σ component²) rows
 — fine for an sf0.01 yardstick, never the production plan.
 
-Output contract mirrors ``ns_dedup_components`` (dedup.py:960): one row
+Output contract mirrors ``ns_dedup_components`` (dedup.py:1130): one row
 per vector that appears in a near-dup pair — its component (= min vec_id
 reachable), the cluster size, and the min-id keep decision.
 

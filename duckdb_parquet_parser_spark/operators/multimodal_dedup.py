@@ -24,14 +24,14 @@ doc_id. The score is computed JVM-side from the already-materialized
 signature table — no second decode, no extra Python. In production the
 rank column is swappable for any per-item score (resolution, bitrate,
 recency), exactly as ``ns_dedup_cluster_canonical`` ranks text clusters
-by the quality logit (dedup.py:998).
+by the quality logit (dedup.py:1188).
 
 Scale shape (100 TB): the signature table is localCheckpoint-ed ONCE so
 the Python decode runs exactly once (the round-6/round-10 self-join
 recompute lesson, plan-asserted for the pair queries in
 tests/test_plans.py); candidates come from ONE (band, key) equi-join
 shuffling 8-byte longs; components are O(log diameter) equi-join rounds
-(dedup.py:843, the accepted-waiver pipeline); the canonical pick is one
+(dedup.py:850, the fixed-round fast path — correct here because these graphs carry closed-form diameter bounds; the certified text queries run the convergent variant, dedup.py:976); the canonical pick is one
 hash exchange on ``component`` driving both window functions. No
 all-pairs anywhere — the oracles' quadratic self-joins are sf0.01
 yardsticks only.
@@ -112,7 +112,7 @@ def media_cluster_canonical(
     # 21 → 20 jobs at sf0.1). The VIDEO cluster keeps the edge
     # checkpoint: its pair pipeline is six stages deep and must run once.
     # cut_final=False: the labels are consumed exactly once right below
-    # (the components query's own config — dedup.py:960 discussion).
+    # (the components query's own config — dedup.py:1130 discussion).
     comp = connected_components(
         pairs.select("doc_a", "doc_b"),
         checkpoint_every=CC_ROUNDS,
