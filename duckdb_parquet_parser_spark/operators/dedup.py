@@ -727,6 +727,17 @@ def _memo_key(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
     return (app_id, path, fp)
 
 
+def clear_cc_labels_memo() -> None:
+    """Drop ONLY the memoized component labels (the bench warm-shared
+    protocol: the components row's warm leg prices 'signature/pair
+    tables shared, CC recomputed' — the historical waiver semantics —
+    while the drop-rate row's warm leg keeps the labels memo and prices
+    'components table persisted, telemetry reads it')."""
+    for df in _CC_LABELS_MEMO.values():
+        _unpersist_memoized(df)
+    _CC_LABELS_MEMO.clear()
+
+
 def clear_simhash_memos() -> None:
     """Drop every memoized band/pair frame and best-effort free their
     checkpointed blocks (the blocks are reclaimed by the ContextCleaner

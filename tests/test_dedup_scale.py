@@ -468,3 +468,30 @@ def test_incremental_artifact_dir_is_per_user_and_pruned(sf_smoke):
         import shutil
 
         shutil.rmtree(other, ignore_errors=True)
+
+
+def test_text_components_memo_shared(spark, sf_smoke):
+    """The component labels are computed once per (session, sf_dir) and
+    shared by every consumer (components / canonical / drop-rate) — the
+    persisted-components production shape; clear_cc_labels_memo drops
+    ONLY the labels (the bench warm-shared protocol)."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        _SIMHASH_PAIRS_MEMO,
+        _text_components_materialized,
+        clear_cc_labels_memo,
+        clear_simhash_memos,
+    )
+
+    clear_simhash_memos()
+    a = _text_components_materialized(spark, sf_smoke)
+    assert _text_components_materialized(spark, sf_smoke) is a
+    pairs_before = dict(_SIMHASH_PAIRS_MEMO)
+    clear_cc_labels_memo()
+    assert dict(_SIMHASH_PAIRS_MEMO) == pairs_before  # pairs survive
+    b = _text_components_materialized(spark, sf_smoke)
+    assert b is not a
+    # and the recomputed labels agree with the originals
+    bb = b.withColumnRenamed("component", "c2")
+    assert (
+        a.join(bb, "doc").filter("component != c2").count() == 0
+    )
