@@ -37,6 +37,23 @@ a rename, not new risk (VERDICT r12 #8 named both shapes).
   salted two-phase pre-prune as ``per_source_keepers`` (a row whose own
   salt bucket already exceeds the budget before it can never be kept).
 
+Completing the TPC-H sweep (added in the same staging pass): the three
+remaining classic shapes the engine lacked —
+
+- ``rel_filter_agg_q6`` — Q6's forecast-revenue-change: a single
+  filter-aggregate whose whole value is the SCAN SHAPE (every predicate
+  — date window, discount band, quantity cap — must reach the parquet
+  scan's PushedFilters; no join, no window, one partial_sum).
+- ``rel_priority_mix_q12`` — Q12's shipping-priority mix, ADAPTED: the
+  fixture lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the
+  grouping key is ``l_returnflag`` and "late" is shipped > 60 days
+  after the order date (the join-then-conditional-count shape is the
+  point: one orderkey equi-join, two CASE-sums in one aggregate).
+- ``rel_promo_share_q14`` — Q14's promo-revenue share: conditional
+  revenue over a broadcast part join for one ship month, the
+  two-exact-sums-one-double-division scalar (both engines divide the
+  same exact DECIMAL sums in IEEE double — deterministic).
+
 Reference analog: none (reference has no relational/curation surface).
 """
 
@@ -224,3 +241,127 @@ ORACLES_PENDING = {
         FROM scored WHERE logit_micro IS NOT NULL
     """,
 }
+
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_QTY_MAX = 24
+
+Q12_LATE_DAYS = 60
+Q12_YEAR_LO, Q12_YEAR_HI = "1996-01-01", "1997-01-01"
+
+Q14_LO, Q14_HI = "1996-03-01", "1996-04-01"
+
+
+def q_rel_filter_agg_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: one filter-aggregate; every predicate must reach the
+    scan (PushedFilters — the plan lock's whole point)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= Q6_DISC_LO)
+        & (F.col("l_discount") <= Q6_DISC_HI)
+        & (F.col("l_quantity") < Q6_QTY_MAX)
+    )
+    return li.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC)
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_rel_priority_mix_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (module docstring): per returnflag over
+    LATE-shipped lineitems in the year window, the count of
+    urgent-or-high vs other-priority orders."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q12_YEAR_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_YEAR_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q12_LATE_DAYS} DAYS"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_rel_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one ship month — two exact
+    DECIMAL sums, one double division (both engines divide identical
+    operands)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q14_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    sums = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("is_promo"), rev).otherwise(
+                F.lit(0).cast(DEC)
+            )).alias("promo"),
+            F.sum(rev).alias("total"),
+        )
+    )
+    return sums.select(
+        (
+            F.lit(100.0) * F.col("promo").cast("double")
+            / F.col("total").cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+QUERIES_PENDING["rel_filter_agg_q6"] = q_rel_filter_agg_q6
+QUERIES_PENDING["rel_priority_mix_q12"] = q_rel_priority_mix_q12
+QUERIES_PENDING["rel_promo_share_q14"] = q_rel_promo_share_q14
+
+ORACLES_PENDING["rel_filter_agg_q6"] = f"""
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount
+                         AS {DEC.upper()})) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+      AND l_shipdate < TIMESTAMP '{Q6_HI}'
+      AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY_MAX}
+"""
+
+ORACLES_PENDING["rel_priority_mix_q12"] = f"""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR_LO}'
+      AND l_shipdate < TIMESTAMP '{Q12_YEAR_HI}'
+      AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+    GROUP BY 1
+"""
+
+ORACLES_PENDING["rel_promo_share_q14"] = f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN CAST(l_extendedprice * (1 - l_discount)
+                             AS {DEC.upper()})
+                   ELSE CAST(0 AS {DEC.upper()}) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS {DEC.upper()})) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
+      AND l_shipdate < TIMESTAMP '{Q14_HI}'
+"""

@@ -54,3 +54,23 @@ def test_token_budget_watermark_semantics(spark, sf_smoke):
                 # prefix property: no kept doc after the first drop
                 assert not seen_drop, (src, r)
             cum = r["cum_tokens"]
+
+
+def test_q6_predicates_reach_the_scan(spark, sf_smoke):
+    """Q6's whole value is the scan shape: the date window, discount
+    band and quantity cap must all be in the parquet scan's
+    PushedFilters, and the aggregate must have a map-side partial."""
+    from duckdb_parquet_parser_spark.operators.pending_r14 import (
+        q_rel_filter_agg_q6,
+    )
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_rel_filter_agg_q6(spark, sf_smoke))
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "partial_sum" in plan
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree and "Window" not in tree
