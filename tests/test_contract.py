@@ -51,9 +51,18 @@ def test_bench_headline_is_declared():
     queries, oracles = collect_queries()
     missing = [n for n in bench.HEADLINE if n not in queries]
     assert missing == []
-    assert bench.ORACLE_SKIP_AT_BENCH_SF <= set(bench.HEADLINE)
+    # a bench-SF oracle skip must name a DECLARED query (r13: the skip
+    # set may include non-headline queries — ns_dedup_components_converged
+    # is skipped AND deliberately not a row, since its Spark plan is the
+    # ns_dedup_components pipeline verbatim and a wall with no
+    # denominator would distort the aggregate)
+    assert bench.ORACLE_SKIP_AT_BENCH_SF <= set(queries)
     # skipped-at-bench oracles still exist for the sf0.01 correctness gate
     assert all(n in oracles for n in bench.ORACLE_SKIP_AT_BENCH_SF)
+    # waiver rows must be headline rows with oracles (their legs need a
+    # denominator to adjudicate against)
+    assert bench.WAIVER_ROWS <= set(bench.HEADLINE)
+    assert all(n in oracles for n in bench.WAIVER_ROWS)
 
 
 def test_cert_ledger_in_coverage_is_current():
