@@ -88,10 +88,13 @@ def _decode_with(ordered_codecs, payload: bytes):
             # poison-row policy into a task failure. Validate the
             # contract at the seam and route violations to the same
             # degrade path as a corrupt payload.
+            shape = getattr(img, "shape", None)
             if (
                 getattr(img, "ndim", None) != 3
-                or img.shape[2] != 3
-                or str(img.dtype) != "uint8"
+                or shape is None
+                or len(shape) != 3
+                or shape[2] != 3
+                or str(getattr(img, "dtype", None)) != "uint8"
             ):
                 raise ValueError(
                     f"plugin decoder for magic {magic!r} returned "
