@@ -388,14 +388,18 @@ def _compact_summary(
     # denominators and the warm/median ratio — everything the waiver's
     # adjudication needs, ahead of "ratio" so truncation passes (which
     # only shrink the ratio dict) can never drop it
+    # keyed off WAIVER_ROWS, not waiver_duck_reps: a failed DuckDB
+    # denominator must not silently drop the MEASURED Spark legs (cold,
+    # jobs, warm) from the driver artifact — the flaky-denominator case
+    # is exactly when those legs matter (code review r13)
     waiver = {}
-    for n in sorted(record.get("waiver_duck_reps", {})):
-        reps = record["waiver_duck_reps"][n]
-        med = sorted(reps)[len(reps) // 2]
+    for n in sorted(WAIVER_ROWS):
+        reps = record.get("waiver_duck_reps", {}).get(n)
+        med = sorted(reps)[len(reps) // 2] if reps else None
         warm = record["warm_shared"].get(n)
         waiver[n] = {
             "cold": record["queries"].get(n),
-            "jobs": record["waiver_jobs"].get(n),
+            "jobs": record.get("waiver_jobs", {}).get(n),
             "warm": warm,
             "duck_reps": reps,
             "warm_vs_med": (

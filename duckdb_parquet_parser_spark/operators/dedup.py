@@ -1038,7 +1038,10 @@ def connected_components_converged(
     components pipeline measures 29 jobs at sf0.1 (restated waiver
     budget ≤ 30 — the probe and the surfaced block-checkpoint jobs are
     the convergence price; the wall is BETTER: the checkpointed labels
-    cut warm_shared 3.38 → 2.79 s, BENCH_NOTES r13)."""
+    left the warm_shared leg flat-to-better across windows — 2.79 s in
+    the same-tree probe window, 3.23 s in the shipped BENCH_FULL window
+    vs r12's 3.38 s; warm_vs_med 1.30 ≤ the 1.5 condition —
+    BENCH_NOTES r13)."""
     from ..session import checkpoint_df
 
     if probe_every < 1:
@@ -1100,10 +1103,15 @@ def connected_components_converged(
             .count()
         )
         if changed == 0:
-            return (
-                nxt.select("doc", F.col("label").alias("component")),
-                rounds_done,
-            )
+            out = nxt.select("doc", F.col("label").alias("component"))
+            # propagate the checkpoint's persisted-RDD tag (ADVICE r8)
+            # through the rename so memo/bench callers can promptly free
+            # the label blocks — the projection wraps the SAME
+            # checkpointed plan, so the handle stays valid (code review
+            # r13: an untagged memoized frame made clear_cc_labels_memo
+            # a silent no-op)
+            out._graft_ckpt_rdd = getattr(nxt, "_graft_ckpt_rdd", None)
+            return out, rounds_done
         labels = nxt
     raise RuntimeError(
         f"connected_components_converged: no fixpoint within "
@@ -1159,8 +1167,9 @@ def q_ns_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     20 → 29 measured at sf0.1, restated waiver budget ≤ 30
     (tests/test_plans.py; floor-normalized 30 × 0.164 ≈ 4.9 s, still
     under the waiver's 5 s leg) — while the WALL improves: warm_shared
-    3.38 → 2.79 s because the consumer reads checkpointed labels instead
-    of re-carrying four unrolled rounds. The oracle stays
+    flat-to-better (2.79 s same-tree probe / 3.23 s shipped window vs
+    r12's 3.38 s; the consumer reads checkpointed labels instead of
+    re-carrying four unrolled rounds). The oracle stays
     the linear unrolled min-label chain (bench-runnable where the
     recursive closure is quadratic in the giant cluster); the parity
     check is now STRONGER than fixed-vs-unrolled ever was: the Spark side

@@ -66,13 +66,11 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions import DEC
 from ..session import checkpoint_df
-from .ngram_stats import (
-    LOGIT_BIAS,
-    LOGIT_W_CHARS,
-    LOGIT_W_DISTINCT,
-    LOGIT_W_TOKENS,
-    q_ns_quality_logit,
-)
+# ONE assembled logit-SQL fragment (curation.py) — a drifting copy here
+# would silently desynchronize the pending oracles' quality ordering
+# from the registered gates (code review r13)
+from .curation import _LOGIT_SQL
+from .ngram_stats import q_ns_quality_logit
 
 Q9_PART_TOKEN = "ol"  # p_name substring filter (TPC-H uses '%green%')
 
@@ -179,12 +177,6 @@ QUERIES_PENDING = {
     "rel_profit_q9": q_rel_profit_q9,
     "ns_token_budget_mix": q_ns_token_budget_mix,
 }
-
-_LOGIT_SQL = (
-    f"{LOGIT_BIAS} + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}"
-    f" + len(list_distinct(string_split(text, ' '))) * {LOGIT_W_DISTINCT}"
-    f" + length(text) * {LOGIT_W_CHARS}"
-)
 
 ORACLES_PENDING = {
     "rel_profit_q9": f"""

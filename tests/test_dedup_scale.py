@@ -485,13 +485,17 @@ def test_text_components_memo_shared(spark, sf_smoke):
     clear_simhash_memos()
     a = _text_components_materialized(spark, sf_smoke)
     assert _text_components_materialized(spark, sf_smoke) is a
+    # the memoized frame must carry the persisted-RDD tag, or the clears
+    # below are silent no-ops (code review r13 — the ADVICE-r8 leak class)
+    assert getattr(a, "_graft_ckpt_rdd", None) is not None
+    # snapshot BEFORE clearing: clear_cc_labels_memo genuinely frees the
+    # checkpointed blocks now, so the old frame must not be read after
+    labels_a = {r["doc"]: r["component"] for r in a.collect()}
     pairs_before = dict(_SIMHASH_PAIRS_MEMO)
     clear_cc_labels_memo()
     assert dict(_SIMHASH_PAIRS_MEMO) == pairs_before  # pairs survive
     b = _text_components_materialized(spark, sf_smoke)
     assert b is not a
     # and the recomputed labels agree with the originals
-    bb = b.withColumnRenamed("component", "c2")
-    assert (
-        a.join(bb, "doc").filter("component != c2").count() == 0
-    )
+    labels_b = {r["doc"]: r["component"] for r in b.collect()}
+    assert labels_a == labels_b

@@ -205,6 +205,13 @@ def _exact(sql: str) -> str:
 
 
 _COMPONENTS_EXACT = _exact(_DEDUP_ORACLES["ns_dedup_components"])
+# guard the embedding before the bare replace below: if curation.py's
+# f-string ever reformats the embedded components oracle, a silent
+# no-op replace would revert droprate to the under-converging unrolled
+# chain — the exact masking failure this test exists to close
+assert _DEDUP_ORACLES["ns_dedup_components"] in (
+    _CURATION_ORACLES["ns_source_droprate"]
+)
 _EXACT_ORACLES = {
     "ns_dedup_components": _COMPONENTS_EXACT,
     "ns_dedup_cluster_canonical": _exact(
