@@ -357,3 +357,53 @@ ORACLES_PENDING["rel_promo_share_q14"] = f"""
     WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
       AND l_shipdate < TIMESTAMP '{Q14_HI}'
 """
+
+
+TOKEN_MIX_SALTS = 32
+
+
+def per_source_token_keepers(
+    df: DataFrame, budget: int = SOURCE_TOKEN_BUDGET
+) -> DataFrame:
+    """Skew-safe KEPT-ONLY variant of the token-budget fill for 100 TB —
+    the ``per_source_keepers`` discipline applied to a running SUM
+    instead of a rank. Pruning argument: a row's global better-set (its
+    source's rows with higher (logit, -doc_id)) is a SUPERSET of its own
+    salt bucket's better-set, so its global starting offset
+    ``cum - n_tokens`` is ≥ the bucket-local one — a row already past
+    the watermark INSIDE its bucket is past it globally and can never be
+    kept. Phase 1 keeps each bucket's watermark prefix (≤ budget tokens
+    + one straddler per bucket); phase 2 re-runs the exact running sum
+    over ≤ SALTS × (prefix) candidate rows per source. Dropping
+    non-candidates cannot change the survivors' cumulative sums — every
+    dropped row sits strictly AFTER the global watermark, and the sum
+    only consumes rows before it (equivalence pinned in
+    tests/test_pending_r14.py).
+
+    Input: (doc_id, source, n_tokens, logit_micro); output: the keepers
+    with their exact global ``cum_tokens``.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("doc_id"), F.lit(TOKEN_MIX_SALTS))
+    )
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    local_cum = F.sum("n_tokens").over(
+        w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cands = (
+        salted.withColumn("_lc", local_cum)
+        .filter((F.col("_lc") - F.col("n_tokens")) < budget)
+        .drop("_salt", "_lc")
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        w_global.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cands.withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)
+    )

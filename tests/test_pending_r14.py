@@ -74,3 +74,53 @@ def test_q6_predicates_reach_the_scan(spark, sf_smoke):
     assert "partial_sum" in plan
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree and "Window" not in tree
+
+
+def test_skew_safe_token_keepers_equivalent(spark, sf_smoke):
+    """The salted two-phase token fill must return EXACTLY the
+    full-window variant's keepers with identical cumulative sums — the
+    docstring's pruning argument (past-the-watermark inside your own
+    bucket ⇒ past it globally), checked end-to-end, including on a
+    deliberately skewed one-megasource frame."""
+    import pyspark.sql.functions as F
+
+    from duckdb_parquet_parser_spark.operators.pending_r14 import (
+        SOURCE_TOKEN_BUDGET,
+        per_source_token_keepers,
+    )
+
+    full = q_ns_token_budget_mix(spark, sf_smoke)
+    want = {
+        (r["doc_id"], r["source"], r["cum_tokens"])
+        for r in full.filter("kept").collect()
+    }
+    base = full.select("doc_id", "source", "n_tokens", "logit_micro")
+    got = {
+        (r["doc_id"], r["source"], r["cum_tokens"])
+        for r in per_source_token_keepers(
+            base, SOURCE_TOKEN_BUDGET
+        ).collect()
+    }
+    assert got == want
+    # skewed: one megasource; reference computed driver-side
+    skewed = base.withColumn(
+        "source", F.when(F.col("doc_id") % 5 != 0, "mega").otherwise("rest")
+    )
+    got_mega = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in per_source_token_keepers(skewed, 900).collect()
+        if r["source"] == "mega"
+    }
+    rows = sorted(
+        (
+            (r["logit_micro"], r["doc_id"], r["n_tokens"])
+            for r in skewed.filter("source = 'mega'").collect()
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cum, expect = 0, set()
+    for _, doc, nt in rows:
+        if cum < 900:
+            expect.add((doc, cum + nt))
+        cum += nt
+    assert got_mega == expect
