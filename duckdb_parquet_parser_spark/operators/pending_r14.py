@@ -16,11 +16,14 @@ a rename, not new risk (VERDICT r12 #8 named both shapes).
   (supplier, part) = the minimum DECIMAL extended price that supplier
   ever shipped the part at, derived from lineitem itself. Plan: the
   p_name filter is pushed into the part scan and the small filtered
-  part set broadcasts; the derived cost table is ONE (partkey, suppkey)
-  map-side-combined aggregate, checkpointed, then equi-joined back on
-  the composite key; supplier→nation is a broadcast chain; orders joins
-  on orderkey for the year; ONE final exchange on (nation, year). All
-  money math is exact DECIMAL until the output cast.
+  part set broadcasts; the derived cost is a WINDOW MIN over
+  (partkey, suppkey) — one composite-key exchange of the fact rows,
+  replacing the aggregate-then-join-back shape that cost a second
+  composite-key exchange + a checkpoint + a SortMergeJoin (measured:
+  3 → 2 non-broadcast exchanges, plan-locked); supplier→nation is a
+  broadcast chain; orders joins on orderkey for the year; ONE final
+  exchange on (nation, year). All money math is exact DECIMAL until
+  the output cast.
 - ``ns_token_budget_mix`` — the per-source TOKEN-BUDGET greedy fill, the
   step after ``ns_source_cap`` in a real mixture pipeline: instead of
   capping by document COUNT, each provenance bucket is filled in quality
@@ -65,7 +68,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions import DEC
-from ..session import checkpoint_df
 # ONE assembled logit-SQL fragment (curation.py) — a drifting copy here
 # would silently desynchronize the pending oracles' quality ordering
 # from the registered gates (code review r13)
@@ -79,23 +81,28 @@ SOURCE_TOKEN_BUDGET = 600  # tokens per provenance bucket
 
 def q_rel_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by (nation, order-year) on name-filtered parts — TPC-H Q9
-    adapted to the derived supply-cost convention (module docstring)."""
+    adapted to the derived supply-cost convention (module docstring).
+
+    Plan note: the derived cost is a WINDOW MIN over (partkey, suppkey),
+    not a grouped-aggregate-then-join-back — the join-back shape was
+    built first and costs one MORE composite-key exchange plus a
+    checkpoint (both lineitem AND the cost table shuffle to the key,
+    then SortMergeJoin); the window gives every row its group minimum
+    off a single exchange of the fact rows. Same values by definition;
+    the oracle keeps the GROUP BY + join formulation, so the two
+    derivations are independent."""
     parts = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").contains(Q9_PART_TOKEN)
     ).select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem")
     # derived partsupp: min extended price per (part, supplier) over the
-    # FILTERED part set (the filter prunes before the aggregate both
-    # here and in the oracle, so the derived cost tables agree exactly)
+    # FILTERED part set (the filter prunes before the window both here
+    # and in the oracle, so the derived costs agree exactly)
     li_parts = li.join(
         F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
     )
-    cost = checkpoint_df(
-        li_parts.groupBy("l_partkey", "l_suppkey").agg(
-            F.min(F.col("l_extendedprice").cast(DEC)).alias("ps_cost")
-        ),
-        eager=True,
-    ).withColumnsRenamed({"l_partkey": "c_partkey", "l_suppkey": "c_suppkey"})
+    w_ps = Window.partitionBy("l_partkey", "l_suppkey")
+    ps_cost = F.min(F.col("l_extendedprice").cast(DEC)).over(w_ps)
     supp_nation = F.broadcast(
         load_table(spark, sf_dir, "supplier").join(
             F.broadcast(load_table(spark, sf_dir, "nation")),
@@ -118,11 +125,7 @@ def q_rel_profit_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(4,0)")
     ).cast("decimal(28,6)")
     return (
-        li_parts.join(
-            cost,
-            (F.col("l_partkey") == F.col("c_partkey"))
-            & (F.col("l_suppkey") == F.col("c_suppkey")),
-        )
+        li_parts.withColumn("ps_cost", ps_cost)
         .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("n_name", "o_year")

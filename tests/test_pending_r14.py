@@ -124,3 +124,26 @@ def test_skew_safe_token_keepers_equivalent(spark, sf_smoke):
             expect.add((doc, cum + nt))
         cum += nt
     assert got_mega == expect
+
+
+def test_q9_window_plan_shape(spark, sf_smoke):
+    """Q9's scale contract: the derived supply cost is a window min
+    (ONE composite-key exchange of the fact rows — not an
+    aggregate-then-join-back, which costs a second exchange + a
+    SortMergeJoin); the p_name filter reaches the part scan; at most
+    two non-broadcast exchanges total (window + final group)."""
+    from duckdb_parquet_parser_spark.operators.pending_r14 import (
+        q_rel_profit_q9,
+    )
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_rel_profit_q9(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "Window" in tree
+    assert "StringContains(p_name" in plan or "Contains(p_name" in plan
+    nbe = [
+        ln for ln in tree.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(nbe) <= 2, nbe
