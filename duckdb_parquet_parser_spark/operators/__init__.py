@@ -110,10 +110,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # (4) ONE new query: ns_mm_png_features (operators/png_media.py — real
 # zlib-compressed PNG decode through the media_codecs plug seam);
 # (5) THREE floats from the oldest parked block (r11-certified
-# rel_date_string_funcs / rel_json_map_funcs / rel_outer_join): the r14
-# must-rotate forecast is an 89-query bulge (49 r11 + 40-ish r12 certs
-# age together) — a >50 window is impossible, so the only lever is
-# pre-certifying the oldest parked certs whenever head slots are free.
+# rel_date_string_funcs / rel_json_map_funcs / rel_outer_join):
+# pre-certifying the oldest parked certs whenever head slots are free
+# keeps every future must-rotate block under 50 — with this head the
+# ledger's r14 forecast is the 46 remaining r11 certs (what would have
+# been an 89-query bulge had the r10 block not fully rotated here).
 # 40 + 5 + 1 + 1 + 3 = 50; the window is exactly full.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
@@ -125,8 +126,8 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # oldest-first, with the r12 block close behind (the bulge). Trust the
 # ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r11-certified (46 of 49) — 3 floated into the r13 head to
-    # pre-trim the 89-query r14 bulge (oldest-certs-first)
+    # r11-certified (46 of 49; 3 floated into the r13 head,
+    # oldest-certs-first) — the r14 must-rotate block
     "ns_mm_image_dedup_cluster",
     "ns_mm_audio_dedup_cluster",
     "ns_mm_video_dedup_cluster",

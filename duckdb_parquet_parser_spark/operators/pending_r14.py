@@ -2,8 +2,10 @@
 13, deliberately NOT registered in ``operators/__init__.py``: the
 round-13 certification window is exactly full (50/50 — the 40-query
 rotation + 5 curation registrations + the embed re-cert + the PNG query
-+ 3 bulge-trimming floats), and the round-14 window is already forecast
-as an 89-query rotation bulge. Same staging discipline that shipped
++ 3 bulge-trimming floats), and the round-14 window already owes the
+46-query r11-certified rotation block (the ledger forecast — rotating
+all 40 r10 certs this round dissolved what would otherwise have been an
+89-query bulge). Same staging discipline that shipped
 cleanly as ``pending_r13`` → ``curation.py``: the differential runs
 every round via tests/test_pending_r14.py, so a future registration is
 a rename, not new risk (VERDICT r12 #8 named both shapes).

@@ -1,9 +1,10 @@
 """Round-14 pending queries (operators/pending_r14.py): the full
 query-vs-oracle differential runs HERE every round even though the
 queries aren't registered in the driver contract yet — the round-13
-window is exactly full and round 14 opens on an 89-query rotation
-bulge, so registration waits for free slots (the staging discipline
-that shipped pending_r13 → curation.py cleanly)."""
+window is exactly full and round 14 already owes the 46-query
+r11-certified rotation block, so registration waits for free slots
+(the staging discipline that shipped pending_r13 → curation.py
+cleanly)."""
 
 from __future__ import annotations
 
