@@ -58,6 +58,7 @@ from .multimodal_synth import (
 )
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+PNG_MAX_PIXELS = 64 * 1024 * 1024  # hostile-header decode bound (fuzz)
 PNG_POISON_MOD = 23  # doc_id % 23 == 0 -> GIF-magic payload (no codec)
 PNG_TRUNC_MOD = 29  # doc_id % 29 == 0 -> truncated PNG (plugin ValueError)
 
@@ -189,6 +190,15 @@ def decode_png(payload: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if w <= 0 or h <= 0:
         raise ValueError(f"PNG dimensions {w}x{h} not positive")
+    if w * h > PNG_MAX_PIXELS:
+        # hostile-header guard (found by the fuzz contract: a 2^31-pixel
+        # IHDR overflowed the inflate cap's C ssize_t and would otherwise
+        # drive a giant allocation) — decode refuses implausible frames
+        # loudly instead of attempting them
+        raise ValueError(
+            f"PNG dimensions {w}x{h} exceed the {PNG_MAX_PIXELS}-pixel "
+            "decode bound"
+        )
     if depth != 8 or color not in (0, 2) or comp or filt or interlace:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace}: "
@@ -196,14 +206,20 @@ def decode_png(payload: bytes):
             " register libpng/PIL through the same seam for the rest"
         )
     ch = 3 if color == 2 else 1
+    stride = w * ch
+    expected = h * (1 + stride)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # cap the inflate at expected+1 bytes: a decompression bomb (a
+        # tiny IDAT expanding to gigabytes) must cost one over-read byte
+        # and a ValueError, not the whole expansion (fuzz contract)
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    stride = w * ch
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected or not d.eof:
         raise ValueError(
-            f"PNG raster size {len(raw)} != {h * (1 + stride)}"
+            f"PNG raster size {len(raw)}{'+' if not d.eof else ''} != "
+            f"{expected}"
         )
     img = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

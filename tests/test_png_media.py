@@ -108,3 +108,66 @@ def test_png_payload_species():
     assert trunc[:8] == PNG_MAGIC
     with pytest.raises(ValueError):
         decode_png(trunc)
+
+
+def test_png_decoder_fuzz_contract():
+    """The triad fuzz contract extended to the plugin decoder: on
+    arbitrary or adversarial bytes, decode_png raises ONLY ValueError or
+    NotImplementedError (the kernel's degrade set) — never IndexError /
+    struct.error / zlib bombs / absurd allocation. The decompression cap
+    makes an expansion bomb cost one over-read byte, not the expansion."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(11)
+    payloads = [
+        bytes(rng.integers(0, 256, size=n, dtype=np.uint8).tobytes())
+        for n in (0, 1, 8, 13, 64, 4096)
+    ]
+    # adversarial: valid magic with hostile bodies
+    ihdr_huge = struct.pack(">IIBBBBB", 2**31 - 1, 2**31 - 1, 8, 2, 0, 0, 0)
+    ihdr_zero = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    ihdr_ok = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(bytes(50_000_000), 9)  # ~48 KB -> 50 MB
+    payloads += [
+        PNG_MAGIC,  # magic only
+        PNG_MAGIC + b"\xff\xff\xff\xff" + b"IHDR",  # lying chunk length
+        PNG_MAGIC + chunk(b"IHDR", ihdr_huge) + chunk(b"IEND", b""),
+        PNG_MAGIC + chunk(b"IHDR", ihdr_zero) + chunk(b"IEND", b""),
+        PNG_MAGIC + chunk(b"IHDR", ihdr_ok)
+        + chunk(b"IDAT", b"not zlib") + chunk(b"IEND", b""),
+        # decompression bomb behind a well-formed 4x4 header
+        PNG_MAGIC + chunk(b"IHDR", ihdr_ok)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b""),
+        # garbage filter byte on an otherwise valid raster
+        PNG_MAGIC + chunk(b"IHDR", ihdr_ok)
+        + chunk(b"IDAT", zlib.compress(b"\x07" + bytes(4) * 5))
+        + chunk(b"IEND", b""),
+        # missing IHDR
+        PNG_MAGIC + chunk(b"IEND", b""),
+    ]
+    # mutated valid PNGs: every byte position flipped once
+    base = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    for i in range(len(base)):
+        m = bytearray(base)
+        m[i] ^= 0xFF
+        payloads.append(bytes(m))
+    decoded, degraded = 0, 0
+    for p in payloads:
+        try:
+            img = decode_png(p)
+            assert img.shape[2] == 3 and str(img.dtype) == "uint8"
+            decoded += 1
+        except (ValueError, NotImplementedError):
+            degraded += 1
+    # every payload hit exactly one of the two contract outcomes
+    assert decoded + degraded == len(payloads)
+    assert degraded > len(payloads) - 10  # nearly all must degrade
