@@ -315,10 +315,14 @@ def q_rel_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("total"),
         )
     )
+    # zero-total guard (randomized fixtures can make every month-window
+    # revenue exactly 0): 0/0 is NaN in Spark but engine-defined in
+    # DuckDB — NULL the share when there is no revenue, on BOTH sides
     return sums.select(
-        (
+        F.when(
+            F.col("total") != 0,
             F.lit(100.0) * F.col("promo").cast("double")
-            / F.col("total").cast("double")
+            / F.col("total").cast("double"),
         ).alias("promo_revenue")
     )
 
@@ -356,8 +360,9 @@ ORACLES_PENDING["rel_promo_share_q14"] = f"""
                    THEN CAST(l_extendedprice * (1 - l_discount)
                              AS {DEC.upper()})
                    ELSE CAST(0 AS {DEC.upper()}) END) AS DOUBLE)
-           / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS {DEC.upper()})) AS DOUBLE) AS promo_revenue
+           / NULLIF(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS {DEC.upper()})) AS DOUBLE), 0)
+               AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '{Q14_LO}'
       AND l_shipdate < TIMESTAMP '{Q14_HI}'

@@ -148,3 +148,25 @@ def test_q9_window_plan_shape(spark, sf_smoke):
         if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
     ]
     assert len(nbe) <= 2, nbe
+
+
+@pytest.mark.parametrize("seed", [44, 5150])
+def test_pending_relational_on_random_fixtures(spark, tmp_path, seed):
+    """The staged relational shapes under randomized NULL/dangling-key
+    pressure (the registered queries' discipline, applied before
+    registration): reuse the relational family's generator — NULL
+    prices/discounts/quantities/dates, dangling order and part keys,
+    month-windows that can be empty or all-zero."""
+    import test_randomized_relational as rel
+
+    sf_dir = rel._make_fixture(tmp_path, seed)
+    for name in (
+        "rel_filter_agg_q6",
+        "rel_priority_mix_q12",
+        "rel_promo_share_q14",
+        "rel_profit_q9",
+    ):
+        res = compare_query(
+            spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
+        )
+        assert res.ok, res
