@@ -42,6 +42,12 @@ a rename, not new risk (VERDICT r12 #8 named both shapes).
   salted two-phase pre-prune as ``per_source_keepers`` (a row whose own
   salt bucket already exceeds the budget before it can never be kept).
 
+- ``ns_weighted_token_mix`` (bottom) — the VERDICT r12 #8 composition:
+  the ``ns_mixture_weights`` (lang, source) domain structure × the
+  token-budget fill, each domain allocated the uniform share of a
+  global token budget (broadcast-scalar domain count, never a driver
+  collect) and filled in quality order.
+
 Completing the TPC-H sweep (added in the same staging pass): the three
 remaining classic shapes the engine lacked —
 
@@ -417,3 +423,100 @@ def per_source_token_keepers(
         cands.withColumn("cum_tokens", cum)
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)
     )
+
+
+TOTAL_MIX_TOKENS = 20000  # global token budget to equalize across domains
+
+
+def q_ns_weighted_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-equalizing sampler VERDICT r12 #8 sketched: compose
+    the ``ns_mixture_weights`` domain structure with the token-budget
+    fill — each (lang, source) DOMAIN gets the uniform share of
+    ``TOTAL_MIX_TOKENS`` (the DoReMi-style equalized allocation that
+    ``ns_mixture_weights``' resampling weight targets), filled in
+    quality order with watermark-keep semantics. Integer floor division
+    for the per-domain budget on both sides.
+
+    Plan: the domain count is a 1-row broadcast off a distinct aggregate
+    (the Q11/Q22 broadcast-scalar discipline — never a driver collect);
+    ONE hash exchange on (lang, source) drives the rank/running-sum
+    window; the per-row token count and logit are zero-shuffle
+    projections. Skew path: ``per_source_token_keepers``' salted
+    pre-prune applies verbatim with the composite domain key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scored = q_ns_quality_logit(spark, sf_dir).select(
+        "doc_id", "logit_micro"
+    )
+    base = docs.join(scored, "doc_id")
+    n_domains = base.select("lang", "source").distinct().agg(
+        F.count(F.lit(1)).alias("n_domains")
+    )
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(n_domains))
+        .withColumn(
+            "domain_budget",
+            F.expr(f"{TOTAL_MIX_TOKENS} div n_domains").cast("long"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "domain_budget",
+            cum.alias("cum_tokens"),
+        )
+        .withColumn(
+            "kept",
+            (F.col("cum_tokens") - F.col("n_tokens"))
+            < F.col("domain_budget"),
+        )
+    )
+
+
+QUERIES_PENDING["ns_weighted_token_mix"] = q_ns_weighted_token_mix
+
+ORACLES_PENDING["ns_weighted_token_mix"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source,
+               CASE WHEN text IS NOT NULL
+                    THEN len(string_split(text, ' ')) ELSE 0
+               END AS n_tokens,
+               CAST(CASE WHEN text IS NOT NULL
+                         THEN {{logit}} ELSE NULL END AS BIGINT)
+                   AS logit_micro
+        FROM documents
+    ), base AS (
+        SELECT * FROM scored WHERE logit_micro IS NOT NULL
+    ), nd AS (
+        SELECT count(*) AS n_domains
+        FROM (SELECT DISTINCT lang, source FROM base)
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST({TOTAL_MIX_TOKENS} // n_domains AS BIGINT)
+               AS domain_budget,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY lang, source
+               ORDER BY logit_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           (sum(n_tokens) OVER (
+               PARTITION BY lang, source
+               ORDER BY logit_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens) < ({TOTAL_MIX_TOKENS} // n_domains) AS kept
+    FROM base, nd
+""".replace("{logit}", _LOGIT_SQL)
