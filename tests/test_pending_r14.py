@@ -170,3 +170,19 @@ def test_pending_relational_on_random_fixtures(spark, tmp_path, seed):
             spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
         )
         assert res.ok, res
+
+
+@pytest.mark.parametrize("seed", [55, 5151])
+def test_pending_token_mixes_on_random_docs(spark, tmp_path, seed):
+    """The staged token fills under the docs family's randomized
+    pressure: null texts (excluded from scoring on both sides), heavy
+    logit ties (duplicate docs), random (lang, source) domain shapes for
+    the weighted mix's broadcast-scalar domain count."""
+    import test_randomized_docs as docs
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    for name in ("ns_token_budget_mix", "ns_weighted_token_mix"):
+        res = compare_query(
+            spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
+        )
+        assert res.ok, res
