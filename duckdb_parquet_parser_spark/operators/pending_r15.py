@@ -1,0 +1,368 @@
+"""Round-15 PENDING queries — built and differentially tested in round
+13, deliberately NOT registered: the round-14 window is already
+over-subscribed (the 46-query r11-certified rotation block + the six
+``pending_r14`` registrations = 52 candidates for 50 slots), so this
+module is the NEXT tranche behind it. Same staging discipline that
+shipped ``pending_r13`` → ``curation.py``: the full query-vs-oracle
+differential runs every round via tests/test_pending_r15.py, so a
+future registration is a rename, not new risk.
+
+Three north-star (§2.5) capabilities a 100 TB training-data pipeline
+needs that the engine did not yet express:
+
+- ``ns_bloom_decontam`` — the BLOOM-FILTER membership pre-filter in
+  front of benchmark decontamination, completing the sketch family
+  (HLL cardinality, CMS frequency, histogram quantiles — membership
+  was the missing classic). The eval set's word n-grams set K md5-
+  derived bits in an M-bit filter; every corpus n-gram probes the
+  filter; a doc's bloom-hit count can only OVERcount its exact hit
+  count (no false negatives — the same one-sided bound the CMS row
+  certifies for frequencies). At 100 TB this is the shape that makes
+  decontamination cheap: the filter is CONSTANT-size (M bits,
+  broadcast to every executor) regardless of eval-set size, the
+  corpus side streams map-only through it, and only the tiny
+  bloom-positive remnant pays the exact verification join
+  (``ns_contamination``). M is deliberately NARROW (the CMS-width
+  discipline): the fixture eval set fills ~⅓ of 2048 bits so false
+  positives actually occur and the ``false_pos`` column certifies
+  the estimator; size M ∝ eval grams / ln2 · bits-per-element for
+  real benchmarks.
+- ``ns_epoch_shard`` — the deterministic GLOBAL SHUFFLE + shard
+  assignment every training run needs: each doc's shuffle key is
+  md5(epoch-seed : doc_id), its shard is a hash bucket of that key,
+  and its within-shard position is the rank of its key. Reproducible
+  across runs, engines, and cluster sizes (the ``ns_sample_stratified``
+  argument applied to ORDERING), and the scale shape is exactly one
+  hash exchange on ``shard`` + a per-shard sort — no global sort, no
+  single reducer. Changing EPOCH_SEED reshuffles; tests pin that
+  epochs 0/1 produce different orders while each is itself stable.
+- ``ns_embed_rp_project`` — Rademacher RANDOM PROJECTION of the
+  64-dim embeddings to ``RP_DIMS`` = 16 signed-integer coordinates: the
+  dimension-reduction step in front of clustering/ANN at scale
+  (JL lemma: ±1 projections preserve pairwise geometry in
+  expectation). The sign matrix derives from md5 (the
+  ``similarity.hyperplane_sign_bit`` convention, distinct 'rp:'
+  namespace) and each output coordinate accumulates in EXACT integer
+  micro-units (the LSH_QUANTUM discipline — round(x·1e9) per term
+  BEFORE summing), so the projection is bit-identical across engines
+  and certifiable by hash, not just recall-tested. The projection is
+  a zero-shuffle narrow map; tests additionally pin the geometry
+  claim (projected cosine tracks true cosine on the brute-force
+  top-k pairs vs random pairs).
+
+Reference analog: none (the reference has no curation/sketch surface);
+SURVEY.md §2.5 names dedup/similarity/text-analysis as first-class
+extension surface.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table, scale_out
+from .corpus import _hex_digit_sql
+from .similarity import DIM, LSH_QUANTUM
+from .text import CONTAM_N, EVAL_MOD, _CONTAM_GRAM_EXPR, _word_ngrams
+
+# ---------------------------------------------------------------------------
+# ns_bloom_decontam
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 8192  # filter bits — deliberately narrow (module docstring)
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_hx_sql(i: int, col: str = "g") -> str:
+    """Portable SQL (Spark + DuckDB) for bloom hash *i*'s md5 of a gram."""
+    return f"md5(concat('bf{i}:', {col}))"
+
+
+def _bloom_pos_sql(hcol: str) -> str:
+    """Portable SQL: first four md5 hex digits of ``hcol`` → 0..65535,
+    mod BLOOM_M — the CMS bucket convention, four digits because
+    M = 8192 needs 13 bits. M tuned on the fixture (BENCH_NOTES-style
+    measurement, not guessed): ~1.2k distinct eval grams at sf0.01 give
+    fill ≈ 0.35 and FPR ≈ 4% — ~1k real false positives over the ~26k
+    corpus probes exercise the ``false_pos`` column while the filter
+    still rejects >90% of clean grams (the usefulness the pre-filter
+    exists for)."""
+    assert BLOOM_M <= 16**4
+    acc = _hex_digit_sql(hcol, 1)
+    for i in (2, 3, 4):
+        acc = f"({acc} * 16 + {_hex_digit_sql(hcol, i)})"
+    return f"({acc} % {BLOOM_M})"
+
+
+def q_ns_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus-doc bloom-filter decontamination profile: distinct
+    eval-set n-grams set ``BLOOM_K`` md5 bits each in an ``BLOOM_M``-bit
+    filter; every distinct corpus n-gram probes it. Output per doc:
+    distinct grams, bloom hits, exact hits (the truth the filter
+    approximates), and the false-positive overcount — bloom_hits ≥
+    exact_hits BY CONSTRUCTION (a present gram's bits are all set), the
+    one-sided bound tests assert.
+
+    Scale shape: the bit table is ≤ M rows (constant, broadcast); the
+    corpus side is ONE narrow n-gram pass + a K-way posexplode against
+    the broadcast bits + one (doc, gram) partial-agg and one doc-level
+    agg — corpus grams never shuffle to a join, exactly how a 100 TB
+    decontamination pre-filter must behave. The exact-hit column joins
+    against the (small, broadcast) eval gram set only to CERTIFY the
+    filter; production keeps just the bloom verdict and routes the
+    positive remnant to ``ns_contamination``."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    grams = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    )
+    positions = F.array(
+        *[
+            F.expr(_bloom_pos_sql(f"h{i}"))
+            for i in range(BLOOM_K)
+        ]
+    )
+    with_h = [
+        F.expr(_bloom_hx_sql(i)).alias(f"h{i}") for i in range(BLOOM_K)
+    ]
+    bits = (
+        eval_grams.select("g", *with_h)
+        .select(F.explode(positions).alias("bit_pos"))
+        .distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    probe = corpus.select("doc_id", "g", *with_h).select(
+        "doc_id", "g", F.explode(positions).alias("bit_pos")
+    )
+    # a gram bloom-hits iff ALL K of its positions are set bits
+    gram_verdict = (
+        probe.join(F.broadcast(bits), "bit_pos")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .withColumn("bloom_hit", F.col("n_set") == BLOOM_K)
+    )
+    exact = corpus.join(
+        F.broadcast(eval_grams.withColumn("_ev", F.lit(1))), "g", "left"
+    ).select("doc_id", "g", F.col("_ev").isNotNull().alias("exact_hit"))
+    return (
+        exact.join(
+            gram_verdict.select("doc_id", "g", "bloom_hit"),
+            ["doc_id", "g"],
+            "left",
+        )
+        .withColumn(
+            "bloom_hit", F.coalesce(F.col("bloom_hit"), F.lit(False))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+            F.sum(F.col("exact_hit").cast("long")).alias("exact_hits"),
+        )
+        .withColumn(
+            "false_pos", F.col("bloom_hits") - F.col("exact_hits")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ns_epoch_shard
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 0
+N_SHARDS = 8
+
+
+def _shuffle_key_sql(seed: int) -> str:
+    """Portable SQL for the per-doc shuffle key of one epoch."""
+    return f"md5(concat('ep{seed}:', CAST(doc_id AS STRING)))"
+
+
+_SHUFFLE_KEY_DUCK = _shuffle_key_sql(EPOCH_SEED).replace(
+    "AS STRING", "AS VARCHAR"
+)
+
+
+def epoch_shard(df: DataFrame, seed: int = EPOCH_SEED) -> DataFrame:
+    """Deterministic epoch shuffle: md5 shuffle key, hash shard, rank
+    within shard. Library form so pipelines can run per-epoch seeds."""
+    key = F.expr(_shuffle_key_sql(seed))
+    shard = F.expr(
+        f"({_hex_digit_sql('shuffle_key', 1)} * 16 "
+        f"+ {_hex_digit_sql('shuffle_key', 2)}) % {N_SHARDS}"
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        df.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+    )
+
+
+def q_ns_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle for one epoch: every doc gets
+    a reproducible (shard, position) — stable across runs, engines and
+    cluster sizes, reshuffled by changing EPOCH_SEED. Scale shape: ONE
+    hash exchange on shard + a per-shard sort; no global sort, no single
+    reducer — the per-shard streams are what a loader reads in parallel."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shard(docs)
+
+
+# ---------------------------------------------------------------------------
+# ns_embed_rp_project
+# ---------------------------------------------------------------------------
+
+RP_DIMS = 16  # 64 → 16: 4× smaller vectors; measured neighbor-vs-random
+#               projected-cosine separation 0.34 vs 0.09 on the fixture
+#               (8 dims gave 0.27 vs 0.11 — too thin a margin to pin)
+
+
+def _rp_signs(j: int) -> list[int]:
+    """±1 Rademacher row j — high bit of hex digit (i mod 32) of
+    md5('rp:j:i'), the hyperplane_sign_bit convention in a distinct
+    namespace (constants, folded driver-side in BOTH engines)."""
+    signs = []
+    for i in range(DIM):
+        h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
+        signs.append(1 if h[i % 32] >= "8" else -1)
+    return signs
+
+
+def rp_coordinate(embedding, j: int):
+    """Projected coordinate j in exact integer micro-units: each
+    component quantized to round(x·1e9) BEFORE the signed sum — the
+    LSH_QUANTUM discipline, so the output is bit-identical across
+    engines (IEEE product + half-away-from-zero round + integer sum)."""
+    signs = _rp_signs(j)
+    return F.aggregate(
+        F.zip_with(
+            embedding,
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: F.round(
+                x.cast("double") * F.lit(LSH_QUANTUM)
+            ).cast("long")
+            * s,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_ns_embed_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rademacher random projection 64 → RP_DIMS in integer micro-units:
+    the dimension-reduction narrow map in front of clustering/ANN at
+    scale (4× fewer bytes per vector here; real pipelines go 1024 → 64).
+    Zero shuffle — a pure per-row projection; geometry preservation is
+    pinned in tests (projected cosine of true near-neighbors beats
+    random pairs)."""
+    emb = scale_out(spark, load_table(spark, sf_dir, "embeddings"))
+    return emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        *[
+            rp_coordinate(F.col("embedding"), j).alias(f"p{j}")
+            for j in range(RP_DIMS)
+        ],
+    )
+
+
+def _rp_coord_sql(j: int) -> str:
+    """DuckDB side of coordinate j — the _hp_sign_sql term chain without
+    the sign threshold."""
+    terms = []
+    for i, s in enumerate(_rp_signs(j)):
+        sign = "+" if s > 0 else "-"
+        terms.append(
+            f"{sign} CAST(round(CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * {LSH_QUANTUM:.1f}) AS BIGINT)"
+        )
+    return "(" + " ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES_PENDING_R15 = {
+    "ns_bloom_decontam": q_ns_bloom_decontam,
+    "ns_epoch_shard": q_ns_epoch_shard,
+    "ns_embed_rp_project": q_ns_embed_rp_project,
+}
+
+_BLOOM_POS = [_bloom_pos_sql(f"h{i}") for i in range(BLOOM_K)]
+
+ORACLES_PENDING_R15 = {
+    "ns_bloom_decontam": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id, {_CONTAM_GRAM_EXPR} AS g
+            FROM t, (SELECT unnest(range(1, 4000)) AS i)
+            WHERE i + {CONTAM_N - 1} <= len(ws)
+        ),
+        eg AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        eh AS (
+            SELECT g, {", ".join(f"md5(concat('bf{i}:', g)) AS h{i}" for i in range(BLOOM_K))}
+            FROM eg
+        ),
+        bits AS (
+            {" UNION ".join(f"SELECT {p} AS bit_pos FROM eh" for p in _BLOOM_POS)}
+        ),
+        corpus AS (
+            SELECT doc_id, g,
+                   {", ".join(f"md5(concat('bf{i}:', g)) AS h{i}" for i in range(BLOOM_K))}
+            FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+        ),
+        verdicts AS (
+            SELECT doc_id, g,
+                   ({" AND ".join(f"{p} IN (SELECT bit_pos FROM bits)" for p in _BLOOM_POS)})
+                       AS bloom_hit,
+                   g IN (SELECT g FROM eg) AS exact_hit
+            FROM corpus
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_hits,
+               CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_hits,
+               CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS false_pos
+        FROM verdicts
+        GROUP BY doc_id
+    """,
+    "ns_epoch_shard": f"""
+        WITH keyed AS (
+            SELECT doc_id, {_SHUFFLE_KEY_DUCK} AS shuffle_key
+            FROM documents
+        )
+        SELECT doc_id, shuffle_key,
+               CAST(({_hex_digit_sql('shuffle_key', 1)} * 16
+                     + {_hex_digit_sql('shuffle_key', 2)}) % {N_SHARDS}
+                    AS INT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY ({_hex_digit_sql('shuffle_key', 1)} * 16
+                                 + {_hex_digit_sql('shuffle_key', 2)})
+                                % {N_SHARDS}
+                   ORDER BY shuffle_key, doc_id
+               ) AS INT) AS pos
+        FROM keyed
+    """,
+    "ns_embed_rp_project": f"""
+        SELECT vec_id,
+               {", ".join(f"{_rp_coord_sql(j)} AS p{j}" for j in range(RP_DIMS))}
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+    """,
+}
