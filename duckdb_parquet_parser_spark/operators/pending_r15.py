@@ -137,32 +137,40 @@ def q_ns_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-    probe = corpus.select("doc_id", "g", *with_h).select(
-        "doc_id", "g", F.explode(positions).alias("bit_pos")
-    )
-    # a gram bloom-hits iff ALL K of its positions are set bits
-    gram_verdict = (
-        probe.join(F.broadcast(bits), "bit_pos")
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("n_set"))
-        .withColumn("bloom_hit", F.col("n_set") == BLOOM_K)
-    )
-    exact = corpus.join(
+    # exact_hit attaches via a BROADCAST left join (eval grams are tiny)
+    # BEFORE the position explode, so it rides through the one
+    # (doc, gram) aggregation for free — a second corpus-sized
+    # (doc, gram) join to re-attach it would shuffle the gram table
+    # twice for nothing
+    base = corpus.join(
         F.broadcast(eval_grams.withColumn("_ev", F.lit(1))), "g", "left"
-    ).select("doc_id", "g", F.col("_ev").isNotNull().alias("exact_hit"))
+    ).select(
+        "doc_id", "g", F.col("_ev").isNotNull().alias("exact_hit"), *with_h
+    )
+    probe = base.select(
+        "doc_id",
+        "g",
+        "exact_hit",
+        F.explode(positions).alias("bit_pos"),
+    )
+    # a gram bloom-hits iff ALL K of its positions are set bits; the
+    # bit-table lookup is a broadcast LEFT join so missing positions
+    # count 0 instead of dropping the gram
+    marked = probe.join(
+        F.broadcast(bits.withColumn("_set", F.lit(1))), "bit_pos", "left"
+    )
+    per_gram = marked.groupBy("doc_id", "g", "exact_hit").agg(
+        F.sum(
+            F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+        ).alias("n_set")
+    )
     return (
-        exact.join(
-            gram_verdict.select("doc_id", "g", "bloom_hit"),
-            ["doc_id", "g"],
-            "left",
-        )
-        .withColumn(
-            "bloom_hit", F.coalesce(F.col("bloom_hit"), F.lit(False))
-        )
-        .groupBy("doc_id")
+        per_gram.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+            F.sum(
+                (F.col("n_set") == BLOOM_K).cast("long")
+            ).alias("bloom_hits"),
             F.sum(F.col("exact_hit").cast("long")).alias("exact_hits"),
         )
         .withColumn(

@@ -160,3 +160,96 @@ def test_bloom_positions_cover_the_filter(spark, sf_correct):
     assert all(0 <= p < BLOOM_M for p in ps)
     # spread: set bits touch all 8 coarse octants of the filter
     assert len({p * 8 // BLOOM_M for p in ps}) == 8
+
+
+# --- plan locks: the 100 TB shapes these operators exist for ---
+
+
+def test_bloom_plan_all_joins_broadcast(spark, sf_smoke):
+    """The pre-filter's scale argument: corpus grams NEVER shuffle into
+    a join — the bit table and the eval gram set ride broadcast joins;
+    the only hash exchanges are the (doc, gram) and doc aggregations."""
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_ns_bloom_decontam(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    # the only CORPUS-sized hash exchanges are the (doc, gram, exact)
+    # aggregation and the doc aggregation; the remaining ≤3 are the
+    # eval-side gram/bit distincts (data-tiny by the decontamination
+    # premise: benchmarks ≪ corpus)
+    import re
+
+    keys = [
+        m.split(",")[0].split("#")[0]
+        for m in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    ]
+    corpus_sized = [k for k in keys if k == "doc_id"]
+    assert len(corpus_sized) == 2, keys
+    assert len(keys) <= 5, keys
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_rp_projection_plan_is_narrow(spark, sf_smoke):
+    """The projection is a pure per-row map: no joins, no hash
+    exchange (scale_out's round-robin spread on the single-split
+    fixture is the only allowed exchange)."""
+    import re
+
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_ns_embed_rp_project(spark, sf_smoke))
+    assert "Join" not in plan
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_epoch_shard_plan_one_exchange(spark, sf_smoke):
+    """One hash exchange on shard drives the per-shard rank — no global
+    sort, no single-partition window."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        q_ns_epoch_shard,
+    )
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_ns_epoch_shard(spark, sf_smoke))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+# --- randomized-fixture differentials (the staging discipline) ---
+
+
+@pytest.mark.parametrize("seed", [66, 5152])
+def test_pending_r15_doc_queries_on_random_docs(spark, tmp_path, seed):
+    """Bloom decontamination + epoch shard under the randomized docs
+    generator: unicode grams, empty tokens after split, null texts —
+    md5-over-gram parity and the one-sided bound must hold on ANY
+    documents table."""
+    import test_randomized_docs as docs
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    for name in ("ns_bloom_decontam", "ns_epoch_shard"):
+        res = compare_query(
+            spark, sf_dir, name, QUERIES_PENDING_R15[name],
+            ORACLES_PENDING_R15[name],
+        )
+        assert res.ok, res
+
+
+@pytest.mark.parametrize("seed", [203, 5153])
+def test_pending_r15_projection_on_random_embeddings(spark, tmp_path, seed):
+    """The projection under the randomized embeddings generator: zero
+    vectors, subnormal-scale 'tiny' vectors (the round(x*1e9)
+    quantization edge seed 965 bit on), +-1e4 'large' vectors (BIGINT
+    headroom), exact duplicates."""
+    import test_randomized_embeddings as emb
+
+    sf_dir = emb._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark, sf_dir, "ns_embed_rp_project",
+        QUERIES_PENDING_R15["ns_embed_rp_project"],
+        ORACLES_PENDING_R15["ns_embed_rp_project"],
+    )
+    assert res.ok, res
