@@ -179,6 +179,80 @@ def q_ns_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_surviving_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAM-level bloom prefilter: the (doc_id, g) corpus pairs whose
+    gram bloom-hits. Because membership has no false negatives, every
+    gram actually shared with the eval set survives — so downstream
+    exact joins over the survivors are LOSSLESS while only ~9% of the
+    gram stream (fixture measurement; FPR + true hits) reaches them.
+    Granularity matters: DOC-level positivity is useless here (a 50-gram
+    doc is positive if ANY gram hits ⇒ ~90% of docs), the per-gram
+    remnant is the thing the filter shrinks."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    grams = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    )
+    positions = F.array(
+        *[F.expr(_bloom_pos_sql(f"h{i}")) for i in range(BLOOM_K)]
+    )
+    with_h = [F.expr(_bloom_hx_sql(i)).alias(f"h{i}") for i in range(BLOOM_K)]
+    bits = (
+        eval_grams.select("g", *with_h)
+        .select(F.explode(positions).alias("bit_pos"))
+        .distinct()
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select("doc_id", "g", *with_h)
+        .select("doc_id", "g", F.explode(positions).alias("bit_pos"))
+    )
+    return (
+        probe.join(F.broadcast(bits), "bit_pos")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_K)
+        .select("doc_id", "g")
+    )
+
+
+def contamination_with_bloom_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production composition the filter exists for: run the EXACT
+    ``ns_contamination`` join over only the bloom-surviving grams.
+    Output-equal to the registered query (pinned in
+    tests/test_pending_r15.py — the join shape below deliberately
+    mirrors text.q_ns_contamination line for line; editing text.py
+    instead would drag ten certified queries back into a full window).
+    At 100 TB: the corpus gram stream passes one broadcast probe
+    map-side, and only the surviving few percent enter the exact
+    broadcast join + aggregation."""
+    from .text import CONTAM_MIN_SHARED
+
+    survivors = bloom_surviving_grams(spark, sf_dir)
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    eval_grams = (
+        df.filter(
+            F.col("text").isNotNull() & (F.col("doc_id") % EVAL_MOD == 0)
+        )
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.explode(_word_ngrams(ws, CONTAM_N)).alias("g"),
+        )
+    )
+    return (
+        survivors.join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+    )
+
+
 # ---------------------------------------------------------------------------
 # ns_epoch_shard
 # ---------------------------------------------------------------------------
@@ -221,6 +295,36 @@ def q_ns_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer — the per-shard streams are what a loader reads in parallel."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return epoch_shard(docs)
+
+
+def write_training_shards(
+    docs: DataFrame, out_dir: str, seed: int = EPOCH_SEED
+) -> None:
+    """Materialize one epoch's training order: ``epoch_shard`` the docs,
+    route each shard WHOLE to one task (``repartition(N_SHARDS,
+    shard)`` — hash of a constant is constant, so a shard never splits
+    across tasks ⇒ exactly one file per shard directory), sort within
+    the task by (shard, pos), and write a hive-partitioned parquet
+    layout ``shard=K/part-*.parquet`` whose in-file row order IS the
+    training order — what a data loader consumes sequentially per
+    shard, no shuffle at read time. Scale: one hash exchange + a
+    per-task sort, the same cost as the shard query itself; at 100 TB
+    raise N_SHARDS so a shard fits a task (shards/loader-workers are
+    the same knob).
+
+    Order-preservation is pinned in tests/test_pending_r15.py by
+    reading the files back file-order (pyarrow) and comparing against
+    the query's (shard, pos) assignment."""
+    sharded = epoch_shard(docs.select("doc_id"), seed=seed).join(
+        docs, "doc_id"
+    )
+    (
+        sharded.repartition(N_SHARDS, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -238,6 +238,68 @@ def test_pending_r15_doc_queries_on_random_docs(spark, tmp_path, seed):
         assert res.ok, res
 
 
+def test_bloom_prefilter_is_lossless_for_contamination(spark, sf_correct):
+    """The production composition the filter exists for: because bloom
+    membership has no false negatives, restricting the exact
+    contamination join to bloom-POSITIVE docs loses nothing — the
+    remnant's contamination rows equal the full corpus's, and the
+    remnant is a small fraction of the corpus (the cost the filter
+    saves)."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        bloom_surviving_grams,
+        contamination_with_bloom_prefilter,
+    )
+    from duckdb_parquet_parser_spark.operators.text import q_ns_contamination
+
+    full = {
+        (r["doc_id"], r["eval_doc_id"], r["shared_ngrams"])
+        for r in q_ns_contamination(spark, sf_correct).collect()
+    }
+    pre = {
+        (r["doc_id"], r["eval_doc_id"], r["shared_ngrams"])
+        for r in contamination_with_bloom_prefilter(
+            spark, sf_correct
+        ).collect()
+    }
+    assert pre == full and full
+    # and the remnant really is small — the cost the filter saves
+    rows = q_ns_bloom_decontam(spark, sf_correct).collect()
+    total_grams = sum(r["n_grams"] for r in rows)
+    survivors = bloom_surviving_grams(spark, sf_correct).count()
+    assert survivors < total_grams / 5, (survivors, total_grams)
+
+
+def test_write_training_shards_materializes_the_order(spark, tmp_path):
+    """One file per shard directory; each file's row order is exactly
+    the epoch's (shard, pos) training order."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        epoch_shard,
+        write_training_shards,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out)
+    expected: dict = {}
+    for r in epoch_shard(docs.select("doc_id")).collect():
+        expected.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    seen_shards = set()
+    for d in sorted(glob.glob(out + "/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        seen_shards.add(shard)
+        files = sorted(glob.glob(d + "/*.parquet"))
+        assert len(files) == 1, files  # a shard never splits across tasks
+        got = pq.read_table(files[0], columns=["doc_id"])["doc_id"].to_pylist()
+        want = [doc for _, doc in sorted(expected[shard])]
+        assert got == want, shard
+    assert seen_shards == set(expected)
+
+
 @pytest.mark.parametrize("seed", [203, 5153])
 def test_pending_r15_projection_on_random_embeddings(spark, tmp_path, seed):
     """The projection under the randomized embeddings generator: zero
