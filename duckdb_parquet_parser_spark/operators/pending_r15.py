@@ -397,6 +397,107 @@ def _rp_coord_sql(j: int) -> str:
     return "(" + " ".join(terms) + ")"
 
 
+RP_SHORTLIST = 100  # stage-1 candidates per query before the float re-rank
+# Measured on the fixture (sf0.01, 2000 near-isotropic vectors):
+# recall@10 = 0.44 / 0.56 / 0.76 at shortlist 50 / 100 / 200 — the JL
+# distortion of a 16-dim ±1 projection (ε ≈ √(ln n / d)) is large
+# relative to this fixture's thin cosine margins, so the projection is
+# the COARSE first stage; `quantized_ann` (4× bytes, recall 1.0 at the
+# same k) is the high-fidelity candidate scorer when margins are thin.
+# Real embedding corpora have far sharper neighbor structure AND use
+# shortlists that are a vanishing fraction of N, both of which push
+# recall up; the test pins the monotone shortlist→recall curve and the
+# measured floors rather than pretending a lossless shortcut.
+
+
+def _proj_array(df: DataFrame) -> DataFrame:
+    """Collapse the p0..p{RP_DIMS-1} coordinates into one array column
+    (kept separate in the certified-shape query so the oracle compares
+    scalar columns)."""
+    return df.select(
+        "vec_id",
+        F.array(*[F.col(f"p{j}").cast("double") for j in range(RP_DIMS)])
+        .alias("pvec"),
+    )
+
+
+def knn_rp_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int | None = None,
+    shortlist: int = RP_SHORTLIST,
+) -> DataFrame:
+    """Two-stage retrieval on the projection: stage 1 scores ALL
+    candidates in the 16-dim projected space (4× less data than the
+    float vectors — the byte-budget argument of ``quantized_ann``, here
+    bought with dimensionality instead of precision), keeps a
+    ``shortlist`` per query; stage 2 re-ranks ONLY the shortlist with
+    exact float cosine. Approximation-by-construction, so its metric is
+    recall@k vs the exact brute force (tests pin it), not SQL parity —
+    the ``ann_lsh_topk``/``knn_bruteforce_quantized`` adjudication.
+
+    Scale shape: stage 1 is the broadcast-queries one-pass sweep over
+    the small vectors; stage 2 touches float vectors for
+    N_QUERIES × shortlist rows only (an equi-join on vec_id, nothing
+    quadratic)."""
+    from .similarity import (
+        N_QUERIES,
+        TOP_K,
+        cosine_similarity,
+    )
+
+    if k is None:
+        k = TOP_K
+    proj = _proj_array(q_ns_embed_rp_project(spark, sf_dir))
+    pq = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("pvec").alias("q_pvec")
+    )
+    pcos = F.when(
+        F.sqrt(_dot("q_pvec", "q_pvec")) * F.sqrt(_dot("pvec", "pvec")) > 0,
+        _dot("q_pvec", "pvec")
+        / (F.sqrt(_dot("q_pvec", "q_pvec")) * F.sqrt(_dot("pvec", "pvec"))),
+    ).otherwise(F.lit(0.0))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("pcos").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        proj.withColumnRenamed("vec_id", "neighbor_id")
+        .crossJoin(F.broadcast(pq))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("pcos", pcos)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        cands.join(emb, cands.neighbor_id == emb.vec_id)
+        .join(F.broadcast(qe), "query_id")
+        .withColumn(
+            "cos", cosine_similarity(F.col("qvec"), F.col("embedding"))
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
