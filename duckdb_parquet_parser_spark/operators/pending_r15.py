@@ -499,6 +499,85 @@ def _dot(a: str, b: str):
 
 
 # ---------------------------------------------------------------------------
+# ns_span_scrub
+# ---------------------------------------------------------------------------
+
+SCRUB_N = 3  # span gram size (CONTAM_N convention)
+SCRUB_MIN_DOCS = 6  # a gram in ≥ this many docs marks boilerplate
+# Threshold measured on the fixture: at 6, 529 of 27 165 tokens (1.9%)
+# scrub across 126 docs and NO doc is annihilated; at 4 a quarter of
+# all tokens vanish (the corpus is built from a 31-word vocabulary, so
+# low thresholds classify ordinary trigrams as boilerplate). Real
+# corpora use the same knob against the same failure mode.
+
+
+def q_ns_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level repetition scrub — the Gopher/RefinedWeb boilerplate
+    treatment at span granularity: token positions covered by ANY
+    corpus-frequent ``SCRUB_N``-gram (one appearing in ≥ SCRUB_MIN_DOCS
+    distinct docs) are removed from the document; the rewritten text
+    ships with before/after token accounting. Unlike ``ns_text_
+    repetition`` (a per-doc SIGNAL) this is the TRANSFORM — the cleaned
+    corpus is the output.
+
+    Scale shape: gram occurrences are a narrow posexplode; the frequent
+    set is vocabulary-sized AFTER the ≥-threshold filter (boilerplate
+    is rare by definition) and broadcasts; covered positions aggregate
+    with ONE hash exchange on doc_id; the rewrite is a per-row
+    index-aware array filter (JVM-side, no Python). At 100 TB the
+    doc-frequency pass is the same two-level aggregation as
+    ``ns_vocab_topk``."""
+    from .ngram_stats import _all_word_ngrams
+
+    docs = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    occ = t.select(
+        "doc_id",
+        F.posexplode(_all_word_ngrams(F.col("ws"), SCRUB_N)).alias(
+            "gpos", "g"
+        ),
+    )
+    freq = (
+        occ.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .filter(F.col("d") >= SCRUB_MIN_DOCS)
+        .select("g")
+    )
+    cov = (
+        occ.join(F.broadcast(freq), "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[F.col("gpos") + F.lit(k + 1) for k in range(SCRUB_N)]
+                )
+            ).alias("tp"),  # 1-based token positions (gpos is 0-based)
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("tp").alias("cov"))
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda x, i: ~F.array_contains(F.col("cov"), i + F.lit(1)),
+    )
+    return (
+        t.join(cov, "doc_id", "left")
+        .withColumn(
+            "cov",
+            F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+        )
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            (F.size("ws") - F.size(kept)).cast("long").alias("n_scrubbed"),
+            F.array_join(kept, " ").alias("scrubbed_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 
@@ -506,7 +585,12 @@ QUERIES_PENDING_R15 = {
     "ns_bloom_decontam": q_ns_bloom_decontam,
     "ns_epoch_shard": q_ns_epoch_shard,
     "ns_embed_rp_project": q_ns_embed_rp_project,
+    "ns_span_scrub": q_ns_span_scrub,
 }
+
+_SCRUB_GRAM_EXPR = " || ' ' || ".join(
+    f"ws[i + {k}]" for k in range(SCRUB_N)
+)
 
 _BLOOM_POS = [_bloom_pos_sql(f"h{i}") for i in range(BLOOM_K)]
 
@@ -577,5 +661,48 @@ ORACLES_PENDING_R15 = {
                {", ".join(f"{_rp_coord_sql(j)} AS p{j}" for j in range(RP_DIMS))}
         FROM embeddings
         WHERE embedding IS NOT NULL
+    """,
+    "ns_span_scrub": f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        occ AS (
+            SELECT doc_id, i, {_SCRUB_GRAM_EXPR} AS g
+            FROM t, (SELECT unnest(range(1, 4000)) AS i)
+            WHERE i + {SCRUB_N - 1} <= len(ws)
+        ),
+        freq AS (
+            SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS d FROM occ GROUP BY g
+            ) WHERE d >= {SCRUB_MIN_DOCS}
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, i + k AS tp
+            FROM occ JOIN freq USING (g),
+                 (SELECT unnest(range(0, {SCRUB_N})) AS k)
+        ),
+        covl AS (
+            SELECT doc_id, list(tp) AS cov FROM cov GROUP BY doc_id
+        ),
+        rew AS (
+            SELECT t.doc_id, ws,
+                   list_filter(
+                       ws,
+                       (x, i) -> NOT list_contains(
+                           coalesce(cov, CAST([] AS BIGINT[])), i
+                       )
+                   ) AS kept
+            FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_tokens,
+               CAST(len(ws) - len(kept) AS BIGINT) AS n_scrubbed,
+               -- engine edge the sf0.1 differential caught: DuckDB's
+               -- array_to_string([]) is NULL where Spark's array_join
+               -- is '' — a fully-scrubbed doc (sf0.1 has 16-token docs
+               -- that are pure boilerplate) is DEFINED as '' on both
+               coalesce(array_to_string(kept, ' '), '') AS scrubbed_text
+        FROM rew
     """,
 }

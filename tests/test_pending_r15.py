@@ -218,6 +218,52 @@ def test_epoch_shard_plan_one_exchange(spark, sf_smoke):
     assert "SinglePartition" not in plan
 
 
+def test_span_scrub_semantics(spark, sf_correct):
+    """The transform's invariants beyond the hash: the scrubbed text is
+    an order-preserving subsequence of the original tokens; accounting
+    is exact; the fixture threshold scrubs a small-but-real fraction
+    (the measured 1.9%) without annihilating any sf0.01 doc."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        q_ns_span_scrub,
+    )
+
+    originals = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_correct, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    rows = q_ns_span_scrub(spark, sf_correct).collect()
+    assert len(rows) == len(originals)
+    scrubbed_total = sum(r["n_scrubbed"] for r in rows)
+    token_total = sum(r["n_tokens"] for r in rows)
+    assert 0.005 < scrubbed_total / token_total < 0.1
+    assert sum(1 for r in rows if r["n_scrubbed"] > 0) > 50
+    assert all(r["n_scrubbed"] < r["n_tokens"] for r in rows)  # sf0.01
+    for r in rows[:200]:
+        orig = originals[r["doc_id"]].split(" ")
+        kept = r["scrubbed_text"].split(" ") if r["scrubbed_text"] else []
+        assert len(kept) == r["n_tokens"] - r["n_scrubbed"], r["doc_id"]
+        it = iter(orig)
+        assert all(tok in it for tok in kept), r["doc_id"]  # subsequence
+
+
+def test_span_scrub_plan(spark, sf_smoke):
+    """Frequent grams broadcast into the occurrence join; no sort-merge
+    join, no cartesian; the corpus-sized exchanges are the two-level
+    doc-frequency aggregation and the per-doc cover aggregation."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        q_ns_span_scrub,
+    )
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_ns_span_scrub(spark, sf_smoke))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert plan.count("Arguments: hashpartitioning") <= 3
+
+
 def test_rp_rerank_recall_curve(spark, sf_correct):
     """Two-stage retrieval quality: recall@k vs the exact brute force
     is monotone in the stage-1 shortlist and meets the measured floors
@@ -263,7 +309,7 @@ def test_pending_r15_doc_queries_on_random_docs(spark, tmp_path, seed):
     import test_randomized_docs as docs
 
     sf_dir = docs._make_fixture(tmp_path, seed)
-    for name in ("ns_bloom_decontam", "ns_epoch_shard"):
+    for name in ("ns_bloom_decontam", "ns_epoch_shard", "ns_span_scrub"):
         res = compare_query(
             spark, sf_dir, name, QUERIES_PENDING_R15[name],
             ORACLES_PENDING_R15[name],
