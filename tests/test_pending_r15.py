@@ -264,6 +264,72 @@ def test_span_scrub_plan(spark, sf_smoke):
     assert plan.count("Arguments: hashpartitioning") <= 3
 
 
+def test_winnow_guarantee_and_duplicate_pairs(spark, sf_correct):
+    """The scheme's contract: identical docs have identical fingerprint
+    SETS (so every long-enough exact-duplicate pair surfaces in
+    ns_winnow_pairs with shared_fps = its full set size), and every doc
+    with ≥1 gram carries ≥1 fingerprint with density well under raw
+    gram hashing."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        WINNOW_MIN_SHARED,
+        q_ns_winnow_fingerprint,
+        q_ns_winnow_pairs,
+    )
+
+    fps: dict = {}
+    for r in q_ns_winnow_fingerprint(spark, sf_correct).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_correct, "documents")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    # every doc with >= WINNOW_K tokens fingerprints, at reduced density
+    n_grams_total = 0
+    for did, text in docs.items():
+        m = len(text.split(" ")) - 2
+        if m >= 1:
+            assert did in fps and len(fps[did]) >= 1, did
+            assert len(fps[did]) <= m, did
+            n_grams_total += m
+    assert sum(len(s) for s in fps.values()) < n_grams_total / 2
+    # pair soundness AND completeness against a direct Python
+    # recomputation over the fingerprint sets (the fixture's 24 pairs
+    # are heavy near-dups — no exact duplicate texts exist at sf0.01)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in q_ns_winnow_pairs(spark, sf_correct).collect()
+    }
+    assert pairs
+    for (a, b), shared in pairs.items():
+        assert a < b and shared == len(fps[a] & fps[b]) >= WINNOW_MIN_SHARED
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if len(fps[a] & fps[b]) >= WINNOW_MIN_SHARED
+    }
+    assert set(pairs) == expected
+
+
+def test_winnow_plans(spark, sf_smoke):
+    """Fingerprinting is one doc-keyed window exchange; the pair miner
+    is equi-join only — no cartesian, no nested-loop."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        q_ns_winnow_fingerprint,
+        q_ns_winnow_pairs,
+    )
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    pf = formatted_plan(q_ns_winnow_fingerprint(spark, sf_smoke))
+    assert "Join" not in pf
+    pp = formatted_plan(q_ns_winnow_pairs(spark, sf_smoke))
+    assert "CartesianProduct" not in pp
+    assert "BroadcastNestedLoopJoin" not in pp
+
+
 def test_rp_rerank_recall_curve(spark, sf_correct):
     """Two-stage retrieval quality: recall@k vs the exact brute force
     is monotone in the stage-1 shortlist and meets the measured floors
@@ -309,7 +375,13 @@ def test_pending_r15_doc_queries_on_random_docs(spark, tmp_path, seed):
     import test_randomized_docs as docs
 
     sf_dir = docs._make_fixture(tmp_path, seed)
-    for name in ("ns_bloom_decontam", "ns_epoch_shard", "ns_span_scrub"):
+    for name in (
+        "ns_bloom_decontam",
+        "ns_epoch_shard",
+        "ns_span_scrub",
+        "ns_winnow_fingerprint",
+        "ns_winnow_pairs",
+    ):
         res = compare_query(
             spark, sf_dir, name, QUERIES_PENDING_R15[name],
             ORACLES_PENDING_R15[name],
