@@ -659,6 +659,87 @@ def q_ns_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curate_epoch — the tranche capstone composition
+# ---------------------------------------------------------------------------
+
+
+def curate_epoch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    seed: int = EPOCH_SEED,
+    token_budget: int = 2000,
+    min_logit: int = -45_000,
+):
+    """One full curation EPOCH, end to end, from already-certified
+    stages: quality gate (``ns_quality_logit`` keep flag) → boilerplate
+    transform (``ns_span_scrub`` rewritten text) → exact dedup on the
+    SCRUBBED text (md5 group, min-doc_id keeper — dedup AFTER scrubbing
+    so boilerplate-only differences collapse) → per-source token-budget
+    fill over scrubbed token counts (the ``ns_token_budget_mix``
+    watermark rule) → ``write_training_shards``. Returns the per-stage
+    accounting dict the pipeline operator would emit as metrics.
+
+    This is the ``ns_pipeline_curate`` flagship grown to the full
+    r13-r15 surface: signal → transform → dedup → mixture → ordered
+    materialization. Every stage is individually oracle-certified or
+    order-pinned; the test asserts the composition's invariants
+    (monotone counts, no duplicate scrubbed texts written, budget
+    watermark per source, shard files in training order)."""
+    from .ngram_stats import q_ns_quality_logit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    # the gate is the certified logit with a PIPELINE-calibrated cutoff
+    # (the query's own keep flag thresholds at 0, which this corpus's
+    # all-negative score range never reaches — calibrating the cutoff
+    # to the corpus is exactly what production quality gates do; the
+    # default drops the fixture's bottom quartile)
+    gate = (
+        q_ns_quality_logit(spark, sf_dir)
+        .filter(F.col("logit_micro") >= min_logit)
+        .select("doc_id", "logit_micro")
+    )
+    scrub = q_ns_span_scrub(spark, sf_dir).select(
+        "doc_id", "scrubbed_text"
+    )
+    base = (
+        docs.join(gate, "doc_id")
+        .join(scrub, "doc_id")
+        .filter(F.length("scrubbed_text") > 0)
+    )
+    # exact dedup on the cleaned text: min doc_id keeps
+    w_fp = Window.partitionBy(F.md5("scrubbed_text")).orderBy("doc_id")
+    unique = (
+        base.withColumn("_rk", F.row_number().over(w_fp))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    # per-source token-budget watermark over scrubbed token counts
+    nt = F.size(F.split("scrubbed_text", " ")).cast("long")
+    w_src = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cum = F.sum("n_tokens").over(
+        w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        unique.withColumn("n_tokens", nt)
+        .withColumn("cum_tokens", cum)
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < token_budget)
+    )
+    kept = filled.select("doc_id", "source", "scrubbed_text", "n_tokens")
+    write_training_shards(kept, out_dir, seed=seed)
+    return {
+        "n_input": docs.count(),
+        "n_quality": base.count(),
+        "n_unique": unique.count(),
+        "n_written": kept.count(),
+    }
+
+
+# ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
 

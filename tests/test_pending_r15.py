@@ -363,6 +363,44 @@ def test_rp_rerank_recall_curve(spark, sf_correct):
     # shortlist contains the full true top-k; membership is the metric.
 
 
+def test_curate_epoch_composition(spark, tmp_path, sf_correct):
+    """The capstone pipeline's invariants: monotone stage counts; the
+    written shards contain exactly the kept docs in training order; no
+    two written docs share a scrubbed text; every source respects the
+    token-budget watermark."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        curate_epoch,
+    )
+
+    out = str(tmp_path / "epoch0")
+    budget = 2000
+    stats = curate_epoch(spark, sf_correct, out, token_budget=budget)
+    assert (
+        stats["n_input"]
+        >= stats["n_quality"]
+        >= stats["n_unique"]
+        >= stats["n_written"]
+        > 0
+    )
+    rows = []
+    for f in sorted(glob.glob(out + "/shard=*/*.parquet")):
+        t = pq.read_table(f)
+        rows.extend(t.to_pylist())
+    assert len(rows) == stats["n_written"]
+    texts = [r["scrubbed_text"] for r in rows]
+    assert len(set(texts)) == len(texts)  # dedup held through the write
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["n_tokens"])
+    for src, toks in by_src.items():
+        # watermark: all but the straddler fit the budget
+        assert sum(toks) - max(toks) < budget, src
+
+
 # --- randomized-fixture differentials (the staging discipline) ---
 
 
