@@ -7,8 +7,11 @@ shipped ``pending_r13`` → ``curation.py``: the full query-vs-oracle
 differential runs every round via tests/test_pending_r15.py, so a
 future registration is a rename, not new risk.
 
-Three north-star (§2.5) capabilities a 100 TB training-data pipeline
-needs that the engine did not yet express:
+Six north-star (§2.5) queries a 100 TB training-data pipeline needs
+that the engine did not yet express, plus library compositions
+(``write_training_shards``, ``knn_rp_rerank``,
+``contamination_with_bloom_prefilter``, ``curate_epoch``). The first
+three, in depth:
 
 - ``ns_bloom_decontam`` — the BLOOM-FILTER membership pre-filter in
   front of benchmark decontamination, completing the sketch family
@@ -26,7 +29,8 @@ needs that the engine did not yet express:
   discipline): the fixture eval set fills ~⅓ of 2048 bits so false
   positives actually occur and the ``false_pos`` column certifies
   the estimator; size M ∝ eval grams / ln2 · bits-per-element for
-  real benchmarks.
+  real benchmarks. (M was re-tuned 2048 → 8192 after the first
+  measurement saturated the filter — see ``_bloom_pos_sql``.)
 - ``ns_epoch_shard`` — the deterministic GLOBAL SHUFFLE + shard
   assignment every training run needs: each doc's shuffle key is
   md5(epoch-seed : doc_id), its shard is a hash bucket of that key,
@@ -49,6 +53,12 @@ needs that the engine did not yet express:
   a zero-shuffle narrow map; tests additionally pin the geometry
   claim (projected cosine tracks true cosine on the brute-force
   top-k pairs vs random pairs).
+
+The later additions: ``ns_span_scrub`` (the boilerplate TRANSFORM —
+token spans covered by corpus-frequent grams removed, rewritten text
+shipped) and ``ns_winnow_fingerprint`` / ``ns_winnow_pairs`` (MOSS
+winnowing overlap index + pair miner) — each documented at its
+definition.
 
 Reference analog: none (the reference has no curation/sketch surface);
 SURVEY.md §2.5 names dedup/similarity/text-analysis as first-class
