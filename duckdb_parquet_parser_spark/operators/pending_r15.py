@@ -26,11 +26,12 @@ three, in depth:
   corpus side streams map-only through it, and only the tiny
   bloom-positive remnant pays the exact verification join
   (``ns_contamination``). M is deliberately NARROW (the CMS-width
-  discipline): the fixture eval set fills ~⅓ of 2048 bits so false
-  positives actually occur and the ``false_pos`` column certifies
-  the estimator; size M ∝ eval grams / ln2 · bits-per-element for
-  real benchmarks. (M was re-tuned 2048 → 8192 after the first
-  measurement saturated the filter — see ``_bloom_pos_sql``.)
+  discipline): at M = 8192 the fixture eval set fills ~0.35 of the
+  filter, so false positives actually occur and the ``false_pos``
+  column certifies the estimator; size M ∝ eval grams / ln2 ·
+  bits-per-element for real benchmarks. (The first cut at M = 2048
+  measured SATURATED — 46/70 gram hits against 3 real ones — and was
+  re-tuned from the fixture numbers; see ``_bloom_pos_sql``.)
 - ``ns_epoch_shard`` — the deterministic GLOBAL SHUFFLE + shard
   assignment every training run needs: each doc's shuffle key is
   md5(epoch-seed : doc_id), its shard is a hash bucket of that key,
@@ -107,6 +108,34 @@ def _bloom_pos_sql(hcol: str) -> str:
     return f"({acc} % {BLOOM_M})"
 
 
+def _bloom_tables(spark: SparkSession, sf_dir: str):
+    """The shared filter-construction frames (ONE definition — the
+    profile query and the gram-level prefilter must build the SAME
+    filter or the lossless-composition test compares different
+    objects): corpus+eval gram stream, distinct eval grams, the K hash
+    columns, the position array, and the distinct set-bit table."""
+    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
+    ws = F.split("text", " ")
+    grams = df.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    )
+    with_h = [
+        F.expr(_bloom_hx_sql(i)).alias(f"h{i}") for i in range(BLOOM_K)
+    ]
+    positions = F.array(
+        *[F.expr(_bloom_pos_sql(f"h{i}")) for i in range(BLOOM_K)]
+    )
+    bits = (
+        eval_grams.select("g", *with_h)
+        .select(F.explode(positions).alias("bit_pos"))
+        .distinct()
+    )
+    return grams, eval_grams, with_h, positions, bits
+
+
 def q_ns_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-corpus-doc bloom-filter decontamination profile: distinct
     eval-set n-grams set ``BLOOM_K`` md5 bits each in an ``BLOOM_M``-bit
@@ -124,27 +153,8 @@ def q_ns_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the (small, broadcast) eval gram set only to CERTIFY the
     filter; production keeps just the bloom verdict and routes the
     positive remnant to ``ns_contamination``."""
-    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    grams = df.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
-    )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
-    )
-    positions = F.array(
-        *[
-            F.expr(_bloom_pos_sql(f"h{i}"))
-            for i in range(BLOOM_K)
-        ]
-    )
-    with_h = [
-        F.expr(_bloom_hx_sql(i)).alias(f"h{i}") for i in range(BLOOM_K)
-    ]
-    bits = (
-        eval_grams.select("g", *with_h)
-        .select(F.explode(positions).alias("bit_pos"))
-        .distinct()
+    grams, eval_grams, with_h, positions, bits = _bloom_tables(
+        spark, sf_dir
     )
     corpus = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
     # exact_hit attaches via a BROADCAST left join (eval grams are tiny)
@@ -198,22 +208,8 @@ def bloom_surviving_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Granularity matters: DOC-level positivity is useless here (a 50-gram
     doc is positive if ANY gram hits ⇒ ~90% of docs), the per-gram
     remnant is the thing the filter shrinks."""
-    df = scale_out(spark, load_table(spark, sf_dir, "documents"))
-    ws = F.split("text", " ")
-    grams = df.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_word_ngrams(ws, CONTAM_N)).alias("g")
-    )
-    eval_grams = (
-        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
-    )
-    positions = F.array(
-        *[F.expr(_bloom_pos_sql(f"h{i}")) for i in range(BLOOM_K)]
-    )
-    with_h = [F.expr(_bloom_hx_sql(i)).alias(f"h{i}") for i in range(BLOOM_K)]
-    bits = (
-        eval_grams.select("g", *with_h)
-        .select(F.explode(positions).alias("bit_pos"))
-        .distinct()
+    grams, _eval_grams, with_h, positions, bits = _bloom_tables(
+        spark, sf_dir
     )
     probe = (
         grams.filter(F.col("doc_id") % EVAL_MOD != 0)
@@ -349,7 +345,19 @@ RP_DIMS = 16  # 64 → 16: 4× smaller vectors; measured neighbor-vs-random
 def _rp_signs(j: int) -> list[int]:
     """±1 Rademacher row j — high bit of hex digit (i mod 32) of
     md5('rp:j:i'), the hyperplane_sign_bit convention in a distinct
-    namespace (constants, folded driver-side in BOTH engines)."""
+    namespace (constants, folded driver-side in BOTH engines).
+
+    Deliberate duplication note (review pass): this and
+    ``rp_coordinate``/``_rp_coord_sql`` mirror similarity.py's
+    ``hyperplane_sign_bit``/``_hp_sign_sql`` quantized-dot machinery
+    rather than share it — parameterizing the originals means editing
+    similarity.py, which drags its five certified queries back into an
+    already-full certification window (the same window-arithmetic
+    reason ``contamination_with_bloom_prefilter`` mirrors text.py).
+    Both copies are independently parity-locked (their oracle hash
+    tests), so a quantization-edge fix missed on one side fails CI
+    rather than silently diverging. Collapse onto one helper in the
+    round that next opens similarity.py."""
     signs = []
     for i in range(DIM):
         h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()
@@ -714,10 +722,16 @@ def curate_epoch(
     scrub = q_ns_span_scrub(spark, sf_dir).select(
         "doc_id", "scrubbed_text"
     )
+    # persisted: `base` feeds the dedup window AND its own count;
+    # `kept` feeds the shard write AND its count — without the persist
+    # each metric action re-runs the scrub's doc-frequency aggregation
+    # from the source files (the review-pass find; at the scale the
+    # docstring targets, the metrics would quadruple the epoch cost)
     base = (
         docs.join(gate, "doc_id")
         .join(scrub, "doc_id")
         .filter(F.length("scrubbed_text") > 0)
+        .persist()
     )
     # exact dedup on the cleaned text: min doc_id keeps
     w_fp = Window.partitionBy(F.md5("scrubbed_text")).orderBy("doc_id")
@@ -739,14 +753,24 @@ def curate_epoch(
         .withColumn("cum_tokens", cum)
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < token_budget)
     )
-    kept = filled.select("doc_id", "source", "scrubbed_text", "n_tokens")
-    write_training_shards(kept, out_dir, seed=seed)
-    return {
-        "n_input": docs.count(),
-        "n_quality": base.count(),
-        "n_unique": unique.count(),
-        "n_written": kept.count(),
-    }
+    kept = filled.select(
+        "doc_id", "source", "scrubbed_text", "n_tokens"
+    ).persist()
+    try:
+        write_training_shards(kept, out_dir, seed=seed)
+        return {
+            "n_input": docs.count(),
+            # gate passes counted at the GATE, not after the scrub
+            # join — a quality-kept doc that the scrub annihilates
+            # must not be attributed to gate attrition (review pass)
+            "n_quality": gate.count(),
+            "n_scrub_survivors": base.count(),
+            "n_unique": unique.count(),
+            "n_written": kept.count(),
+        }
+    finally:
+        kept.unpersist()
+        base.unpersist()
 
 
 # ---------------------------------------------------------------------------

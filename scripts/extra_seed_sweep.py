@@ -58,6 +58,20 @@ def main() -> int:
         ("multimodal", mm.test_multimodal_queries_match_oracles_on_random_fixtures),
     ]
 
+    # The PENDING tranches sweep too (added late round 13): the staged
+    # queries' randomized differentials otherwise only ever see their
+    # pinned pytest seeds, and the sweeps are where the real finds come
+    # from (seeds 5003, 22, 932, 965...). Same test bodies pytest runs.
+    import test_pending_r14 as p14
+    import test_pending_r15 as p15
+
+    families += [
+        ("pending-rel", p14.test_pending_relational_on_random_fixtures),
+        ("pending-docs", p14.test_pending_token_mixes_on_random_docs),
+        ("pending15-docs", p15.test_pending_r15_doc_queries_on_random_docs),
+        ("pending15-emb", p15.test_pending_r15_projection_on_random_embeddings),
+    ]
+
     spark = get_spark(master=args.master)
     failures: list[str] = []
     with tempfile.TemporaryDirectory(prefix="seed_sweep_") as tmp:

@@ -286,9 +286,11 @@ def test_winnow_guarantee_and_duplicate_pairs(spark, sf_correct):
         .collect()
     }
     # every doc with >= WINNOW_K tokens fingerprints, at reduced density
+    from duckdb_parquet_parser_spark.operators.pending_r15 import WINNOW_K
+
     n_grams_total = 0
     for did, text in docs.items():
-        m = len(text.split(" ")) - 2
+        m = len(text.split(" ")) - (WINNOW_K - 1)
         if m >= 1:
             assert did in fps and len(fps[did]) >= 1, did
             assert len(fps[did]) <= m, did
@@ -382,6 +384,7 @@ def test_curate_epoch_composition(spark, tmp_path, sf_correct):
     assert (
         stats["n_input"]
         >= stats["n_quality"]
+        >= stats["n_scrub_survivors"]
         >= stats["n_unique"]
         >= stats["n_written"]
         > 0
