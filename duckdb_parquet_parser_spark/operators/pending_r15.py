@@ -690,7 +690,10 @@ def curate_epoch(
     min_logit: int = -45_000,
 ):
     """One full curation EPOCH, end to end, from already-certified
-    stages: quality gate (``ns_quality_logit`` keep flag) → boilerplate
+    stages: quality gate (``ns_quality_logit`` keep flag) → benchmark
+    DECONTAMINATION (drop every doc the bloom-prefiltered exact
+    contamination join flags — the ``contamination_with_bloom_
+    prefilter`` composition doing its production job) → boilerplate
     transform (``ns_span_scrub`` rewritten text) → exact dedup on the
     SCRUBBED text (md5 group, min-doc_id keeper — dedup AFTER scrubbing
     so boilerplate-only differences collapse) → per-source token-budget
@@ -714,7 +717,7 @@ def curate_epoch(
     # all-negative score range never reaches — calibrating the cutoff
     # to the corpus is exactly what production quality gates do; the
     # default drops the fixture's bottom quartile)
-    gate = (
+    gate_q = (
         q_ns_quality_logit(spark, sf_dir)
         .filter(F.col("logit_micro") >= min_logit)
         .select("doc_id", "logit_micro")
@@ -722,6 +725,14 @@ def curate_epoch(
     scrub = q_ns_span_scrub(spark, sf_dir).select(
         "doc_id", "scrubbed_text"
     )
+    # decontamination: every doc flagged by the (lossless) bloom-
+    # prefiltered exact contamination join leaves the corpus — LEFT
+    # ANTI against the tiny flagged set; persisted because it feeds
+    # the base join AND the accounting count
+    contaminated = contamination_with_bloom_prefilter(
+        spark, sf_dir
+    ).select("doc_id").distinct()
+    gate = gate_q.join(contaminated, "doc_id", "left_anti").persist()
     # persisted: `base` feeds the dedup window AND its own count;
     # `kept` feeds the shard write AND its count — without the persist
     # each metric action re-runs the scrub's doc-frequency aggregation
@@ -760,10 +771,11 @@ def curate_epoch(
         write_training_shards(kept, out_dir, seed=seed)
         return {
             "n_input": docs.count(),
-            # gate passes counted at the GATE, not after the scrub
-            # join — a quality-kept doc that the scrub annihilates
-            # must not be attributed to gate attrition (review pass)
-            "n_quality": gate.count(),
+            # each stage counted AT its stage — a quality-kept doc the
+            # scrub annihilates must not read as gate attrition, nor a
+            # contaminated one as quality attrition (review pass)
+            "n_quality": gate_q.count(),
+            "n_decontam_survivors": gate.count(),
             "n_scrub_survivors": base.count(),
             "n_unique": unique.count(),
             "n_written": kept.count(),
@@ -771,6 +783,7 @@ def curate_epoch(
     finally:
         kept.unpersist()
         base.unpersist()
+        gate.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -384,11 +384,14 @@ def test_curate_epoch_composition(spark, tmp_path, sf_correct):
     assert (
         stats["n_input"]
         >= stats["n_quality"]
+        >= stats["n_decontam_survivors"]
         >= stats["n_scrub_survivors"]
         >= stats["n_unique"]
         >= stats["n_written"]
         > 0
     )
+    # decontamination really fired: the fixture's eval overlap is real
+    assert stats["n_decontam_survivors"] < stats["n_quality"]
     rows = []
     for f in sorted(glob.glob(out + "/shard=*/*.parquet")):
         t = pq.read_table(f)
