@@ -677,6 +677,128 @@ def q_ns_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ns_hll_set_algebra
+# ---------------------------------------------------------------------------
+
+
+def q_ns_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA over the per-source vocabularies: HLL registers
+    merge by register-wise MAX, so the union cardinality of two sources
+    costs one max over 2×64 rows — no data re-scan — and intersection
+    follows by inclusion-exclusion (est_a + est_b − est_union). This is
+    the property that makes sketches the 100 TB answer: per-partition
+    sketches combine associatively (map-side partials all the way up),
+    and CROSS-DATASET set questions (\"how much vocabulary do sources
+    share?\") are answered from stored constant-size state without
+    touching the data again. Exact baselines certify both estimates
+    (the CMS/HLL/quantile adjudication).
+
+    Determinism: registers are the certified ``ns_approx_distinct_hll``
+    machinery verbatim (imported, not copied); the final estimates are
+    doubles built from exact integers and INJECTED ln literals, so
+    est_a + est_b − est_union is bit-identical in both engines. The
+    pair×register join is a bounded BNLJ over literal-sized frames
+    (≤ #sources² × 64 rows — the quantile-sketch precedent)."""
+    from .corpus import (
+        _HLL_BUCKET_SQL,
+        _HLL_FINAL_SQL,
+        _HLL_RHO_SQL,
+        HLL_BUCKETS,
+        HLL_RHO_CAP,
+    )
+
+    df = load_table(spark, sf_dir, "documents")
+    words = df.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    h = words.select("source", F.md5("word").alias("hx"))
+    regs = (
+        h.select(
+            "source",
+            F.expr(_HLL_BUCKET_SQL).alias("bucket"),
+            F.expr(_HLL_RHO_SQL).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+    scale = 2**HLL_RHO_CAP
+
+    def est_from(grouped):
+        return grouped.agg(
+            (
+                F.sum(
+                    F.pow(F.lit(2.0), HLL_RHO_CAP - F.col("mr")).cast("long")
+                )
+                + (HLL_BUCKETS - F.count(F.lit(1))) * F.lit(scale)
+            ).alias("ssum"),
+            (HLL_BUCKETS - F.count(F.lit(1))).alias("v"),
+        ).withColumn("est", F.expr(_HLL_FINAL_SQL))
+
+    per_source = est_from(regs.groupBy("source")).select(
+        "source", F.col("est").alias("est_single")
+    )
+    srcs = words.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .crossJoin(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    merged = (
+        pairs.join(
+            regs,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b", "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )
+    union_est = est_from(merged.groupBy("src_a", "src_b")).select(
+        "src_a", "src_b", F.col("est").alias("est_union")
+    )
+    dw = words.distinct()
+    exact_union = (
+        pairs.join(
+            dw,
+            (F.col("source") == F.col("src_a"))
+            | (F.col("source") == F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.countDistinct("word").alias("n_exact_union"))
+    )
+    wa = dw.select(F.col("source").alias("src_a"), "word")
+    wb = dw.select(F.col("source").alias("src_b"), "word")
+    exact_int = (
+        wa.join(wb, "word")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_exact_intersect"))
+    )
+    ea = per_source.select(
+        F.col("source").alias("src_a"), F.col("est_single").alias("est_a")
+    )
+    eb = per_source.select(
+        F.col("source").alias("src_b"), F.col("est_single").alias("est_b")
+    )
+    return (
+        union_est.join(exact_union, ["src_a", "src_b"])
+        .join(exact_int, ["src_a", "src_b"])
+        .join(ea, "src_a")
+        .join(eb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_exact_union",
+            F.round("est_union", 2).alias("hll_union"),
+            "n_exact_intersect",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 2
+            ).alias("hll_intersect"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # curate_epoch — the tranche capstone composition
 # ---------------------------------------------------------------------------
 
@@ -965,3 +1087,75 @@ ORACLES_PENDING_R15 = {
         HAVING count(*) >= {WINNOW_MIN_SHARED}
     """,
 }
+
+
+def _hll_algebra_oracle() -> str:
+    from .corpus import (
+        _HLL_BUCKET_SQL,
+        _HLL_FINAL_SQL,
+        _HLL_RHO_SQL,
+        HLL_BUCKETS,
+        HLL_RHO_CAP,
+    )
+
+    scale = 2**HLL_RHO_CAP
+    ssum_v = (
+        f"sum(CAST(pow(2, {HLL_RHO_CAP} - mr) AS BIGINT))"
+        f" + ({HLL_BUCKETS} - count(*)) * {scale} AS ssum,"
+        f" {HLL_BUCKETS} - count(*) AS v"
+    )
+    return f"""
+        WITH words AS (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        h AS (SELECT source, md5(word) AS hx FROM words),
+        reg AS (
+            SELECT source, {_HLL_BUCKET_SQL} AS bucket, {_HLL_RHO_SQL} AS rho
+            FROM h
+        ),
+        m AS (
+            SELECT source, bucket, max(rho) AS mr FROM reg GROUP BY 1, 2
+        ),
+        srcs AS (SELECT DISTINCT source FROM words),
+        pairs AS (
+            SELECT a.source AS src_a, b.source AS src_b
+            FROM srcs a, srcs b WHERE a.source < b.source
+        ),
+        s1 AS (SELECT source, {ssum_v} FROM m GROUP BY source),
+        e1 AS (SELECT source, {_HLL_FINAL_SQL} AS est FROM s1),
+        mm AS (
+            SELECT src_a, src_b, bucket, max(mr) AS mr
+            FROM pairs JOIN m ON source = src_a OR source = src_b
+            GROUP BY 1, 2, 3
+        ),
+        su AS (SELECT src_a, src_b, {ssum_v} FROM mm GROUP BY 1, 2),
+        eu AS (SELECT src_a, src_b, {_HLL_FINAL_SQL} AS est_union FROM su),
+        dw AS (SELECT DISTINCT source, word FROM words),
+        xu AS (
+            SELECT src_a, src_b,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_exact_union
+            FROM pairs JOIN dw ON source = src_a OR source = src_b
+            GROUP BY 1, 2
+        ),
+        xi AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_exact_intersect
+            FROM dw a JOIN dw b
+              ON a.word = b.word AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT eu.src_a, eu.src_b, xu.n_exact_union,
+               round(est_union, 2) AS hll_union,
+               xi.n_exact_intersect,
+               round(ea.est + eb.est - est_union, 2) AS hll_intersect
+        FROM eu
+        JOIN xu USING (src_a, src_b)
+        JOIN xi USING (src_a, src_b)
+        JOIN e1 ea ON ea.source = eu.src_a
+        JOIN e1 eb ON eb.source = eu.src_b
+    """
+
+
+QUERIES_PENDING_R15["ns_hll_set_algebra"] = q_ns_hll_set_algebra
+ORACLES_PENDING_R15["ns_hll_set_algebra"] = _hll_algebra_oracle()
