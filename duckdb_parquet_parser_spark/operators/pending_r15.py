@@ -698,7 +698,13 @@ def q_ns_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles built from exact integers and INJECTED ln literals, so
     est_a + est_b − est_union is bit-identical in both engines. The
     pair×register join is a bounded BNLJ over literal-sized frames
-    (≤ #sources² × 64 rows — the quantile-sketch precedent)."""
+    (≤ #sources² × 64 rows — the quantile-sketch precedent).
+
+    Defined edge: a source pair whose EXACT intersection is empty has
+    no row in the per-pair intersection aggregate and therefore no
+    output row (inner join, identical on both sides) — the query
+    reports the algebra where there is overlap to estimate; an
+    all-pairs report would LEFT-join and zero-fill instead."""
     from .corpus import (
         _HLL_BUCKET_SQL,
         _HLL_FINAL_SQL,
