@@ -1165,3 +1165,11 @@ def _hll_algebra_oracle() -> str:
 
 QUERIES_PENDING_R15["ns_hll_set_algebra"] = q_ns_hll_set_algebra
 ORACLES_PENDING_R15["ns_hll_set_algebra"] = _hll_algebra_oracle()
+
+# The second real compressed format through the codec seam (gif_media
+# module docstring): staged here so its differential runs every round.
+from .gif_media import ORACLES as _GIF_ORACLES  # noqa: E402
+from .gif_media import QUERIES as _GIF_QUERIES  # noqa: E402
+
+QUERIES_PENDING_R15.update(_GIF_QUERIES)
+ORACLES_PENDING_R15.update(_GIF_ORACLES)
