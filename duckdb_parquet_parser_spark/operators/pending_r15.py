@@ -805,6 +805,210 @@ def q_ns_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ns_hll_incremental — persisted mergeable sketch state
+# ---------------------------------------------------------------------------
+
+HLLI_MOD = 10
+HLLI_REM = 7  # doc_id % HLLI_MOD == HLLI_REM → the "new batch" (~10%)
+HLL_ARTIFACT_VERSION = 1
+HLL_ARTIFACT_META = "_hll_meta.json"
+
+
+def _hll_artifact_path(sf_dir: str) -> str:
+    """Content-keyed per-user artifact dir (the dedup-signature
+    discipline: cache.py ownership checks; stale fingerprints of the
+    same source path pruned on the way in)."""
+    import os
+    import shutil
+
+    from ..cache import content_tags, per_user_cache_dir
+
+    base = per_user_cache_dir("sg_hll")
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry.startswith(f"{path_tag}_") and entry != name:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
+
+
+def _hll_source_registers(words: DataFrame) -> DataFrame:
+    """(source, bucket, mr) HLL registers — the certified
+    ns_approx_distinct_hll machinery keyed by source."""
+    from .corpus import _HLL_BUCKET_SQL, _HLL_RHO_SQL
+
+    return (
+        words.select("source", F.md5("word").alias("hx"))
+        .select(
+            "source",
+            F.expr(_HLL_BUCKET_SQL).alias("bucket"),
+            F.expr(_HLL_RHO_SQL).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("mr"))
+    )
+
+
+def q_ns_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL sketch-state maintenance, the production pattern the
+    sketch family exists for at 100 TB: run N persists the corpus's
+    per-source HLL registers as a versioned parquet artifact (sidecar
+    carries format version + sketch params — the
+    ``ns_dedup_incremental_persisted`` contract); run N+1 hashes ONLY
+    the new ~10% batch and MERGES its registers into the stored ones by
+    register-wise max. Because max is associative+commutative, the
+    merged state is EXACTLY the from-scratch state — not approximately:
+    the output's ``reg_fp`` column fingerprints the merged register
+    table, and the oracle computes its fingerprint from scratch over
+    the full corpus, so the hash comparison certifies
+    merge ≡ recompute bit-for-bit (the estimate column then inherits
+    the certified single-table HLL adjudication).
+
+    If no artifact exists for this exact table content, the corpus
+    slice is sketched and persisted first (that write IS the prior
+    run); on re-run only the batch is hashed. Scale: the artifact is
+    ≤ #sources × 64 rows regardless of corpus size — incremental
+    statistics cost O(batch) + O(state), never O(corpus)."""
+    import json
+
+    from ..sources.layout import _fs_read_text
+    from .dedup import _artifact_uri, _fs_move_text_into_place
+    from .corpus import HLL_BUCKETS, HLL_RHO_CAP, _HLL_FINAL_SQL
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    path = _hll_artifact_path(sf_dir)
+    uri = _artifact_uri(path)
+    meta_uri = f"{uri.rstrip('/')}/{HLL_ARTIFACT_META}"
+    text = _fs_read_text(spark, meta_uri)
+    if text is None:
+        corpus_regs = _hll_source_registers(
+            words.filter(F.col("doc_id") % HLLI_MOD != HLLI_REM)
+        )
+        corpus_regs.write.mode("overwrite").parquet(uri)
+        _fs_move_text_into_place(
+            spark,
+            meta_uri,
+            json.dumps(
+                {
+                    "hll_version": HLL_ARTIFACT_VERSION,
+                    "buckets": HLL_BUCKETS,
+                    "rho_cap": HLL_RHO_CAP,
+                }
+            ),
+        )
+        text = _fs_read_text(spark, meta_uri)
+    meta = json.loads(text)
+    if meta.get("hll_version") != HLL_ARTIFACT_VERSION:
+        raise ValueError(
+            f"HLL artifact version {meta.get('hll_version')!r} at {path}"
+            f" != engine version {HLL_ARTIFACT_VERSION}"
+        )
+    if (
+        meta.get("buckets") != HLL_BUCKETS
+        or meta.get("rho_cap") != HLL_RHO_CAP
+    ):
+        raise ValueError(
+            f"HLL artifact params {meta!r} incompatible with engine "
+            f"(m={HLL_BUCKETS}, cap={HLL_RHO_CAP})"
+        )
+    stored = spark.read.parquet(uri)
+    missing = [
+        c for c in ("source", "bucket", "mr") if c not in stored.columns
+    ]
+    if missing:
+        raise ValueError(f"HLL artifact at {path} missing {missing}")
+    batch_regs = _hll_source_registers(
+        words.filter(F.col("doc_id") % HLLI_MOD == HLLI_REM)
+    )
+    merged = (
+        stored.select("source", "bucket", "mr")
+        .unionByName(batch_regs)
+        .groupBy("source", "bucket")
+        .agg(F.max("mr").alias("mr"))
+    )
+    scale = 2**HLL_RHO_CAP
+    per_src = merged.groupBy("source").agg(
+        (
+            F.sum(
+                F.pow(F.lit(2.0), HLL_RHO_CAP - F.col("mr")).cast("long")
+            )
+            + (HLL_BUCKETS - F.count(F.lit(1))) * F.lit(scale)
+        ).alias("ssum"),
+        (HLL_BUCKETS - F.count(F.lit(1))).alias("v"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.concat_ws(":", "bucket", "mr"))
+                ),
+            )
+        ).alias("reg_fp"),
+    )
+    exact = words.groupBy("source").agg(
+        F.countDistinct("word").alias("n_exact")
+    )
+    return (
+        per_src.join(exact, "source")
+        .select(
+            "source",
+            "n_exact",
+            "reg_fp",
+            F.round(F.expr(_HLL_FINAL_SQL), 2).alias("hll_estimate"),
+        )
+    )
+
+
+def _hll_incremental_oracle() -> str:
+    """From-scratch registers over the FULL corpus — the oracle never
+    sees the artifact; fingerprint equality IS the merge≡recompute
+    certification."""
+    from .corpus import (
+        _HLL_BUCKET_SQL,
+        _HLL_FINAL_SQL,
+        _HLL_RHO_SQL,
+        HLL_BUCKETS,
+        HLL_RHO_CAP,
+    )
+
+    scale = 2**HLL_RHO_CAP
+    return f"""
+        WITH words AS (
+            SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ),
+        h AS (SELECT source, md5(word) AS hx FROM words),
+        reg AS (
+            SELECT source, {_HLL_BUCKET_SQL} AS bucket,
+                   {_HLL_RHO_SQL} AS rho
+            FROM h
+        ),
+        m AS (
+            SELECT source, bucket, max(rho) AS mr FROM reg GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT source,
+                   sum(CAST(pow(2, {HLL_RHO_CAP} - mr) AS BIGINT))
+                   + ({HLL_BUCKETS} - count(*)) * {scale} AS ssum,
+                   {HLL_BUCKETS} - count(*) AS v,
+                   md5(array_to_string(list_sort(list(
+                       CAST(bucket AS VARCHAR) || ':' ||
+                       CAST(mr AS VARCHAR))), ',')) AS reg_fp
+            FROM m GROUP BY source
+        ),
+        ex AS (
+            SELECT source, CAST(count(DISTINCT word) AS BIGINT) AS n_exact
+            FROM words GROUP BY source
+        )
+        SELECT s.source, ex.n_exact, s.reg_fp,
+               round({_HLL_FINAL_SQL}, 2) AS hll_estimate
+        FROM s JOIN ex USING (source)
+    """
+
+
+# ---------------------------------------------------------------------------
 # curate_epoch — the tranche capstone composition
 # ---------------------------------------------------------------------------
 
@@ -1173,3 +1377,6 @@ from .gif_media import QUERIES as _GIF_QUERIES  # noqa: E402
 
 QUERIES_PENDING_R15.update(_GIF_QUERIES)
 ORACLES_PENDING_R15.update(_GIF_ORACLES)
+
+QUERIES_PENDING_R15["ns_hll_incremental"] = q_ns_hll_incremental
+ORACLES_PENDING_R15["ns_hll_incremental"] = _hll_incremental_oracle()

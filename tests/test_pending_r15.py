@@ -391,6 +391,47 @@ def test_hll_set_algebra_error_bands(spark, sf_correct):
         assert r["hll_union"] >= r["hll_intersect"] > 0, r
 
 
+def test_hll_incremental_artifact_contract(spark, sf_smoke):
+    """The cross-run contract: the artifact is written once per table
+    content and REUSED (the second invocation hashes only the batch);
+    results are identical across invocations; a version-bumped sidecar
+    is rejected loudly before any data read."""
+    import json
+    import os
+
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        HLL_ARTIFACT_META,
+        _hll_artifact_path,
+        q_ns_hll_incremental,
+    )
+
+    r1 = sorted(map(tuple, q_ns_hll_incremental(spark, sf_smoke).collect()))
+    path = _hll_artifact_path(sf_smoke)
+    meta_file = os.path.join(path, HLL_ARTIFACT_META)
+    assert os.path.exists(meta_file)
+    mtime = os.path.getmtime(meta_file)
+    r2 = sorted(map(tuple, q_ns_hll_incremental(spark, sf_smoke).collect()))
+    assert r1 == r2
+    assert os.path.getmtime(meta_file) == mtime  # reused, not rewritten
+    # stale format version → loud rejection before any data read.
+    # The tamper bypasses the Hadoop FS writer, so the LocalFS checksum
+    # sidecar must go too or the read fails on the .crc, not the version
+    crc = os.path.join(path, f".{HLL_ARTIFACT_META}.crc")
+    meta = json.loads(open(meta_file).read())
+    meta["hll_version"] = 999
+    open(meta_file, "w").write(json.dumps(meta))
+    if os.path.exists(crc):
+        os.unlink(crc)
+    try:
+        with pytest.raises(ValueError, match="version"):
+            q_ns_hll_incremental(spark, sf_smoke)
+    finally:
+        meta["hll_version"] = 1
+        open(meta_file, "w").write(json.dumps(meta))
+        if os.path.exists(crc):
+            os.unlink(crc)
+
+
 def test_curate_epoch_composition(spark, tmp_path, sf_correct):
     """The capstone pipeline's invariants: monotone stage counts; the
     written shards contain exactly the kept docs in training order; no
