@@ -1008,6 +1008,26 @@ def _hll_incremental_oracle() -> str:
     """
 
 
+def streaming_hll_registers(spark: SparkSession, staged_dir: str):
+    """The SAME register table as a STREAMING aggregation: because the
+    sketch state is one groupBy-max, Structured Streaming maintains it
+    with no custom stateful code — registers converge to exactly the
+    batch registers (order-independence of max), pinned by the
+    equivalence test. The streaming face of ``ns_hll_incremental``:
+    batch runs merge persisted artifacts; a stream keeps the same state
+    hot in the state store."""
+    schema = spark.read.parquet(staged_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_dir)
+    )
+    words = src.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    return _hll_source_registers(words)
+
+
 # ---------------------------------------------------------------------------
 # curate_epoch — the tranche capstone composition
 # ---------------------------------------------------------------------------

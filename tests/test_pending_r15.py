@@ -432,6 +432,39 @@ def test_hll_incremental_artifact_contract(spark, sf_smoke):
             os.unlink(crc)
 
 
+def test_streaming_hll_registers_match_batch(spark, tmp_path, sf_smoke):
+    """The sketch state maintained AS STREAMING STATE: the one
+    groupBy-max aggregation runs unchanged under Structured Streaming
+    (multi-file staged source, one file per microbatch) and converges
+    to exactly the batch registers — max is order-independent, so
+    microbatch arrival order cannot matter."""
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        _hll_source_registers,
+        streaming_hll_registers,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    staged = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(staged)
+    q = (
+        streaming_hll_registers(spark, staged)
+        .writeStream.format("memory")
+        .queryName("hll_regs_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.table("hll_regs_stream").collect())
+    )
+    words = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    want = sorted(map(tuple, _hll_source_registers(words).collect()))
+    assert got == want and got
+
+
 def test_curate_epoch_composition(spark, tmp_path, sf_correct):
     """The capstone pipeline's invariants: monotone stage counts; the
     written shards contain exactly the kept docs in training order; no
