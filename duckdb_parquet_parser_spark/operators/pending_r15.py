@@ -1008,6 +1008,109 @@ def _hll_incremental_oracle() -> str:
     """
 
 
+CURATE_MIN_LOGIT = -45_000  # pipeline-calibrated gate (curate_epoch note)
+CURATE_TOKEN_BUDGET = 800  # measured so the 'budget' stage actually
+#   FIRES at sf0.01 (top survivor sources carry ~1300 tokens; a
+#   never-exceeded budget would make the lineage's last stage
+#   certify nothing — the CMS-width discipline applied to a stage)
+
+
+def q_ns_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc LINEAGE through the full curation pipeline: every doc
+    labeled with the FIRST stage that dropped it — ``null_text`` →
+    ``quality`` → ``contaminated`` → ``scrubbed_empty`` →
+    ``duplicate`` → ``budget`` — or ``kept``. The debuggability face of
+    ``curate_epoch``: at 100 TB, "why did my doc disappear" must be a
+    query, not a re-run with print statements; this is that query,
+    certified end-to-end because every stage is individually exact
+    cross-engine.
+
+    The certification carries a theorem: the Spark side derives the
+    contaminated set through the BLOOM-PREFILTERED join while the
+    oracle uses the plain exact contamination join — the hash can only
+    match because the prefilter is lossless (no false negatives), so
+    every driver round re-proves the composition property, not just the
+    arithmetic."""
+    from .ngram_stats import q_ns_quality_logit
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    logit = q_ns_quality_logit(spark, sf_dir).select(
+        "doc_id", "logit_micro"
+    )
+    contaminated = (
+        contamination_with_bloom_prefilter(spark, sf_dir)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_cont", F.lit(1))
+    )
+    scrub = q_ns_span_scrub(spark, sf_dir).select(
+        "doc_id", "scrubbed_text"
+    )
+    base = (
+        docs.join(logit, "doc_id", "left")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .join(scrub, "doc_id", "left")
+    )
+    early = (
+        F.when(F.col("text").isNull(), "null_text")
+        .when(F.col("logit_micro") < CURATE_MIN_LOGIT, "quality")
+        .when(F.col("_cont").isNotNull(), "contaminated")
+        .when(F.col("scrubbed_text") == "", "scrubbed_empty")
+    )
+    surv = (
+        base.filter(early.isNull())
+        .select(
+            "doc_id",
+            "source",
+            "logit_micro",
+            "scrubbed_text",
+            F.size(F.split("scrubbed_text", " "))
+            .cast("long")
+            .alias("nt"),
+        )
+    )
+    w_fp = Window.partitionBy(F.md5("scrubbed_text")).orderBy("doc_id")
+    ranked = surv.withColumn("rk", F.row_number().over(w_fp))
+    w_src = Window.partitionBy("source").orderBy(
+        F.desc("logit_micro"), F.asc("doc_id")
+    )
+    cum = F.sum("nt").over(
+        w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = (
+        ranked.filter(F.col("rk") == 1)
+        .withColumn("cum", cum)
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("cum") - F.col("nt")) < CURATE_TOKEN_BUDGET, "kept"
+            )
+            .otherwise("budget")
+            .alias("_late"),
+        )
+    )
+    late = (
+        ranked.select(
+            "doc_id",
+            F.when(F.col("rk") > 1, "duplicate").alias("_dup"),
+        )
+        .join(budgeted, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("_dup", "_late").alias("_late_stage")
+        )
+    )
+    return (
+        base.join(late, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(early, F.col("_late_stage")).alias("stage"),
+        )
+    )
+
+
 def streaming_hll_registers(spark: SparkSession, staged_dir: str):
     """The SAME register table as a STREAMING aggregation: because the
     sketch state is one groupBy-max, Structured Streaming maintains it
@@ -1038,8 +1141,8 @@ def curate_epoch(
     sf_dir: str,
     out_dir: str,
     seed: int = EPOCH_SEED,
-    token_budget: int = 2000,
-    min_logit: int = -45_000,
+    token_budget: int = CURATE_TOKEN_BUDGET,
+    min_logit: int = CURATE_MIN_LOGIT,
 ):
     """One full curation EPOCH, end to end, from already-certified
     stages: quality gate (``ns_quality_logit`` keep flag) → benchmark
@@ -1191,6 +1294,43 @@ _SCRUB_GRAM_EXPR = " || ' ' || ".join(
     f"ws[i + {k}]" for k in range(SCRUB_N)
 )
 
+# The span-scrub CTE chain, shared verbatim by the scrub oracle and the
+# curation-lineage oracle (one definition — a drifting copy would let
+# the lineage's 'scrubbed_empty'/'duplicate' stages diverge from the
+# certified transform).
+_SPAN_SCRUB_CTES = f"""t AS (
+            SELECT doc_id, string_split(text, ' ') AS ws
+            FROM documents WHERE text IS NOT NULL
+        ),
+        occ AS (
+            SELECT doc_id, i, {_SCRUB_GRAM_EXPR} AS g
+            FROM t, (SELECT unnest(range(1, 4000)) AS i)
+            WHERE i + {SCRUB_N - 1} <= len(ws)
+        ),
+        freq AS (
+            SELECT g FROM (
+                SELECT g, count(DISTINCT doc_id) AS d FROM occ GROUP BY g
+            ) WHERE d >= {SCRUB_MIN_DOCS}
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, i + k AS tp
+            FROM occ JOIN freq USING (g),
+                 (SELECT unnest(range(0, {SCRUB_N})) AS k)
+        ),
+        covl AS (
+            SELECT doc_id, list(tp) AS cov FROM cov GROUP BY doc_id
+        ),
+        rew AS (
+            SELECT t.doc_id, ws,
+                   list_filter(
+                       ws,
+                       (x, i) -> NOT list_contains(
+                           coalesce(cov, CAST([] AS BIGINT[])), i
+                       )
+                   ) AS kept
+            FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id
+        )"""
+
 _BLOOM_POS = [_bloom_pos_sql(f"h{i}") for i in range(BLOOM_K)]
 
 ORACLES_PENDING_R15 = {
@@ -1262,38 +1402,7 @@ ORACLES_PENDING_R15 = {
         WHERE embedding IS NOT NULL
     """,
     "ns_span_scrub": f"""
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS ws
-            FROM documents WHERE text IS NOT NULL
-        ),
-        occ AS (
-            SELECT doc_id, i, {_SCRUB_GRAM_EXPR} AS g
-            FROM t, (SELECT unnest(range(1, 4000)) AS i)
-            WHERE i + {SCRUB_N - 1} <= len(ws)
-        ),
-        freq AS (
-            SELECT g FROM (
-                SELECT g, count(DISTINCT doc_id) AS d FROM occ GROUP BY g
-            ) WHERE d >= {SCRUB_MIN_DOCS}
-        ),
-        cov AS (
-            SELECT DISTINCT doc_id, i + k AS tp
-            FROM occ JOIN freq USING (g),
-                 (SELECT unnest(range(0, {SCRUB_N})) AS k)
-        ),
-        covl AS (
-            SELECT doc_id, list(tp) AS cov FROM cov GROUP BY doc_id
-        ),
-        rew AS (
-            SELECT t.doc_id, ws,
-                   list_filter(
-                       ws,
-                       (x, i) -> NOT list_contains(
-                           coalesce(cov, CAST([] AS BIGINT[])), i
-                       )
-                   ) AS kept
-            FROM t LEFT JOIN covl ON t.doc_id = covl.doc_id
-        )
+        WITH {_SPAN_SCRUB_CTES}
         SELECT doc_id,
                CAST(len(ws) AS BIGINT) AS n_tokens,
                CAST(len(ws) - len(kept) AS BIGINT) AS n_scrubbed,
@@ -1400,3 +1509,85 @@ ORACLES_PENDING_R15.update(_GIF_ORACLES)
 
 QUERIES_PENDING_R15["ns_hll_incremental"] = q_ns_hll_incremental
 ORACLES_PENDING_R15["ns_hll_incremental"] = _hll_incremental_oracle()
+
+
+def _lineage_oracle() -> str:
+    """The whole pipeline as one DuckDB CTE chain. Contamination is the
+    PLAIN exact join here (the Spark side runs the bloom prefilter) —
+    hash equality proves the lossless-composition theorem each round.
+    The scrub CTEs are the shared ``_SPAN_SCRUB_CTES`` definition."""
+    from .curation import _LOGIT_SQL
+    from .text import CONTAM_MIN_SHARED
+
+    cgram = " || ' ' || ".join(f"ws[i + {k}]" for k in range(CONTAM_N))
+    return f"""
+        WITH {_SPAN_SCRUB_CTES},
+        scrub AS (
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS scrubbed
+            FROM rew
+        ),
+        lg AS (
+            SELECT doc_id, CAST({_LOGIT_SQL} AS BIGINT) AS logit
+            FROM documents WHERE text IS NOT NULL
+        ),
+        cgrams AS (
+            SELECT DISTINCT doc_id, {cgram} AS g
+            FROM t, (SELECT unnest(range(1, 4000)) AS i)
+            WHERE i + {CONTAM_N - 1} <= len(ws)
+        ),
+        cont AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT c.doc_id, e.doc_id AS ed
+                FROM cgrams c
+                JOIN cgrams e ON c.g = e.g
+                WHERE e.doc_id % {EVAL_MOD} = 0
+                  AND c.doc_id % {EVAL_MOD} <> 0
+                GROUP BY 1, 2
+                HAVING count(*) >= {CONTAM_MIN_SHARED}
+            )
+        ),
+        surv AS (
+            SELECT d.doc_id, d.source, l.logit, s.scrubbed,
+                   CAST(len(string_split(s.scrubbed, ' ')) AS BIGINT)
+                       AS nt
+            FROM documents d
+            JOIN lg l ON d.doc_id = l.doc_id
+            JOIN scrub s ON d.doc_id = s.doc_id
+            WHERE l.logit >= {CURATE_MIN_LOGIT}
+              AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+              AND s.scrubbed <> ''
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(scrubbed) ORDER BY doc_id
+            ) AS rk FROM surv
+        ),
+        bud AS (
+            SELECT doc_id, nt, sum(nt) OVER (
+                PARTITION BY source
+                ORDER BY logit DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS cum
+            FROM rk WHERE rk = 1
+        )
+        SELECT d.doc_id, d.source,
+               CASE WHEN d.text IS NULL THEN 'null_text'
+                    WHEN l.logit < {CURATE_MIN_LOGIT} THEN 'quality'
+                    WHEN d.doc_id IN (SELECT doc_id FROM cont)
+                        THEN 'contaminated'
+                    WHEN s.scrubbed = '' THEN 'scrubbed_empty'
+                    WHEN r.rk > 1 THEN 'duplicate'
+                    WHEN (b.cum - b.nt) >= {CURATE_TOKEN_BUDGET}
+                        THEN 'budget'
+                    ELSE 'kept' END AS stage
+        FROM documents d
+        LEFT JOIN lg l ON d.doc_id = l.doc_id
+        LEFT JOIN scrub s ON d.doc_id = s.doc_id
+        LEFT JOIN rk r ON d.doc_id = r.doc_id
+        LEFT JOIN bud b ON d.doc_id = b.doc_id
+    """
+
+
+QUERIES_PENDING_R15["ns_curation_lineage"] = q_ns_curation_lineage
+ORACLES_PENDING_R15["ns_curation_lineage"] = _lineage_oracle()

@@ -465,6 +465,33 @@ def test_streaming_hll_registers_match_batch(spark, tmp_path, sf_smoke):
     assert got == want and got
 
 
+def test_lineage_stages_fire_and_agree_with_the_pipeline(
+    spark, tmp_path, sf_correct
+):
+    """The lineage's stages actually discriminate on the fixture (a
+    never-firing stage certifies nothing), and its 'kept' set IS the
+    set curate_epoch writes — lineage and pipeline can never drift."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        curate_epoch,
+        q_ns_curation_lineage,
+    )
+
+    rows = q_ns_curation_lineage(spark, sf_correct).collect()
+    stages = {r["stage"] for r in rows}
+    assert {"kept", "quality", "contaminated", "budget"} <= stages
+    kept = {r["doc_id"] for r in rows if r["stage"] == "kept"}
+    out = str(tmp_path / "lineage_epoch")
+    curate_epoch(spark, sf_correct, out)  # shared default constants
+    written = set()
+    for f in glob.glob(out + "/shard=*/*.parquet"):
+        written.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+    assert written == kept and kept
+
+
 def test_curate_epoch_composition(spark, tmp_path, sf_correct):
     """The capstone pipeline's invariants: monotone stage counts; the
     written shards contain exactly the kept docs in training order; no
@@ -529,6 +556,9 @@ def test_pending_r15_doc_queries_on_random_docs(spark, tmp_path, seed):
         # payloads derive from doc_id alone, but the random doc
         # population exercises the poison-mod interleaving
         "ns_mm_gif_features",
+        # planted null texts fire the lineage's 'null_text' stage the
+        # fixed fixtures never reach
+        "ns_curation_lineage",
     ):
         res = compare_query(
             spark, sf_dir, name, QUERIES_PENDING_R15[name],
