@@ -7,11 +7,14 @@ shipped ``pending_r13`` → ``curation.py``: the full query-vs-oracle
 differential runs every round via tests/test_pending_r15.py, so a
 future registration is a rename, not new risk.
 
-Six north-star (§2.5) queries a 100 TB training-data pipeline needs
-that the engine did not yet express, plus library compositions
+TEN north-star (§2.5) queries a 100 TB training-data pipeline needs
+that the engine did not yet express (bloom decontamination, epoch
+shard, RP projection, span scrub, winnowing fingerprint + pairs, HLL
+set algebra, GIF-through-the-seam, incremental HLL state, and the
+end-to-end curation lineage), plus library compositions
 (``write_training_shards``, ``knn_rp_rerank``,
-``contamination_with_bloom_prefilter``, ``curate_epoch``). The first
-three, in depth:
+``contamination_with_bloom_prefilter``, ``curate_epoch``,
+``streaming_hll_registers``). The first three, in depth:
 
 - ``ns_bloom_decontam`` — the BLOOM-FILTER membership pre-filter in
   front of benchmark decontamination, completing the sketch family
