@@ -708,28 +708,13 @@ def q_ns_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row (inner join, identical on both sides) — the query
     reports the algebra where there is overlap to estimate; an
     all-pairs report would LEFT-join and zero-fill instead."""
-    from .corpus import (
-        _HLL_BUCKET_SQL,
-        _HLL_FINAL_SQL,
-        _HLL_RHO_SQL,
-        HLL_BUCKETS,
-        HLL_RHO_CAP,
-    )
+    from .corpus import _HLL_FINAL_SQL, HLL_BUCKETS, HLL_RHO_CAP
 
     df = load_table(spark, sf_dir, "documents")
     words = df.filter(F.col("text").isNotNull()).select(
         "source", F.explode(F.split("text", " ")).alias("word")
     )
-    h = words.select("source", F.md5("word").alias("hx"))
-    regs = (
-        h.select(
-            "source",
-            F.expr(_HLL_BUCKET_SQL).alias("bucket"),
-            F.expr(_HLL_RHO_SQL).alias("rho"),
-        )
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("mr"))
-    )
+    regs = _hll_source_registers(words)
 
     scale = 2**HLL_RHO_CAP
 
@@ -811,8 +796,12 @@ def q_ns_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ns_hll_incremental — persisted mergeable sketch state
 # ---------------------------------------------------------------------------
 
-HLLI_MOD = 10
-HLLI_REM = 7  # doc_id % HLLI_MOD == HLLI_REM → the "new batch" (~10%)
+# The corpus/batch split IS dedup's split (imported, not re-declared —
+# review pass: a drifting second 10/7 pair would silently desync the
+# two incremental pipelines' notion of "the new batch")
+from .dedup import INCR_MOD as HLLI_MOD  # noqa: E402
+from .dedup import INCR_REM as HLLI_REM  # noqa: E402
+
 HLL_ARTIFACT_VERSION = 1
 HLL_ARTIFACT_META = "_hll_meta.json"
 
@@ -820,7 +809,14 @@ HLL_ARTIFACT_META = "_hll_meta.json"
 def _hll_artifact_path(sf_dir: str) -> str:
     """Content-keyed per-user artifact dir (the dedup-signature
     discipline: cache.py ownership checks; stale fingerprints of the
-    same source path pruned on the way in)."""
+    same source path pruned on the way in).
+
+    Deliberate near-copy of dedup._incremental_artifact_path (review
+    pass): the prune loop differs only in the 'sg_hll' prefix, but
+    parameterizing the original means editing dedup.py (or cache.py),
+    and both back certified queries — the same certification-window
+    drag adjudicated at _rp_signs. Collapse all three into cache.py in
+    the round that next opens it."""
     import os
     import shutil
 
@@ -899,6 +895,12 @@ def q_ns_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "hll_version": HLL_ARTIFACT_VERSION,
                     "buckets": HLL_BUCKETS,
                     "rho_cap": HLL_RHO_CAP,
+                    # the split is part of the artifact's meaning: an
+                    # artifact sketched under a different corpus/batch
+                    # split does NOT cover this run's corpus slice
+                    # (review pass)
+                    "split_mod": HLLI_MOD,
+                    "split_rem": HLLI_REM,
                 }
             ),
         )
@@ -912,10 +914,13 @@ def q_ns_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (
         meta.get("buckets") != HLL_BUCKETS
         or meta.get("rho_cap") != HLL_RHO_CAP
+        or meta.get("split_mod") != HLLI_MOD
+        or meta.get("split_rem") != HLLI_REM
     ):
         raise ValueError(
             f"HLL artifact params {meta!r} incompatible with engine "
-            f"(m={HLL_BUCKETS}, cap={HLL_RHO_CAP})"
+            f"(m={HLL_BUCKETS}, cap={HLL_RHO_CAP}, "
+            f"split={HLLI_MOD}/{HLLI_REM})"
         )
     stored = spark.read.parquet(uri)
     missing = [
@@ -923,6 +928,20 @@ def q_ns_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     if missing:
         raise ValueError(f"HLL artifact at {path} missing {missing}")
+    # TYPE validation, not just names (review pass): unionByName would
+    # coerce a string mr and turn the register merge into a silent
+    # lexicographic max — exactly the corruption the sidecar exists to
+    # refuse loudly
+    types = dict(stored.dtypes)
+    want = {"source": "string", "bucket": "int", "mr": "int"}
+    drift = {
+        c: types[c] for c, t in want.items() if types.get(c) != t
+    }
+    if drift:
+        raise ValueError(
+            f"HLL artifact at {path} has drifted column types {drift}; "
+            f"expected {want}"
+        )
     batch_regs = _hll_source_registers(
         words.filter(F.col("doc_id") % HLLI_MOD == HLLI_REM)
     )
@@ -1062,55 +1081,53 @@ def q_ns_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("_cont").isNotNull(), "contaminated")
         .when(F.col("scrubbed_text") == "", "scrubbed_empty")
     )
-    surv = (
-        base.filter(early.isNull())
-        .select(
-            "doc_id",
-            "source",
-            "logit_micro",
-            "scrubbed_text",
-            F.size(F.split("scrubbed_text", " "))
-            .cast("long")
-            .alias("nt"),
+    # ONE pass, no self-joins (review pass: the first build joined
+    # ranked→budgeted→base, re-deriving the scrub/bloom upstream per
+    # branch): survivors rank within their scrubbed-text group while
+    # early-dropped rows sit alone in synthetic singleton partitions
+    # (their rank is never consulted); the budget consumes only
+    # (survivor, rk=1) token counts via a conditional running sum —
+    # rows contributing 0 can sit anywhere in the source order without
+    # changing any kept row's cumulative.
+    all_ = (
+        base.withColumn("_early", early)
+        .withColumn(
+            "nt",
+            F.size(F.split("scrubbed_text", " ")).cast("long"),
+        )
+        .withColumn(
+            "_part",
+            F.when(
+                F.col("_early").isNull(), F.md5("scrubbed_text")
+            ).otherwise(F.concat(F.lit("x"), F.col("doc_id"))),
         )
     )
-    w_fp = Window.partitionBy(F.md5("scrubbed_text")).orderBy("doc_id")
-    ranked = surv.withColumn("rk", F.row_number().over(w_fp))
+    w_fp = Window.partitionBy("_part").orderBy("doc_id")
     w_src = Window.partitionBy("source").orderBy(
         F.desc("logit_micro"), F.asc("doc_id")
     )
-    cum = F.sum("nt").over(
-        w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    budgeted = (
-        ranked.filter(F.col("rk") == 1)
-        .withColumn("cum", cum)
-        .select(
-            "doc_id",
+    rk = F.row_number().over(w_fp)
+    labeled = all_.withColumn("rk", rk).withColumn(
+        "cum_kept",
+        F.sum(
             F.when(
-                (F.col("cum") - F.col("nt")) < CURATE_TOKEN_BUDGET, "kept"
-            )
-            .otherwise("budget")
-            .alias("_late"),
-        )
+                F.col("_early").isNull() & (F.col("rk") == 1),
+                F.col("nt"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).over(
+            w_src.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    late = (
-        ranked.select(
-            "doc_id",
-            F.when(F.col("rk") > 1, "duplicate").alias("_dup"),
-        )
-        .join(budgeted, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("_dup", "_late").alias("_late_stage")
-        )
-    )
-    return (
-        base.join(late, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            F.coalesce(early, F.col("_late_stage")).alias("stage"),
-        )
+    return labeled.select(
+        "doc_id",
+        "source",
+        F.coalesce(
+            F.col("_early"),
+            F.when(F.col("rk") > 1, "duplicate").when(
+                (F.col("cum_kept") - F.col("nt")) < CURATE_TOKEN_BUDGET,
+                "kept",
+            ).otherwise("budget"),
+        ).alias("stage"),
     )
 
 
