@@ -30,6 +30,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         relational_q2,
         relational_q20,
+        relational_q9,
         relational_sub,
         scalars,
         scan,
@@ -53,6 +54,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         media_landing,
         relational_q2,
         relational_q20,
+        relational_q9,
         multimodal,
         multimodal_synth,
         udfs,
@@ -90,92 +92,38 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-13 rotation (VERDICT r12 #1/#2). Head composition (50 of 50
-# slots, verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the FORTY r10-certified queries the r12 ledger forecast as
-# must-rotate (certs aged to 2 rounds after the r12 driver run):
-# ns_mm_framesample .. stream_sliding — the whole r10 block;
-# (2) FIVE registrations from the round-12 staged surface
-# (operators/curation.py, formerly pending_r13.py): ns_source_cap,
-# rel_top_supplier_q15, rel_returned_top_q10, ns_source_droprate,
-# ns_dedup_components_converged — never certified, differentially
-# tested at two SFs every round since r12 (tests/test_curation.py);
-# (3) ONE re-certification: ns_embed_dedup_cluster — its executable
-# path changed twice this round (connected_components_converged moved
-# to dedup.py and its convergence probe became the stationarity check;
-# EMBED_CC_MAX_ROUNDS is now passed through, ADVICE r12). The migrated
-# text queries (ns_dedup_components, ns_dedup_cluster_canonical) ALSO
-# changed executable paths, but they sit in the r10 must-rotate block
-# already — the zero-cost moment VERDICT r12 #3 named;
-# (4) ONE new query: ns_mm_png_features (operators/png_media.py — real
-# zlib-compressed PNG decode through the media_codecs plug seam);
-# (5) THREE floats from the oldest parked block (r11-certified
-# rel_date_string_funcs / rel_json_map_funcs / rel_outer_join):
-# pre-certifying the oldest parked certs whenever head slots are free
-# keeps every future must-rotate block under 50 — with this head the
-# ledger's r14 forecast is the 46 remaining r11 certs (what would have
-# been an 89-query bulge had the r10 block not fully rotated here).
-# 40 + 5 + 1 + 1 + 3 = 50; the window is exactly full.
+# Round-14 rotation (VERDICT r13 #1/#2, executing the COVERAGE.md
+# "Round-14 window plan" verbatim). Head composition (50 of 50 slots,
+# verified against the generated ledger — scripts/cert_ledger.py):
+# (1) the FORTY-SIX r11-certified queries the r13 ledger forecast as
+# must-rotate (certs aged to 2 rounds after the r13 driver run):
+# ns_mm_image_dedup_cluster .. ns_mm_features — the whole remaining
+# r11 block (3 of the original 49 pre-floated into the r13 head);
+# (2) FOUR registrations from the round-13 staged surface
+# (operators/relational_q9.py, moved from pending_r14.py): the TPC-H
+# completers rel_profit_q9, rel_filter_agg_q6, rel_priority_mix_q12,
+# rel_promo_share_q14 — never certified, differentially tested at two
+# SFs + randomized fixtures every round since r13.
+# 46 + 4 = 50; the window is exactly full, so the other two staged
+# pending_r14 queries (ns_token_budget_mix, ns_weighted_token_mix)
+# float one round exactly as the window plan prescribed — they are
+# composition-adjacent to the r15 tranche and their semantics stay
+# pinned every round by tests/test_pending_r14.py.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
-# docstring-only edits do not count.
+# docstring-only edits do not count. Round 14 deliberately keeps
+# executable churn OUT of certified modules (VERDICT r13 #2): the
+# ADVICE r13 fix touches gif_media.py, whose decode query is staged in
+# pending_r15.py, not registered.
 #
-# Parked below: 46 r11-certified + 49 r12-certified. After the r13 run
-# the r11 certs age to 2 rounds: they MUST lead the round-14 window,
-# oldest-first, with the r12 block close behind (the bulge). Trust the
-# ledger over this prose if they ever disagree.
+# Parked below: 49 r12-certified + 50 r13-certified. After the r14 run
+# the r12 certs age to 2 rounds: they MUST lead the round-15 window
+# (49 must-rotate + the 12 staged queries = 61 candidates for 50
+# slots — see the ledger forecast and COVERAGE.md's round-15 plan).
+# Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r11-certified (46 of 49; 3 floated into the r13 head,
-    # oldest-certs-first) — the r14 must-rotate block
-    "ns_mm_image_dedup_cluster",
-    "ns_mm_audio_dedup_cluster",
-    "ns_mm_video_dedup_cluster",
-    "rel_nested_semi_q20",
-    "rel_volume_q7",
-    "rel_mktshare_q8",
-    "udf_table_function",
-    "w4_pywriter_roundtrip",
-    "src_csv_roundtrip",
-    "f1_regex_manifest",
-    "src_bucketed_join",
-    "r7_chunk_bytes",
-    "r6_fleet_audit",
-    "streaming_dedup",
-    "streaming_join",
-    "streaming_session_stateful",
-    "ns_pipeline_curate",
-    "ns_sample_stratified",
-    "ns_text_tokens",
-    "ns_text_quality",
-    "ns_text_langid",
-    "ns_text_fingerprint",
-    "ns_text_rollhash",
-    "ns_text_redact",
-    "ns_text_repetition",
-    "ns_quantile_sketch",
-    "ns_vocab_topk",
-    "ns_seq_pack",
-    "ns_mixture_weights",
-    "ns_doclen_histogram",
-    "ns_approx_distinct_hll",
-    "r10_positional_stream",
-    "r10_file_order",
-    "x1_chunk_index",
-    "x1_tuple_to_chunk",
-    "x1_chunk_greedy",
-    "r4_rowgroup_scan",
-    "f1_page_report",
-    "ns_knn_bruteforce",
-    "ns_ann_lsh_buckets",
-    "ns_ann_ivf_topk",
-    "ns_kmeans_embed",
-    "rel_pivot",
-    "stream_session",
-    "ns_mm_meta",
-    "ns_mm_features",
-    # r12-certified (49 of 50; ns_embed_dedup_cluster re-certifies in
-    # the r13 head — its convergent-CC primitive changed, ADVICE r12)
+    # r12-certified (49) — the r15 must-rotate block
     "ns_mm_ingest_parquet",
     "rel_min_supplycost_q2",
     "rel_value_share_q11",
@@ -225,4 +173,55 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
+    # r13-certified (50) — the r16 must-rotate block
+    "ns_source_cap",
+    "rel_top_supplier_q15",
+    "rel_returned_top_q10",
+    "ns_source_droprate",
+    "ns_dedup_components_converged",
+    "ns_mm_png_features",
+    "ns_embed_dedup_cluster",
+    "ns_mm_framesample",
+    "udf_grouped_agg",
+    "ns_tfidf_topterms",
+    "ns_contamination",
+    "ns_chunk_split",
+    "r2_schema",
+    "r2_counts",
+    "r3_full_column_scan",
+    "r9_projection",
+    "f2_null_semantics",
+    "f3_string_columns",
+    "f1_regex_filter",
+    "f1_regex_docs",
+    "f1_neg_regex",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_incremental",
+    "ns_dedup_incremental_persisted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
+    "ns_dedup_cluster_canonical",
+    "ns_ngram_jaccard",
+    "ns_embed_neardup",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
+    "rel_disjunctive_q19",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_outer_join",
+    "rel_window_running",
+    "rel_sort_topk",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_distinct",
+    "rel_scalar_funcs",
+    "rel_case_expr",
+    "stream_sliding",
 ]

@@ -235,7 +235,10 @@ def decode_gif(payload: bytes):
         raise ValueError("truncated GIF: missing LZW min code size")
     mcs = payload[pos]
     pos += 1
-    if not 2 <= mcs <= 11:
+    # GIF caps the min code size at 8 (palette indices are bytes); without
+    # the tight bound, mcs 9-11 would only fail later by accident — the
+    # literal-table build's bytes([i]) blows up past 255 (ADVICE r13)
+    if not 2 <= mcs <= 8:
         raise ValueError(f"GIF LZW min code size {mcs} out of range")
     clear, end = 1 << mcs, (1 << mcs) + 1
 

@@ -64,9 +64,10 @@ def main() -> int:
     # from (seeds 5003, 22, 932, 965...). Same test bodies pytest runs.
     import test_pending_r14 as p14
     import test_pending_r15 as p15
+    import test_relational_q9 as rq9
 
     families += [
-        ("pending-rel", p14.test_pending_relational_on_random_fixtures),
+        ("tpch-completers", rq9.test_tpch_completers_on_random_fixtures),
         ("pending-docs", p14.test_pending_token_mixes_on_random_docs),
         ("pending15-docs", p15.test_pending_r15_doc_queries_on_random_docs),
         ("pending15-emb", p15.test_pending_r15_projection_on_random_embeddings),

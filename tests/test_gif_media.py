@@ -156,6 +156,16 @@ def test_gif_decoder_fuzz_contract():
         + bytes([255]) + bytes([0x00] * 255)
         + b"\x00\x3b",
     ]
+    # LZW min code size 9-11: representable in the byte but outside
+    # GIF's spec cap of 8 — must hit the deliberate range check, not an
+    # incidental error deeper in the table build (ADVICE r13; byte-flips
+    # of the valid 0x08 can't produce these values)
+    for mcs in (9, 10, 11):
+        payloads.append(
+            GIF87A_MAGIC + lsd + gct
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+            + bytes([mcs]) + b"\x01\x00\x00\x3b"
+        )
     base = encode_gif(np.arange(64, dtype=np.uint8).reshape(8, 8))
     for i in range(len(base)):
         m = bytearray(base)
@@ -172,3 +182,21 @@ def test_gif_decoder_fuzz_contract():
     # a few single-byte flips (e.g. inside the palette) still decode —
     # that's fine; the contract is the exception SET, not rejection
     assert ok < len(payloads)
+
+
+def test_gif_mcs_over_cap_is_the_deliberate_range_error():
+    """mcs 9-11 must fail with the scope-check message, not whatever
+    exception the literal-table build happens to raise (ADVICE r13:
+    before the tight bound, bytes([i]) past 255 produced an incidental
+    ValueError whose text promised nothing)."""
+    import struct
+
+    lsd = struct.pack("<HHBBB", 4, 4, 0xF7, 0, 0)
+    for mcs in (9, 10, 11):
+        payload = (
+            GIF87A_MAGIC + lsd + bytes(768)
+            + struct.pack("<BHHHHB", 0x2C, 0, 0, 4, 4, 0)
+            + bytes([mcs]) + b"\x01\x00\x00\x3b"
+        )
+        with pytest.raises(ValueError, match="min code size.*out of range"):
+            decode_gif(payload)

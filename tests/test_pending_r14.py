@@ -1,10 +1,11 @@
-"""Round-14 pending queries (operators/pending_r14.py): the full
-query-vs-oracle differential runs HERE every round even though the
-queries aren't registered in the driver contract yet — the round-13
-window is exactly full and round 14 already owes the 46-query
-r11-certified rotation block, so registration waits for free slots
-(the staging discipline that shipped pending_r13 → curation.py
-cleanly)."""
+"""Pending token-mix queries (operators/pending_r14.py), staged for the
+round-15 window: the full query-vs-oracle differential runs HERE every
+round even though the queries aren't registered in the driver contract
+yet. Round 14 registered the tranche's four TPC-H completers
+(operators/relational_q9.py — their locks moved to
+tests/test_relational_q9.py); the two token-mix queries floated one
+round because the r14 window was exactly full (the staging discipline
+that shipped pending_r13 → curation.py cleanly)."""
 
 from __future__ import annotations
 
@@ -57,26 +58,6 @@ def test_token_budget_watermark_semantics(spark, sf_smoke):
             cum = r["cum_tokens"]
 
 
-def test_q6_predicates_reach_the_scan(spark, sf_smoke):
-    """Q6's whole value is the scan shape: the date window, discount
-    band and quantity cap must all be in the parquet scan's
-    PushedFilters, and the aggregate must have a map-side partial."""
-    from duckdb_parquet_parser_spark.operators.pending_r14 import (
-        q_rel_filter_agg_q6,
-    )
-    from duckdb_parquet_parser_spark.plans import formatted_plan
-
-    plan = formatted_plan(q_rel_filter_agg_q6(spark, sf_smoke))
-    assert "GreaterThanOrEqual(l_shipdate" in plan
-    assert "LessThan(l_shipdate" in plan
-    assert "GreaterThanOrEqual(l_discount" in plan
-    assert "LessThanOrEqual(l_discount" in plan
-    assert "LessThan(l_quantity" in plan
-    assert "partial_sum" in plan
-    tree = plan.split("\n\n")[0]
-    assert "Join" not in tree and "Window" not in tree
-
-
 def test_skew_safe_token_keepers_equivalent(spark, sf_smoke):
     """The salted two-phase token fill must return EXACTLY the
     full-window variant's keepers with identical cumulative sums — the
@@ -125,51 +106,6 @@ def test_skew_safe_token_keepers_equivalent(spark, sf_smoke):
             expect.add((doc, cum + nt))
         cum += nt
     assert got_mega == expect
-
-
-def test_q9_window_plan_shape(spark, sf_smoke):
-    """Q9's scale contract: the derived supply cost is a window min
-    (ONE composite-key exchange of the fact rows — not an
-    aggregate-then-join-back, which costs a second exchange + a
-    SortMergeJoin); the p_name filter reaches the part scan; at most
-    two non-broadcast exchanges total (window + final group)."""
-    from duckdb_parquet_parser_spark.operators.pending_r14 import (
-        q_rel_profit_q9,
-    )
-    from duckdb_parquet_parser_spark.plans import formatted_plan
-
-    plan = formatted_plan(q_rel_profit_q9(spark, sf_smoke))
-    tree = plan.split("\n\n")[0]
-    assert "SortMergeJoin" not in tree
-    assert "Window" in tree
-    assert "StringContains(p_name" in plan or "Contains(p_name" in plan
-    nbe = [
-        ln for ln in tree.splitlines()
-        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
-    ]
-    assert len(nbe) <= 2, nbe
-
-
-@pytest.mark.parametrize("seed", [44, 5150])
-def test_pending_relational_on_random_fixtures(spark, tmp_path, seed):
-    """The staged relational shapes under randomized NULL/dangling-key
-    pressure (the registered queries' discipline, applied before
-    registration): reuse the relational family's generator — NULL
-    prices/discounts/quantities/dates, dangling order and part keys,
-    month-windows that can be empty or all-zero."""
-    import test_randomized_relational as rel
-
-    sf_dir = rel._make_fixture(tmp_path, seed)
-    for name in (
-        "rel_filter_agg_q6",
-        "rel_priority_mix_q12",
-        "rel_promo_share_q14",
-        "rel_profit_q9",
-    ):
-        res = compare_query(
-            spark, sf_dir, name, QUERIES_PENDING[name], ORACLES_PENDING[name]
-        )
-        assert res.ok, res
 
 
 @pytest.mark.parametrize("seed", [55, 5151])
