@@ -64,10 +64,15 @@ def main() -> int:
     # from (seeds 5003, 22, 932, 965...). Same test bodies pytest runs.
     import test_pending_r14 as p14
     import test_pending_r15 as p15
+    import test_randomized_fleet as fleet
     import test_relational_q9 as rq9
 
     families += [
         ("tpch-completers", rq9.test_tpch_completers_on_random_fixtures),
+        # round-14 family #11: the distributed header walk at listing
+        # scale — 100+ randomized parquet files per seed vs DuckDB's
+        # parquet_metadata() glob (VERDICT r13 #7)
+        ("fleet", fleet.test_fleet_audit_matches_parquet_metadata_on_many_files),
         ("pending-docs", p14.test_pending_token_mixes_on_random_docs),
         ("pending15-docs", p15.test_pending_r15_doc_queries_on_random_docs),
         ("pending15-emb", p15.test_pending_r15_projection_on_random_embeddings),
