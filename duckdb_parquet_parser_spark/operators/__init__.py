@@ -99,23 +99,29 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # must-rotate (certs aged to 2 rounds after the r13 driver run):
 # ns_mm_image_dedup_cluster .. ns_mm_features — the whole remaining
 # r11 block (3 of the original 49 pre-floated into the r13 head);
-# (2) FOUR registrations from the round-13 staged surface
+# (2) THREE registrations from the round-13 staged surface
 # (operators/relational_q9.py, moved from pending_r14.py): the TPC-H
-# completers rel_profit_q9, rel_filter_agg_q6, rel_priority_mix_q12,
-# rel_promo_share_q14 — never certified, differentially tested at two
-# SFs + randomized fixtures every round since r13.
-# 46 + 4 = 50; the window is exactly full, so the other two staged
-# pending_r14 queries (ns_token_budget_mix, ns_weighted_token_mix)
-# float one round exactly as the window plan prescribed — they are
-# composition-adjacent to the r15 tranche and their semantics stay
-# pinned every round by tests/test_pending_r14.py.
+# completers rel_profit_q9, rel_filter_agg_q6, rel_priority_mix_q12 —
+# never certified, differentially tested at two SFs + randomized
+# fixtures every round since r13;
+# (3) ONE re-certification: ns_mm_png_features — the round-14 review
+# pass (VERDICT r13 #5) found a degrade-contract escape in decode_png
+# (a wrong-length IHDR behind a valid CRC raised struct.error, outside
+# the kernel's ValueError/NotImplementedError degrade set — a task
+# failure instead of a degraded row) and the one-line length check is
+# an executable change to a certified module, so the query re-heads.
+# 46 + 3 + 1 = 50; the window is exactly full. rel_promo_share_q14
+# stepped back to staging to make the slot — EXACTLY the documented
+# drop order ("drop TPC-H completers one at a time, Q14 first, rather
+# than starving the rotation"); it registers in round 15 alongside the
+# two floated token-mix queries (all pinned every round by
+# tests/test_pending_r14.py + tests/test_relational_q9.py).
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
-# docstring-only edits do not count. Round 14 deliberately keeps
-# executable churn OUT of certified modules (VERDICT r13 #2): the
-# ADVICE r13 fix touches gif_media.py, whose decode query is staged in
-# pending_r15.py, not registered.
+# docstring-only edits do not count. The only OTHER operator-code edit
+# this round is the ADVICE r13 fix in gif_media.py, whose decode query
+# is staged in pending_r15.py, not registered.
 #
 # Parked below: 49 r12-certified + 50 r13-certified. After the r14 run
 # the r12 certs age to 2 rounds: they MUST lead the round-15 window
@@ -173,13 +179,14 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
-    # r13-certified (50) — the r16 must-rotate block
+    # r13-certified (49 of 50; ns_mm_png_features re-heads this round —
+    # decode_png's executable changed, review r14) — the r16
+    # must-rotate block
     "ns_source_cap",
     "rel_top_supplier_q15",
     "rel_returned_top_q10",
     "ns_source_droprate",
     "ns_dedup_components_converged",
-    "ns_mm_png_features",
     "ns_embed_dedup_cluster",
     "ns_mm_framesample",
     "udf_grouped_agg",

@@ -91,11 +91,20 @@ def q_ns_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Q14 stepped back from the round-14 registration when the PNG IHDR fix
+# pulled ns_mm_png_features' re-cert into the full head (the COVERAGE.md
+# drop order: Q14 first); it registers with this tranche in round 15.
+# Imported, not copied — one implementation, one oracle string.
+from .relational_q9 import ORACLES_STAGED as _Q14_ORACLES
+from .relational_q9 import QUERIES_STAGED as _Q14_QUERIES
+
 QUERIES_PENDING = {
     "ns_token_budget_mix": q_ns_token_budget_mix,
+    **_Q14_QUERIES,
 }
 
 ORACLES_PENDING = {
+    **_Q14_ORACLES,
     "ns_token_budget_mix": f"""
         WITH scored AS (
             SELECT doc_id, source,

@@ -179,6 +179,16 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         pos += length + 4
         if ctype == b"IHDR":
+            # length check BEFORE unpack: a wrong-length IHDR with a
+            # valid CRC (unreachable by single-byte-flip fuzzing — a
+            # flipped length breaks the CRC first) would otherwise raise
+            # struct.error, which is NOT in the kernel's
+            # (ValueError, NotImplementedError) degrade set and would
+            # fail the whole task instead of the row (review r14)
+            if len(data) != 13:
+                raise ValueError(
+                    f"PNG IHDR length {len(data)} != 13"
+                )
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)

@@ -208,10 +208,23 @@ def q_rel_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# rel_promo_share_q14 is NOT registered this round after all: the
+# round-14 review found a degrade-contract escape in the certified PNG
+# decoder (wrong-length IHDR -> struct.error, png_media.py), and the
+# one-line fix drags ns_mm_png_features' re-certification into the
+# exactly-full head — so Q14 steps back to staging, exactly the drop
+# order the COVERAGE.md window plan prescribed ("drop TPC-H completers
+# one at a time, Q14 first, rather than starving the rotation").
+# pending_r14.py registers it from here for round 15; the differential
+# keeps running every round via tests/test_relational_q9.py +
+# tests/test_pending_r14.py.
 QUERIES = {
     "rel_profit_q9": q_rel_profit_q9,
     "rel_filter_agg_q6": q_rel_filter_agg_q6,
     "rel_priority_mix_q12": q_rel_priority_mix_q12,
+}
+
+QUERIES_STAGED = {
     "rel_promo_share_q14": q_rel_promo_share_q14,
 }
 
@@ -268,6 +281,9 @@ ORACLES = {
           AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
         GROUP BY 1
     """,
+}
+
+ORACLES_STAGED = {
     "rel_promo_share_q14": f"""
         SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                        THEN CAST(l_extendedprice * (1 - l_discount)

@@ -110,6 +110,30 @@ def test_png_payload_species():
         decode_png(trunc)
 
 
+def test_png_wrong_length_ihdr_is_the_deliberate_error():
+    """A 12- or 14-byte IHDR behind a valid CRC must fail with the
+    explicit length message, not struct.error (review r14 — the same
+    valid-header-unreachable-by-flips blind spot as the GIF mcs bound,
+    ADVICE r13)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    for n in (0, 12, 14):
+        payload = (
+            PNG_MAGIC + chunk(b"IHDR", b"\x00" * n) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="IHDR length"):
+            decode_png(payload)
+
+
 def test_png_decoder_fuzz_contract():
     """The triad fuzz contract extended to the plugin decoder: on
     arbitrary or adversarial bytes, decode_png raises ONLY ValueError or
@@ -153,6 +177,12 @@ def test_png_decoder_fuzz_contract():
         + chunk(b"IEND", b""),
         # missing IHDR
         PNG_MAGIC + chunk(b"IEND", b""),
+        # wrong-length IHDR with a VALID CRC (review r14): byte-flips
+        # can never produce this (a flipped length field breaks the CRC
+        # first), and before the explicit length check it raised
+        # struct.error — outside the degrade set
+        PNG_MAGIC + chunk(b"IHDR", b"\x00" * 12) + chunk(b"IEND", b""),
+        PNG_MAGIC + chunk(b"IHDR", b"\x00" * 14) + chunk(b"IEND", b""),
     ]
     # mutated valid PNGs: every byte position flipped once
     base = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
