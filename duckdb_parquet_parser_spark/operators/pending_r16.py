@@ -1,0 +1,174 @@
+"""Round-16 PENDING queries — staged in round 14, deliberately NOT
+registered: the round-15 window is already owed to the 49-query
+r12-certified rotation plus the 13 staged round-15 registrations
+(COVERAGE.md "Round-15 window plan"), and round 16 carries the
+scheduled certified-module fixes (REVIEW_r14.md #2-#4). Same staging
+discipline as pending_r13 → curation.py and pending_r14 →
+relational_q9.py: the full query-vs-oracle differential runs every
+round via tests/test_pending_r16.py, so registration is a rename.
+
+- ``ns_semdedup_prune`` — SemDeDup/prototype-style SEMANTIC pruning
+  (Abbas et al. 2023 "SemDeDup", Sorscher et al. 2022 "Beyond neural
+  scaling laws": within semantic clusters, the most prototypical
+  examples are the most redundant): take the certified spherical
+  k-means assignment (``ns_kmeans_embed`` — imported, not copied, so
+  the two derivations can never drift), rank every vector inside its
+  cluster by prototypicality (cosine to the round-2 centroid, the
+  certified round-6 value; vec_id tiebreak), and DROP the top
+  ``SEMDEDUP_DROP_PCT`` percent of each cluster (integer floor —
+  ``n*pct // 100`` on both engines), keeping the harder tail. Output:
+  every vector with its cluster, cos, prototypicality rank, the
+  cluster's drop budget, and the keep decision. Scale shape: the
+  k-means assignment is the priced pipeline (two Lloyd rounds, K×DIM
+  partial aggs); the prune adds ONE window over the cluster key — the
+  same single-exchange shape as every per-group rank in the engine.
+  At 100 TB the window never sees the vectors, only (vec_id, cluster,
+  cos) — 20 bytes/row.
+
+- ``ns_weighted_sample`` — deterministic WEIGHTED sampling without
+  replacement, per source: each doc draws a hash-seeded uniform
+  ``u`` (48-bit md5 prefix — exact in an IEEE double) and competes
+  with priority key ``u / w`` where the weight ``w`` is its token
+  count; the ``SAMPLE_K`` smallest keys per source win. Monotone in
+  w (doubling a doc's tokens halves its expected key) with full
+  hash-determinism, so both engines select the identical sample —
+  the curation-pipeline "length-weighted subsample per domain" step.
+  (The exactly-∝-w Efraimidis–Spirakis key is ``-ln(u)/w``; ``ln`` is
+  not bit-stable across engines, so the certified definition uses the
+  division key — selection stays weight-monotone and deterministic,
+  which is what a reproducible pipeline needs.) Scale shape: one
+  zero-shuffle projection for (u, w), ONE hash exchange on source for
+  the rank window; the salted pre-prune of ``per_source_keepers``
+  applies verbatim for skewed sources (a row outside its salt
+  bucket's top-K can never be in the global top-K).
+
+Reference analog: none (no relational/curation surface in the
+reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .similarity import ORACLES as _SIM_ORACLES
+from .similarity import q_ns_kmeans_embed
+
+SEMDEDUP_DROP_PCT = 25  # drop the most-prototypical quarter per cluster
+
+
+def q_ns_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic prune over the certified k-means clusters: per cluster,
+    rank by prototypicality (cos DESC, vec_id ASC) and drop the integer
+    ``n * PCT // 100`` head. The straggler math is integer on both
+    engines; cos is the certified round-6 value, so rank ties are
+    deterministic."""
+    assigned = q_ns_kmeans_embed(spark, sf_dir)
+    w_rank = Window.partitionBy("cluster").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    w_all = Window.partitionBy("cluster")
+    ranked = assigned.select(
+        "vec_id",
+        "cluster",
+        "cos",
+        F.row_number().over(w_rank).alias("proto_rank"),
+        F.count(F.lit(1)).over(w_all).alias("n_cluster"),
+    )
+    # integer floor division, spelled to match the oracle's `//`
+    n_drop = F.floor(
+        (F.col("n_cluster") * SEMDEDUP_DROP_PCT) / F.lit(100)
+    ).cast("long")
+    return ranked.select(
+        "vec_id",
+        "cluster",
+        "cos",
+        "proto_rank",
+        n_drop.alias("n_drop"),
+        (F.col("proto_rank") > n_drop).alias("kept"),
+    )
+
+
+SAMPLE_K = 40  # winners per source
+_U48 = "cast(conv(substring(md5(concat('ws:', cast(doc_id as string))), 1, 12), 16, 10) as double)"
+
+
+def q_ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-weighted sample per source: priority key =
+    u48 / n_tokens (both operands exact in double, IEEE division is
+    correctly rounded — bit-identical across engines); SAMPLE_K
+    smallest keys win. Null/empty texts carry no tokens and never
+    compete."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    keyed = docs.withColumn(
+        "prio", F.expr(_U48) / F.col("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("prio"), F.asc("doc_id"))
+    # prio is NOT rounded: both operands are integers exact in double and
+    # IEEE division is correctly rounded, so the engines' doubles are
+    # bit-identical — unlike the cosine family there is no float-path
+    # divergence to absorb
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SAMPLE_K)
+        .select("doc_id", "source", "n_tokens", "prio", "rank")
+    )
+
+
+QUERIES_PENDING_R16 = {
+    "ns_semdedup_prune": q_ns_semdedup_prune,
+    "ns_weighted_sample": q_ns_weighted_sample,
+}
+
+ORACLES_PENDING_R16 = {
+    # the certified k-means oracle verbatim as the base CTE — one
+    # derivation, two consumers, zero drift (the HLL-register pattern)
+    "ns_semdedup_prune": f"""
+        WITH base AS ({_SIM_ORACLES["ns_kmeans_embed"]}),
+        ranked AS (
+            SELECT vec_id, cluster, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY cos DESC, vec_id
+                   ) AS INT) AS proto_rank,
+                   count(*) OVER (PARTITION BY cluster) AS n_cluster
+            FROM base
+        )
+        SELECT vec_id, cluster, cos, proto_rank,
+               CAST(n_cluster * {SEMDEDUP_DROP_PCT} // 100 AS BIGINT)
+                   AS n_drop,
+               proto_rank > (n_cluster * {SEMDEDUP_DROP_PCT} // 100)
+                   AS kept
+        FROM ranked
+    """,
+    "ns_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(CAST(('0x' || substring(
+                       md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS prio
+            FROM documents
+            WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_tokens, prio,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY prio, doc_id
+                   ) AS INT) AS rank
+            FROM keyed
+        )
+        SELECT doc_id, source, n_tokens, prio, rank
+        FROM ranked WHERE rank <= {SAMPLE_K}
+    """,
+}

@@ -78,6 +78,15 @@ def main() -> int:
         ("pending15-emb", p15.test_pending_r15_projection_on_random_embeddings),
     ]
 
+    # round-14 additions: the r16 staged tranche (weighted sample over
+    # the docs family, semantic prune over the embeddings family)
+    import test_pending_r16 as p16
+
+    families += [
+        ("pending16-docs", p16.test_pending_r16_weighted_sample_on_random_docs),
+        ("pending16-emb", p16.test_pending_r16_semdedup_on_random_embeddings),
+    ]
+
     spark = get_spark(master=args.master)
     failures: list[str] = []
     with tempfile.TemporaryDirectory(prefix="seed_sweep_") as tmp:

@@ -1,0 +1,144 @@
+"""Round-16 pending queries (operators/pending_r16.py): the full
+query-vs-oracle differential runs HERE every round even though the
+queries aren't registered in the driver contract yet — the round-15
+window is owed to the 49-query r12 rotation + 13 staged registrations,
+and round 16 carries the REVIEW_r14 certified-module fixes (the
+staging discipline that shipped pending_r13 → curation.py and
+pending_r14 → relational_q9.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_parquet_parser_spark.operators.pending_r16 import (
+    ORACLES_PENDING_R16,
+    QUERIES_PENDING_R16,
+    SAMPLE_K,
+    SEMDEDUP_DROP_PCT,
+    q_ns_semdedup_prune,
+    q_ns_weighted_sample,
+)
+from duckdb_parquet_parser_spark.testing import compare_query
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES_PENDING_R16))
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_pending_r16_query_matches_oracle(spark, name, sf_dir):
+    res = compare_query(
+        spark,
+        sf_dir,
+        name,
+        QUERIES_PENDING_R16[name],
+        ORACLES_PENDING_R16[name],
+    )
+    assert res.ok, res
+
+
+def test_semdedup_drop_budget_semantics(spark, sf_smoke):
+    """Invariants the hash doesn't explain: within each cluster exactly
+    ``n * PCT // 100`` rows are dropped, the dropped set is the
+    prototypicality HEAD (every dropped cos >= every kept cos, with the
+    deterministic vec_id tiebreak), and every vector appears exactly
+    once."""
+    rows = q_ns_semdedup_prune(spark, sf_smoke).collect()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    saw_nontrivial = 0
+    for cl, rs in by_cluster.items():
+        n = len(rs)
+        n_drop = n * SEMDEDUP_DROP_PCT // 100
+        dropped = [r for r in rs if not r["kept"]]
+        assert len(dropped) == n_drop, (cl, n, len(dropped))
+        assert all(r["n_drop"] == n_drop for r in rs)
+        rs.sort(key=lambda r: (-r["cos"], r["vec_id"]))
+        # the drop set is exactly the head of the prototypicality order
+        assert [not r["kept"] for r in rs] == [i < n_drop for i in range(n)]
+        if n_drop:
+            saw_nontrivial += 1
+    # the fixture must actually exercise the budget (clusters of >= 4)
+    assert saw_nontrivial > 0
+
+
+def test_weighted_sample_is_weight_monotone_and_deterministic(
+    spark, sf_smoke
+):
+    """The priority key's contract: identical across runs (hash-seeded,
+    no RNG state), capped at SAMPLE_K per source, and monotone in the
+    weight — for the SAME doc_id (same u), a doubled token count halves
+    the key, so heavier docs can only move UP the order."""
+    a = {
+        (r["doc_id"], r["rank"])
+        for r in q_ns_weighted_sample(spark, sf_smoke).collect()
+    }
+    b = {
+        (r["doc_id"], r["rank"])
+        for r in q_ns_weighted_sample(spark, sf_smoke).collect()
+    }
+    assert a == b and a
+    per_source: dict = {}
+    rows = q_ns_weighted_sample(spark, sf_smoke).collect()
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+        assert r["prio"] >= 0 and r["n_tokens"] > 0
+    for src, rs in per_source.items():
+        assert len(rs) <= SAMPLE_K
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+
+
+def test_weighted_sample_single_exchange_plan(spark, sf_smoke):
+    """Scale lock: one zero-shuffle projection for (u, w), ONE
+    non-broadcast exchange (the per-source rank window), no Python
+    nodes."""
+    from duckdb_parquet_parser_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_ns_weighted_sample(spark, sf_smoke))
+    tree = plan.split("\n\n")[0]
+    nbe = [
+        ln
+        for ln in tree.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    assert len(nbe) == 1, nbe
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("seed", [66, 5152])
+def test_pending_r16_weighted_sample_on_random_docs(spark, tmp_path, seed):
+    """Randomized docs-family pressure: null texts excluded on both
+    sides, duplicate texts (u ties impossible — doc_id seeds the hash —
+    but token-count ties are common), skewed source shapes."""
+    import test_randomized_docs as docs
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_weighted_sample",
+        QUERIES_PENDING_R16["ns_weighted_sample"],
+        ORACLES_PENDING_R16["ns_weighted_sample"],
+    )
+    assert res.ok, res
+
+
+@pytest.mark.parametrize("seed", [77, 5153])
+def test_pending_r16_semdedup_on_random_embeddings(spark, tmp_path, seed):
+    """Randomized embeddings-family pressure: zero vectors (cos pinned
+    0), exact-duplicate cliques (round-6 cos ties broken by vec_id),
+    tiny/large magnitudes — the k-means base is already certified on
+    this family; the prune must stay hash-identical on top of it."""
+    import test_randomized_embeddings as emb
+
+    sf_dir = emb._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_semdedup_prune",
+        QUERIES_PENDING_R16["ns_semdedup_prune"],
+        ORACLES_PENDING_R16["ns_semdedup_prune"],
+    )
+    assert res.ok, res
