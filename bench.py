@@ -162,6 +162,15 @@ HEADLINE = [
     # (png_media.py); like the other mm rows its closed-form oracle
     # prices the relational skeleton, not the inflate+defilter work
     "ns_mm_png_features",
+    # round-14 registrations (operators/relational_q9.py): the TPC-H
+    # completers. Honest data-bound denominators — the oracles run the
+    # same join/aggregate pipelines over lineitem (no closed forms).
+    # Q6 is the pure pushed-scan shape; Q9 the window-derived supply
+    # cost; Q12 the join-then-conditional-count. (Q14 is staged, not
+    # registered — it benches when it registers in r15.)
+    "rel_filter_agg_q6",
+    "rel_profit_q9",
+    "rel_priority_mix_q12",
 ]
 
 

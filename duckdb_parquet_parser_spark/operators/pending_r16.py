@@ -172,3 +172,74 @@ ORACLES_PENDING_R16 = {
         FROM ranked WHERE rank <= {SAMPLE_K}
     """,
 }
+
+
+_W_MICRO = 1_000_000  # sqrt fixed-point scale (temperature α = 0.5)
+_PPM = 1_000_000  # share scale
+
+
+def q_ns_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    p_i ∝ n_i^α rule, α = 0.5): per (lang, source) domain, the token
+    count, its sqrt fixed-point weight, and the domain's parts-per-
+    million share of the temperature-scaled mass.
+
+    Completes the mixture family: ``ns_mixture_weights`` equalizes
+    (α = 0), ``ns_weighted_token_mix`` fills uniform budgets, this one
+    up-samples the tail the way multilingual corpora are actually
+    mixed. Cross-engine exactness without transcendentals:
+    ``w = floor(sqrt(n_tokens) * 1e6)`` — IEEE sqrt and multiply are
+    correctly rounded, floor is exact, so the BIGINT weights are
+    bit-identical on both engines, and the share is integer division
+    of exact integer sums: ``share_ppm = w * 1e6 // Σw``.
+
+    Scale shape: ONE hash aggregation of (domain → token count); the
+    share window runs over the already-aggregated #domains-row table
+    (the ns_mixture_weights pattern — the single-task stage never sees
+    the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    nt = (
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    dom = (
+        docs.select("lang", "source", nt.alias("nt"))
+        .groupBy("lang", "source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    w_micro = F.floor(F.sqrt(F.col("n_tokens")) * _W_MICRO).cast("long")
+    total = Window.partitionBy()
+    keyed = dom.select("lang", "source", "n_tokens", w_micro.alias("w_micro"))
+    return keyed.select(
+        "lang",
+        "source",
+        "n_tokens",
+        "w_micro",
+        F.expr(f"w_micro * {_PPM} div sum(w_micro) over ()")
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+QUERIES_PENDING_R16["ns_mixture_temperature"] = q_ns_mixture_temperature
+
+ORACLES_PENDING_R16["ns_mixture_temperature"] = f"""
+    WITH dom AS (
+        SELECT lang, source,
+               CAST(sum(CASE WHEN text IS NOT NULL
+                        THEN len(string_split(text, ' ')) ELSE 0 END)
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    ),
+    w AS (
+        SELECT lang, source, n_tokens,
+               CAST(floor(sqrt(n_tokens) * {_W_MICRO}) AS BIGINT)
+                   AS w_micro
+        FROM dom
+    )
+    SELECT lang, source, n_tokens, w_micro,
+           CAST(w_micro * {_PPM} // sum(w_micro) OVER () AS BIGINT)
+               AS share_ppm
+    FROM w
+"""

@@ -142,3 +142,45 @@ def test_pending_r16_semdedup_on_random_embeddings(spark, tmp_path, seed):
         ORACLES_PENDING_R16["ns_semdedup_prune"],
     )
     assert res.ok, res
+
+
+def test_mixture_temperature_fixed_point_semantics(spark, sf_smoke):
+    """Invariants behind the hash: w_micro is exactly
+    floor(sqrt(n_tokens) * 1e6) (recomputed in Python — IEEE sqrt is
+    correctly rounded, so all three computations agree bit-for-bit),
+    shares are the exact integer division of exact integer sums (total
+    within n_domains ulps-of-1 below 1e6), and temperature flattens the
+    mix in the PAIRWISE sense (the property sqrt actually guarantees —
+    pointwise betweenness vs uniform is false in general): share order
+    follows token order, and the extreme share ratio is the square root
+    of the extreme token ratio."""
+    import math
+
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        q_ns_mixture_temperature,
+    )
+
+    rows = q_ns_mixture_temperature(spark, sf_smoke).collect()
+    assert rows
+    total_w = sum(r["w_micro"] for r in rows)
+    total_nt = sum(r["n_tokens"] for r in rows)
+    n_dom = len(rows)
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    assert sum(r["share_ppm"] for r in rows) > 1_000_000 - n_dom
+    for r in rows:
+        assert r["w_micro"] == math.floor(
+            math.sqrt(r["n_tokens"]) * 1_000_000
+        )
+        assert r["share_ppm"] == r["w_micro"] * 1_000_000 // total_w
+    assert total_nt > 0 and n_dom > 1
+    # pairwise flattening: ordering preserved; extreme ratio = sqrt
+    by_nt = sorted(rows, key=lambda r: r["n_tokens"])
+    shares = [r["share_ppm"] for r in by_nt]
+    assert shares == sorted(shares)
+    lo, hi = by_nt[0], by_nt[-1]
+    if lo["n_tokens"] > 0 and lo["share_ppm"] > 0:
+        got_ratio = hi["share_ppm"] / lo["share_ppm"]
+        want_ratio = math.sqrt(hi["n_tokens"] / lo["n_tokens"])
+        assert abs(got_ratio - want_ratio) < 0.01 * want_ratio
+        # and it genuinely flattens: the share ratio is far below raw
+        assert got_ratio < hi["n_tokens"] / lo["n_tokens"]
