@@ -123,11 +123,11 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
 # this round is the ADVICE r13 fix in gif_media.py, whose decode query
 # is staged in pending_r15.py, not registered.
 #
-# Parked below: 49 r12-certified + 50 r13-certified. After the r14 run
-# the r12 certs age to 2 rounds: they MUST lead the round-15 window
-# (49 must-rotate + the 12 staged queries = 61 candidates for 50
-# slots — see the ledger forecast and COVERAGE.md's round-15 plan).
-# Trust the ledger over this prose if they ever disagree.
+# Parked below: 49 r12-certified + 49 r13-certified (ns_mm_png_features
+# re-heads). After the r14 run the r12 certs age to 2 rounds: they MUST
+# lead the round-15 window — 49 rotations + rel_promo_share_q14 = 50
+# per COVERAGE.md's round-15 plan (the other staged tranches queue for
+# r16). Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
     # r12-certified (49) — the r15 must-rotate block
     "ns_mm_ingest_parquet",

@@ -29,6 +29,20 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
+# The DRIVER finds everything through the inserts above, but Spark's
+# python WORKERS resolve imports through PYTHONPATH/cwd only — invoked
+# from any cwd but the repo root, every Arrow/mapInPandas query died
+# with a worker-side ModuleNotFoundError (round-14 sweep incident:
+# 8/24 runs failed from tests/; identical seeds pass from the root).
+# Pin both before the JVM starts so the launch directory is irrelevant.
+import os  # noqa: E402
+
+os.environ["PYTHONPATH"] = (
+    f"{REPO}:{os.environ['PYTHONPATH']}"
+    if os.environ.get("PYTHONPATH")
+    else str(REPO)
+)
+os.chdir(REPO)
 
 
 def main() -> int:
