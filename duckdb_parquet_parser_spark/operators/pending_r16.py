@@ -243,3 +243,77 @@ ORACLES_PENDING_R16["ns_mixture_temperature"] = f"""
                AS share_ppm
     FROM w
 """
+
+
+def q_ns_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate-cluster maintenance — the graph-side
+    completion of the engine's incrementality story (signatures:
+    ``ns_dedup_incremental``; sketches: ``ns_hll_incremental``; now the
+    CLUSTERS themselves): run N's persisted (doc, component) label
+    table plus ONLY the new batch's near-dup edges reproduce the full
+    recompute's clustering exactly, without ever re-walking the corpus
+    pair graph.
+
+    Construction (the standard star-contraction argument): every run-N
+    cluster collapses to a STAR — one (member, component) edge per
+    non-representative member, O(#clustered docs) edges regardless of
+    how dense the original pair graph was — and the convergent CC runs
+    over stars ∪ batch edges. Contracting connected subgraphs preserves
+    connectivity, and min-labels survive because each star carries its
+    component's min doc_id, so the merged labeling IS the full graph's
+    labeling. The oracle has no incremental path: it is the
+    ``WITH RECURSIVE`` transitive closure of the FULL pair set (the
+    certified ``ns_dedup_components_converged`` oracle, imported
+    verbatim), so the hash match certifies merge ≡ recompute exactly —
+    the ``ns_hll_incremental`` pattern applied to graphs.
+
+    Scale shape (100 TB corpus, small daily batch): run N+1 reads the
+    label table (narrow, one row per clustered doc — emulated here
+    with an eager checkpoint standing in for the persisted parquet),
+    band-joins ONLY the batch (the ``ns_dedup_incremental`` plan —
+    corpus↔corpus candidates impossible by construction), and the CC
+    rounds run over star+batch edges, logarithmic in the diameter of
+    the MERGED clusters only. The corpus CC below prices what run N
+    already paid; in production it is a table read."""
+    from ..session import checkpoint_df
+    from .dedup import (
+        INCR_MOD,
+        INCR_REM,
+        connected_components_converged,
+        q_ns_dedup_simhash_pairs,
+    )
+
+    pairs = q_ns_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    new_a = F.col("doc_a") % INCR_MOD == INCR_REM
+    new_b = F.col("doc_b") % INCR_MOD == INCR_REM
+    corpus_pairs = pairs.filter(~new_a & ~new_b)
+    batch_pairs = pairs.filter(new_a | new_b)
+    # run N's artifact: the corpus labeling, materialized (stand-in for
+    # the persisted parquet label table a real pipeline reads back)
+    labels_old, _ = connected_components_converged(corpus_pairs)
+    labels_old = checkpoint_df(labels_old, eager=True)
+    star = labels_old.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("doc_a"), F.col("component").alias("doc_b")
+    )
+    merged, _ = connected_components_converged(
+        star.unionByName(batch_pairs)
+    )
+    w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))
+    return merged.select(
+        F.col("doc").alias("doc_id"),
+        "component",
+        w_size.alias("cluster_size"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+
+
+QUERIES_PENDING_R16["ns_cc_incremental"] = q_ns_cc_incremental
+
+# the full-graph recursive-closure oracle VERBATIM — the whole point:
+# the oracle recomputes from scratch, the query merges, the hash match
+# is the merge ≡ recompute theorem re-proved on every fixture
+from .curation import ORACLES as _CUR_ORACLES  # noqa: E402
+
+ORACLES_PENDING_R16["ns_cc_incremental"] = _CUR_ORACLES[
+    "ns_dedup_components_converged"
+]

@@ -99,6 +99,7 @@ def main() -> int:
     families += [
         ("pending16-docs", p16.test_pending_r16_weighted_sample_on_random_docs),
         ("pending16-emb", p16.test_pending_r16_semdedup_on_random_embeddings),
+        ("pending16-cc", p16.test_pending_r16_cc_incremental_on_random_docs),
     ]
 
     spark = get_spark(master=args.master)

@@ -184,3 +184,70 @@ def test_mixture_temperature_fixed_point_semantics(spark, sf_smoke):
         assert abs(got_ratio - want_ratio) < 0.01 * want_ratio
         # and it genuinely flattens: the share ratio is far below raw
         assert got_ratio < hi["n_tokens"] / lo["n_tokens"]
+
+
+def test_cc_incremental_equals_full_recompute(spark, sf_smoke):
+    """Merge ≡ recompute, Spark-vs-Spark (the oracle already proves it
+    vs DuckDB's closure; this pins the two SPARK pipelines — the
+    incremental star+batch derivation and the certified full-graph
+    ns_dedup_components — to the identical labeling, so a drift in
+    either surfaces without a DuckDB run)."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        q_ns_dedup_components,
+    )
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        q_ns_cc_incremental,
+    )
+
+    inc = {
+        (r["doc_id"], r["component"], r["cluster_size"], r["keep"])
+        for r in q_ns_cc_incremental(spark, sf_smoke).collect()
+    }
+    full = {
+        (r["doc_id"], r["component"], r["cluster_size"], r["keep"])
+        for r in q_ns_dedup_components(spark, sf_smoke).collect()
+    }
+    assert inc == full and inc
+
+
+def test_cc_incremental_batch_split_is_real(spark, sf_smoke):
+    """The fixture must actually exercise the merge: the batch slice
+    carries edges (otherwise the query degenerates to relabeling), and
+    at least one merged component contains BOTH corpus and batch docs
+    (a corpus↔new edge merged clusters across the split)."""
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+    )
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        q_ns_cc_incremental,
+    )
+
+    rows = q_ns_cc_incremental(spark, sf_smoke).collect()
+    comps: dict = {}
+    for r in rows:
+        comps.setdefault(r["component"], set()).add(
+            r["doc_id"] % INCR_MOD == INCR_REM
+        )
+    assert any(v == {True, False} for v in comps.values())
+    assert any(True in v for v in comps.values())
+
+
+@pytest.mark.parametrize("seed", [88, 5154])
+def test_pending_r16_cc_incremental_on_random_docs(spark, tmp_path, seed):
+    """Randomized duplicate-graph pressure (the components family's own
+    harness): random cluster shapes, chains, cliques — the incremental
+    derivation must stay hash-identical to the from-scratch recursive
+    closure on ANY graph, including ones where the batch slice is empty
+    or merges many corpus clusters at once."""
+    import test_randomized_docs as docs
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_cc_incremental",
+        QUERIES_PENDING_R16["ns_cc_incremental"],
+        ORACLES_PENDING_R16["ns_cc_incremental"],
+    )
+    assert res.ok, res
