@@ -317,3 +317,40 @@ from .curation import ORACLES as _CUR_ORACLES  # noqa: E402
 ORACLES_PENDING_R16["ns_cc_incremental"] = _CUR_ORACLES[
     "ns_dedup_components_converged"
 ]
+
+
+SAMPLE_SALTS = 32
+
+
+def per_source_sample_keepers(
+    df: DataFrame, k: int = SAMPLE_K
+) -> DataFrame:
+    """Skew-safe KEPT-ONLY variant of the weighted sample for 100 TB —
+    the ``per_source_keepers`` two-phase discipline applied to the
+    priority key. Pruning argument (simpler than the token-budget one
+    because the key is per-row, not cumulative): a row's global rank is
+    ≥ its rank inside its own salt bucket, so a row ranked > k in its
+    bucket can never be in the source's global top-k. Phase 1 keeps
+    each bucket's top-k (≤ SALTS × k candidate rows per source — a
+    constant); phase 2 re-ranks the candidates exactly. Input:
+    (doc_id, source, n_tokens, prio); output: the winners with their
+    exact global rank (equivalence pinned in tests/test_pending_r16.py
+    on a deliberately skewed one-megasource frame)."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.col("doc_id"), F.lit(SAMPLE_SALTS))
+    )
+    w_local = Window.partitionBy("source", "_salt").orderBy(
+        F.asc("prio"), F.asc("doc_id")
+    )
+    cands = (
+        salted.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_salt", "_lr")
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.asc("prio"), F.asc("doc_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )

@@ -251,3 +251,42 @@ def test_pending_r16_cc_incremental_on_random_docs(spark, tmp_path, seed):
         ORACLES_PENDING_R16["ns_cc_incremental"],
     )
     assert res.ok, res
+
+
+def test_skew_safe_sample_keepers_equivalent(spark, sf_smoke):
+    """The salted two-phase sample must return EXACTLY the full-window
+    winners with identical ranks — checked end-to-end and on a
+    deliberately skewed one-megasource frame (the per_source_keepers
+    equivalence discipline)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        per_source_sample_keepers,
+    )
+
+    full = q_ns_weighted_sample(spark, sf_smoke)
+    want = {
+        (r["doc_id"], r["source"], r["rank"]) for r in full.collect()
+    }
+    base = full.select("doc_id", "source", "n_tokens", "prio")
+    got = {
+        (r["doc_id"], r["source"], r["rank"])
+        for r in per_source_sample_keepers(base, SAMPLE_K).collect()
+    }
+    assert got == want and got
+    # skewed: one megasource absorbing ~4/5 of all docs
+    skewed = base.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 != 0, "mega").otherwise("rest"),
+    )
+    got_mega = sorted(
+        (r["rank"], r["doc_id"])
+        for r in per_source_sample_keepers(skewed, 25).collect()
+        if r["source"] == "mega"
+    )
+    rows = sorted(
+        (r["prio"], r["doc_id"])
+        for r in skewed.filter("source = 'mega'").collect()
+    )[:25]
+    expect = sorted((i + 1, doc) for i, (_, doc) in enumerate(rows))
+    assert got_mega == expect
