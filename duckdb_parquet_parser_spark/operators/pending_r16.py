@@ -42,6 +42,21 @@ round via tests/test_pending_r16.py, so registration is a rename.
   applies verbatim for skewed sources (a row outside its salt
   bucket's top-K can never be in the global top-K).
 
+- ``ns_mixture_temperature`` (bottom) — the multilingual p ∝ n^α
+  up-sampling rule at α = 0.5 in exact fixed-point (floor(sqrt·1e6) +
+  integer-division shares — no transcendental drift), completing the
+  mixture family: equalize / budget-fill / temperature.
+
+- ``ns_cc_incremental`` (bottom) — INCREMENTAL duplicate-cluster
+  maintenance, completing the incrementality triad (signatures /
+  sketches / clusters): run N's persisted labels collapse to stars,
+  run N+1 adds only the batch's band-join edges, and the convergent CC
+  over stars ∪ batch edges ≡ the full recompute — certified against
+  the full-graph ``WITH RECURSIVE`` closure oracle imported verbatim.
+
+- ``per_source_sample_keepers`` (bottom, library) — the skew-safe
+  two-phase variant of the weighted sample, equivalence-pinned.
+
 Reference analog: none (no relational/curation surface in the
 reference).
 """
