@@ -21,24 +21,35 @@ from .sources.layout import _hadoop_fs
 
 def fs_content_fingerprint(spark: SparkSession, path: str) -> str:
     """Cheap content fingerprint of a file or directory on ANY scheme
-    Spark reaches: ``name:mtime_ms:size`` per file, sorted by path,
+    Spark reaches: ``relative/path:mtime_ms:size`` per file, sorted,
     ``|``-joined. Raises FileNotFoundError for an absent path instead of
     returning an empty string — an empty fingerprint is precisely the
     silent-staleness failure this helper exists to close.
 
-    Scale note: one Hadoop ``listFiles(recursive)`` round trip per call
-    — O(#files) metadata, no data reads; at 100 TB this is the same
-    listing every scan's split planning already performs."""
+    Keys are paths RELATIVE TO THE ROOT, not basenames (code review
+    r14): a Hive-partitioned table has identically-named part files in
+    every partition directory, and a same-name/same-size/same-mtime
+    move between partitions must change the fingerprint.
+
+    Resolution contract: Hadoop reports millisecond mtimes, so a
+    same-size rewrite within one millisecond is invisible — strictly
+    coarser than ``os.stat``'s nanoseconds. The round-16 dedup swap
+    must therefore keep the os.stat path for LOCAL directories and use
+    this only where os.stat cannot see at all (REVIEW_r14.md #2)."""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         raise FileNotFoundError(path)
+    root = p.toUri().getPath()
     parts: list[str] = []
     it = fs.listFiles(p, True)
     while it.hasNext():
         st = it.next()
-        fp = st.getPath()
-        parts.append(
-            f"{fp.getName()}:{st.getModificationTime()}:{st.getLen()}"
-        )
+        fpath = st.getPath().toUri().getPath()
+        rel = (
+            fpath[len(root):].lstrip("/")
+            if fpath.startswith(root)
+            else fpath
+        ) or fpath.rsplit("/", 1)[-1]
+        parts.append(f"{rel}:{st.getModificationTime()}:{st.getLen()}")
     parts.sort()
     return "|".join(parts)

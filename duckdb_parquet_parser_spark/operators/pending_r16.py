@@ -114,16 +114,21 @@ def q_ns_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-weighted sample per source: priority key =
     u48 / n_tokens (both operands exact in double, IEEE division is
     correctly rounded — bit-identical across engines); SAMPLE_K
-    smallest keys win. Null/empty texts carry no tokens and never
-    compete."""
+    smallest keys win. Null AND empty texts never compete (the empty
+    string splits to [''] — size 1 on both engines — so the emptiness
+    filter is explicit, not implied by the token count; code review
+    r14)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
+        "text",
         F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    ).filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).drop("text")
     keyed = docs.withColumn(
         "prio", F.expr(_U48) / F.col("n_tokens")
     )
@@ -174,7 +179,7 @@ ORACLES_PENDING_R16 = {
                        AS BIGINT) AS DOUBLE)
                      / len(string_split(text, ' ')) AS prio
             FROM documents
-            WHERE text IS NOT NULL AND len(string_split(text, ' ')) > 0
+            WHERE text IS NOT NULL AND text <> ''
         ),
         ranked AS (
             SELECT doc_id, source, n_tokens, prio,
@@ -224,16 +229,20 @@ def q_ns_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nt").alias("n_tokens"))
     )
     w_micro = F.floor(F.sqrt(F.col("n_tokens")) * _W_MICRO).cast("long")
-    total = Window.partitionBy()
     keyed = dom.select("lang", "source", "n_tokens", w_micro.alias("w_micro"))
+    # the share multiplies w_micro (up to ~2^63/1e6 at extreme domain
+    # sizes) by 1e6 — widen to DECIMAL(38,0) BEFORE the multiply so the
+    # arithmetic can't wrap under non-ANSI long math while the oracle
+    # (HUGEINT) errors or disagrees (code review r14)
     return keyed.select(
         "lang",
         "source",
         "n_tokens",
         "w_micro",
-        F.expr(f"w_micro * {_PPM} div sum(w_micro) over ()")
-        .cast("long")
-        .alias("share_ppm"),
+        F.expr(
+            f"CAST(CAST(w_micro AS DECIMAL(38,0)) * {_PPM}"
+            " DIV sum(CAST(w_micro AS DECIMAL(38,0))) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 
@@ -254,7 +263,8 @@ ORACLES_PENDING_R16["ns_mixture_temperature"] = f"""
         FROM dom
     )
     SELECT lang, source, n_tokens, w_micro,
-           CAST(w_micro * {_PPM} // sum(w_micro) OVER () AS BIGINT)
+           CAST(CAST(w_micro AS HUGEINT) * {_PPM}
+                // sum(CAST(w_micro AS HUGEINT)) OVER () AS BIGINT)
                AS share_ppm
     FROM w
 """
@@ -294,11 +304,18 @@ def q_ns_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import (
         INCR_MOD,
         INCR_REM,
+        _simhash_pairs_materialized,
         connected_components_converged,
-        q_ns_dedup_simhash_pairs,
     )
 
-    pairs = q_ns_dedup_simhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # the memoized pair table, not the lazy builder: THREE graph
+    # consumers read it in a session (corpus CC, merged CC, and the
+    # certified ns_dedup_components the equivalence test runs) — the
+    # exact consumer class dedup._simhash_pairs_materialized exists for
+    # (code review r14)
+    pairs = _simhash_pairs_materialized(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    )
     new_a = F.col("doc_a") % INCR_MOD == INCR_REM
     new_b = F.col("doc_b") % INCR_MOD == INCR_REM
     corpus_pairs = pairs.filter(~new_a & ~new_b)
@@ -334,7 +351,7 @@ ORACLES_PENDING_R16["ns_cc_incremental"] = _CUR_ORACLES[
 ]
 
 
-SAMPLE_SALTS = 32
+SAMPLE_SALTS = 32  # == curation.SOURCE_CAP_SALTS; see consolidation note
 
 
 def per_source_sample_keepers(
@@ -350,7 +367,15 @@ def per_source_sample_keepers(
     constant); phase 2 re-ranks the candidates exactly. Input:
     (doc_id, source, n_tokens, prio); output: the winners with their
     exact global rank (equivalence pinned in tests/test_pending_r16.py
-    on a deliberately skewed one-megasource frame)."""
+    on a deliberately skewed one-megasource frame).
+
+    Consolidation note (code review r14): this is the third instance of
+    the salted two-phase top-K shape (curation.per_source_keepers ranks
+    by quality, pending_r14.per_source_token_keepers runs a budget SUM,
+    this one ranks by priority key). The rank-based pair should share
+    one helper parameterized on the orderBy spec — scheduled for the
+    round-16 curation rotation (REVIEW_r14.md #5), since touching
+    curation.py now would re-head its certified queries mid-window."""
     salted = df.withColumn(
         "_salt", F.pmod(F.col("doc_id"), F.lit(SAMPLE_SALTS))
     )

@@ -38,10 +38,35 @@ def test_fingerprint_directory_listing(spark, tmp_path):
     (d / "part" / "b.parquet").write_bytes(b"2" * 7)
     fp = fs_content_fingerprint(spark, str(d))
     names = sorted(seg.split(":")[0] for seg in fp.split("|"))
-    assert names == ["a.parquet", "b.parquet"]  # recursive listing
+    # recursive listing with RELATIVE paths, not basenames — a
+    # same-name part file in two partition directories must produce
+    # two distinct keys (code review r14)
+    assert names == ["a.parquet", "part/b.parquet"]
     # adding a file changes the fingerprint
     (d / "c.parquet").write_bytes(b"3")
     assert fs_content_fingerprint(spark, str(d)) != fp
+
+
+def test_fingerprint_sees_cross_directory_moves(spark, tmp_path):
+    """A same-name/same-size/same-mtime move between partition
+    directories must change the fingerprint — the exact blind spot a
+    basename key would have (code review r14)."""
+    import shutil
+
+    d = tmp_path / "t.parquet"
+    (d / "lang=en").mkdir(parents=True)
+    (d / "lang=fr").mkdir()
+    f = d / "lang=en" / "part-00000.parquet"
+    f.write_bytes(b"xyz")
+    fp1 = fs_content_fingerprint(spark, str(d))
+    st = f.stat()
+    shutil.move(str(f), str(d / "lang=fr" / "part-00000.parquet"))
+    os.utime(
+        d / "lang=fr" / "part-00000.parquet",
+        ns=(st.st_atime_ns, st.st_mtime_ns),
+    )
+    fp2 = fs_content_fingerprint(spark, str(d))
+    assert fp1 != fp2
 
 
 def test_fingerprint_accepts_file_uri(spark, tmp_path):
