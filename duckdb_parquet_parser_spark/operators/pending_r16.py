@@ -394,3 +394,118 @@ def per_source_sample_keepers(
         cands.withColumn("rank", F.row_number().over(w_global))
         .filter(F.col("rank") <= k)
     )
+
+
+#: The lineage runs CC on the SURVIVOR SUBGRAPH, whose diameter can
+#: EXCEED the full graph's (removing vertices removes shortcuts: the
+#: sf0.01 fixture needs 12 rounds where the full graph converges in
+#: ≤ 10 — measured, stable across evaluations). 32 is the runaway
+#: ceiling, not a tuning knob; the fixtures use ≤ 12.
+LINEAGE_CC_MAX_ROUNDS = 32
+
+
+def q_ns_embed_curation_lineage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EMBEDDING-side pipeline capstone, mirroring
+    ``ns_curation_lineage`` on the text side: every vector labeled with
+    the first stage that dropped it — ``semdedup`` (pruned as
+    most-prototypical inside its k-means cluster), ``duplicate`` (a
+    near-dup cluster member on the SURVIVOR graph that is not the
+    representative), or ``kept``. Stage order is load-bearing and
+    certified: the near-dup graph is restricted to semdedup SURVIVORS
+    (both endpoints), so a pair whose better half was pruned cannot
+    mark the other as duplicate — exactly the pipeline semantics a real
+    embedding-curation job has, and a composition the per-stage
+    certifications alone cannot prove.
+
+    Oracle independence: the Spark side composes the three certified
+    pipelines (k-means prune window, banded IVF near-dup join,
+    convergent CC); the oracle recomputes all three from scratch with
+    DuckDB's own machinery (correlated windows + a WITH RECURSIVE
+    closure over the survivor-filtered pair set) — the lossless-
+    composition theorem re-proved on every fixture, the text lineage's
+    pattern.
+
+    Scale shape: semdedup adds one 20-byte-row window on the priced
+    Lloyd pipeline; the survivor restriction is two broadcast-size semi
+    joins on vec_id BEFORE the pair verification; CC rounds are
+    logarithmic on the restricted (smaller) graph; the final label is
+    one left join of two narrow frames."""
+    from .dedup import connected_components_converged
+    from .similarity import q_ns_embed_neardup
+
+    kept = q_ns_semdedup_prune(spark, sf_dir).select("vec_id", "kept")
+    survivors = kept.filter(F.col("kept")).select("vec_id")
+    pairs = (
+        q_ns_embed_neardup(spark, sf_dir)
+        .join(
+            survivors.select(F.col("vec_id").alias("vec_a")), "vec_a"
+        )
+        .join(
+            survivors.select(F.col("vec_id").alias("vec_b")), "vec_b"
+        )
+        .select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    comp, _ = connected_components_converged(
+        pairs, max_rounds=LINEAGE_CC_MAX_ROUNDS
+    )
+    dup = comp.filter(F.col("doc") != F.col("component")).select(
+        F.col("doc").alias("vec_id"), F.lit(True).alias("_dup")
+    )
+    return (
+        kept.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(~F.col("kept"), F.lit("semdedup"))
+            .when(F.col("_dup").isNotNull(), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("stage"),
+        )
+    )
+
+
+QUERIES_PENDING_R16["ns_embed_curation_lineage"] = (
+    q_ns_embed_curation_lineage
+)
+
+ORACLES_PENDING_R16["ns_embed_curation_lineage"] = f"""
+    WITH RECURSIVE km AS (
+        {_SIM_ORACLES["ns_kmeans_embed"]}
+    ), ranked AS (
+        SELECT vec_id,
+               row_number() OVER (
+                   PARTITION BY cluster ORDER BY cos DESC, vec_id
+               ) AS pr,
+               count(*) OVER (PARTITION BY cluster) AS n
+        FROM km
+    ), keepset AS (
+        SELECT vec_id,
+               pr > (n * {SEMDEDUP_DROP_PCT} // 100) AS kept
+        FROM ranked
+    ), rawpairs AS (
+        {_SIM_ORACLES["ns_embed_neardup"]}
+    ), pairs AS (
+        SELECT vec_a, vec_b FROM rawpairs
+        JOIN keepset a ON a.vec_id = vec_a AND a.kept
+        JOIN keepset b ON b.vec_id = vec_b AND b.kept
+    ), edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ), reach (vec_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.vec_id = e.dst
+    ), comp AS (
+        SELECT vec_id, min(label) AS component FROM reach GROUP BY vec_id
+    )
+    SELECT k.vec_id,
+           CASE WHEN NOT k.kept THEN 'semdedup'
+                WHEN c.component IS NOT NULL AND c.component <> k.vec_id
+                    THEN 'duplicate'
+                ELSE 'kept' END AS stage
+    FROM keepset k LEFT JOIN comp c ON c.vec_id = k.vec_id
+"""

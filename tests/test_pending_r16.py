@@ -290,3 +290,53 @@ def test_skew_safe_sample_keepers_equivalent(spark, sf_smoke):
     )[:25]
     expect = sorted((i + 1, doc) for i, (_, doc) in enumerate(rows))
     assert got_mega == expect
+
+
+def test_embed_lineage_stage_semantics(spark, sf_smoke):
+    """Composition invariants the hash alone doesn't explain: every
+    vector labeled exactly once; the 'semdedup' set IS the prune's
+    dropped set (stage order — a pruned vector can never be labeled
+    duplicate); 'duplicate' vectors are survivors; every stage actually
+    fires on the fixture."""
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        q_ns_embed_curation_lineage,
+    )
+
+    lineage = {
+        r["vec_id"]: r["stage"]
+        for r in q_ns_embed_curation_lineage(spark, sf_smoke).collect()
+    }
+    prune = {
+        r["vec_id"]: r["kept"]
+        for r in q_ns_semdedup_prune(spark, sf_smoke).collect()
+    }
+    assert set(lineage) == set(prune)
+    assert {v for v, s in lineage.items() if s == "semdedup"} == {
+        v for v, k in prune.items() if not k
+    }
+    assert all(
+        prune[v] for v, s in lineage.items() if s == "duplicate"
+    )
+    stages = set(lineage.values())
+    assert stages == {"semdedup", "duplicate", "kept"}
+
+
+@pytest.mark.parametrize("seed", [99, 5155])
+def test_pending_r16_embed_lineage_on_random_embeddings(
+    spark, tmp_path, seed
+):
+    """Randomized embeddings pressure on the full composition: zero
+    vectors, exact-duplicate cliques, chain fragments — the survivor
+    restriction reshapes the near-dup graph differently on every seed,
+    and the recursive-closure oracle adjudicates the whole pipeline."""
+    import test_randomized_embeddings as emb
+
+    sf_dir = emb._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_embed_curation_lineage",
+        QUERIES_PENDING_R16["ns_embed_curation_lineage"],
+        ORACLES_PENDING_R16["ns_embed_curation_lineage"],
+    )
+    assert res.ok, res
