@@ -509,3 +509,77 @@ ORACLES_PENDING_R16["ns_embed_curation_lineage"] = f"""
                 ELSE 'kept' END AS stage
     FROM keepset k LEFT JOIN comp c ON c.vec_id = k.vec_id
 """
+
+
+BPE_TOP_K = 50  # merge candidates reported
+
+
+def q_ns_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer TRAINING, distributed: corpus-
+    wide counts of adjacent character pairs inside whitespace words —
+    the statistic whose argmax is the first merge rule (Sennrich et al.
+    2016). Output: the ``BPE_TOP_K`` most frequent pairs with count and
+    rank (count DESC, pair ASC — fully deterministic).
+
+    Engine-exactness note: pair extraction is ``substring(w, i, 2)``
+    over character (code-point) indices — both engines' substring is
+    character-based, and the randomized docs family (unicode grams)
+    adjudicates that assumption every round.
+
+    Scale shape: words and pairs are zero-shuffle projections
+    (split → explode → transform/sequence → explode); ONE hash
+    aggregation with map-side partials; the rank window runs over the
+    aggregated pair table (vocabulary-sized, not corpus-sized). A full
+    BPE trainer iterates this exact job with a broadcast merge table —
+    the per-iteration cost at 100 TB is this one aggregation."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, char_length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_rank = Window.partitionBy().orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= BPE_TOP_K)
+        .select("pair", "n", "rank")
+    )
+
+
+QUERIES_PENDING_R16["ns_bpe_pair_counts"] = q_ns_bpe_pair_counts
+
+ORACLES_PENDING_R16["ns_bpe_pair_counts"] = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    pairs AS (
+        -- scalar list range, not the table function (DuckDB's lateral
+        -- range rejects column parameters)
+        SELECT unnest(list_transform(range(1, len(w)),
+                      i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ),
+    counts AS (
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+    ),
+    ranked AS (
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT)
+                   AS rank
+        FROM counts
+    )
+    SELECT pair, n, rank FROM ranked WHERE rank <= {BPE_TOP_K}
+"""

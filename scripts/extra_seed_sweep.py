@@ -101,6 +101,7 @@ def main() -> int:
         ("pending16-emb", p16.test_pending_r16_semdedup_on_random_embeddings),
         ("pending16-cc", p16.test_pending_r16_cc_incremental_on_random_docs),
         ("pending16-lineage", p16.test_pending_r16_embed_lineage_on_random_embeddings),
+        ("pending16-bpe", p16.test_pending_r16_bpe_on_random_docs),
     ]
 
     spark = get_spark(master=args.master)

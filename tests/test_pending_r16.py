@@ -340,3 +340,54 @@ def test_pending_r16_embed_lineage_on_random_embeddings(
         ORACLES_PENDING_R16["ns_embed_curation_lineage"],
     )
     assert res.ok, res
+
+
+def test_bpe_pair_counts_semantics(spark, sf_smoke):
+    """Structural pins: ranks are a dense 1..K prefix in (count DESC,
+    pair ASC) order; every pair is exactly two characters; counts
+    recompute in Python from the raw fixture text."""
+    from collections import Counter
+
+    from duckdb_parquet_parser_spark.catalog import load_table
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        BPE_TOP_K,
+        q_ns_bpe_pair_counts,
+    )
+
+    rows = q_ns_bpe_pair_counts(spark, sf_smoke).collect()
+    rows.sort(key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= BPE_TOP_K
+    key = [(-r["n"], r["pair"]) for r in rows]
+    assert key == sorted(key)
+    assert all(len(r["pair"]) == 2 for r in rows)
+    # Python reference over the raw text
+    want = Counter()
+    for (text,) in load_table(spark, sf_smoke, "documents").select(
+        "text"
+    ).collect():
+        if text is None:
+            continue
+        for w in text.split(" "):
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    for r in rows:
+        assert want[r["pair"]] == r["n"], r
+
+
+@pytest.mark.parametrize("seed", [111, 5156])
+def test_pending_r16_bpe_on_random_docs(spark, tmp_path, seed):
+    """Randomized docs pressure — the load-bearing assumption is that
+    BOTH engines' substring is character (code-point) based; the
+    unicode-gram fixtures adjudicate it on every seed."""
+    import test_randomized_docs as docs
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_bpe_pair_counts",
+        QUERIES_PENDING_R16["ns_bpe_pair_counts"],
+        ORACLES_PENDING_R16["ns_bpe_pair_counts"],
+    )
+    assert res.ok, res
