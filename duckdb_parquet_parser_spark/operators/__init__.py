@@ -92,96 +92,38 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-14 rotation (VERDICT r13 #1/#2, executing the COVERAGE.md
-# "Round-14 window plan" verbatim). Head composition (50 of 50 slots,
+# Round-15 rotation (VERDICT r14 #1, executing the COVERAGE.md
+# "Round-15 window plan" verbatim). Head composition (50 of 50 slots,
 # verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the FORTY-SIX r11-certified queries the r13 ledger forecast as
-# must-rotate (certs aged to 2 rounds after the r13 driver run):
-# ns_mm_image_dedup_cluster .. ns_mm_features — the whole remaining
-# r11 block (3 of the original 49 pre-floated into the r13 head);
-# (2) THREE registrations from the round-13 staged surface
-# (operators/relational_q9.py, moved from pending_r14.py): the TPC-H
-# completers rel_profit_q9, rel_filter_agg_q6, rel_priority_mix_q12 —
-# never certified, differentially tested at two SFs + randomized
-# fixtures every round since r13;
-# (3) ONE re-certification: ns_mm_png_features — the round-14 review
-# pass (VERDICT r13 #5) found a degrade-contract escape in decode_png
-# (a wrong-length IHDR behind a valid CRC raised struct.error, outside
-# the kernel's ValueError/NotImplementedError degrade set — a task
-# failure instead of a degraded row) and the one-line length check is
-# an executable change to a certified module, so the query re-heads.
-# 46 + 3 + 1 = 50; the window is exactly full. rel_promo_share_q14
-# stepped back to staging to make the slot — EXACTLY the documented
-# drop order ("drop TPC-H completers one at a time, Q14 first, rather
-# than starving the rotation"); it registers in round 15 alongside the
-# two floated token-mix queries (all pinned every round by
-# tests/test_pending_r14.py + tests/test_relational_q9.py).
+# (1) the FORTY-NINE r12-certified queries the r14 ledger forecast as
+# must-rotate (certs aged to 2 rounds after the r14 driver run):
+# ns_mm_ingest_parquet .. stream_tumbling — the whole r12 block;
+# (2) ONE registration from the staged surface: rel_promo_share_q14
+# (operators/relational_q9.py, QUERIES_STAGED → QUERIES) — the last
+# TPC-H completer, dropped from the r14 head per the documented drop
+# order when the PNG re-cert took its slot; differentially tested at
+# two SFs + randomized NULL/dangling-key fixtures every round since
+# r13, so registration is the promised rename, not new risk.
+# 49 + 1 = 50; the window is exactly full. The remaining staged
+# tranches (ns_token_budget_mix / ns_weighted_token_mix from
+# pending_r14, the ten pending_r15 queries, the six pending_r16
+# queries) queue for round 16+, whose must-rotate block is the 49-query
+# r13 set — that rotation already includes the dedup/curation blocks,
+# so the scheduled REVIEW_r14 #2-#4 fixes (fsmeta fingerprint swap,
+# logit-SQL + salted-top-K consolidation, dup import) ride it for free.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
-# docstring-only edits do not count. The only OTHER operator-code edit
-# this round is the ADVICE r13 fix in gif_media.py, whose decode query
-# is staged in pending_r15.py, not registered.
+# docstring-only edits do not count. Adding Q14 to relational_q9.py's
+# registration dicts changes no executable line of the three
+# r14-certified queries in that module (functions and oracle strings
+# byte-identical), so they park on schedule.
 #
-# Parked below: 49 r12-certified + 49 r13-certified (ns_mm_png_features
-# re-heads). After the r14 run the r12 certs age to 2 rounds: they MUST
-# lead the round-15 window — 49 rotations + rel_promo_share_q14 = 50
-# per COVERAGE.md's round-15 plan (the other staged tranches queue for
-# r16). Trust the ledger over this prose if they ever disagree.
+# Parked below: 49 r13-certified + 50 r14-certified. After the r15 run
+# the r13 certs age to 2 rounds: they MUST lead the round-16 window.
+# Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r12-certified (49) — the r15 must-rotate block
-    "ns_mm_ingest_parquet",
-    "rel_min_supplycost_q2",
-    "rel_value_share_q11",
-    "rel_supplier_cnt_q16",
-    "ns_mm_ingest",
-    "ns_mm_image_features",
-    "ns_mm_image_neardup",
-    "ns_mm_audio_features",
-    "ns_mm_audio_fingerprint",
-    "ns_mm_audio_neardup",
-    "ns_mm_video_framehashes",
-    "ns_mm_video_neardup",
-    "udf_scalar_pandas",
-    "w1_roundtrip",
-    "w1_roundtrip_zstd",
-    "w2_dict_decision",
-    "src_json_roundtrip",
-    "src_orc_roundtrip",
-    "src_partitioned_read",
-    "f1_clustered_prune",
-    "w_zorder_prune",
-    "r1_rowgroup_meta",
-    "r6_chunk_values",
-    "r8_page_index",
-    "streaming_tumbling_rt",
-    "streaming_enrich",
-    "ns_heavy_hitters_cms",
-    "rel_agg_q1",
-    "rel_join_q3",
-    "rel_merge_upsert",
-    "rel_join_q5",
-    "rel_window_rank",
-    "rel_asof_join",
-    "rel_range_join",
-    "rel_window_lag",
-    "rel_subquery",
-    "rel_percentiles",
-    "rel_exists_q4",
-    "rel_corr_scalar_q17",
-    "rel_group_in_q18",
-    "rel_multi_exists_q21",
-    "rel_window_range_time",
-    "rel_outer_hist_q13",
-    "rel_anti_avg_q22",
-    "ns_dupgram_profile",
-    "ns_shared_ngrams",
-    "ns_common_token_ratio",
-    "ns_quality_logit",
-    "stream_tumbling",
-    # r13-certified (49 of 50; ns_mm_png_features re-heads this round —
-    # decode_png's executable changed, review r14) — the r16
-    # must-rotate block
+    # r13-certified (49) — the r16 must-rotate block
     "ns_source_cap",
     "rel_top_supplier_q15",
     "rel_returned_top_q10",
@@ -231,4 +173,55 @@ ROTATION_TAIL = [
     "rel_scalar_funcs",
     "rel_case_expr",
     "stream_sliding",
+    # r14-certified (50) — the r17 must-rotate block
+    "ns_mm_png_features",
+    "ns_mm_image_dedup_cluster",
+    "ns_mm_audio_dedup_cluster",
+    "ns_mm_video_dedup_cluster",
+    "rel_nested_semi_q20",
+    "rel_volume_q7",
+    "rel_mktshare_q8",
+    "rel_profit_q9",
+    "rel_filter_agg_q6",
+    "rel_priority_mix_q12",
+    "ns_mm_meta",
+    "ns_mm_features",
+    "udf_table_function",
+    "w4_pywriter_roundtrip",
+    "src_csv_roundtrip",
+    "f1_regex_manifest",
+    "src_bucketed_join",
+    "r7_chunk_bytes",
+    "r6_fleet_audit",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_session_stateful",
+    "ns_pipeline_curate",
+    "ns_sample_stratified",
+    "ns_text_tokens",
+    "ns_text_quality",
+    "ns_text_langid",
+    "ns_text_fingerprint",
+    "ns_text_rollhash",
+    "ns_text_redact",
+    "ns_text_repetition",
+    "ns_quantile_sketch",
+    "ns_vocab_topk",
+    "ns_seq_pack",
+    "ns_mixture_weights",
+    "ns_doclen_histogram",
+    "ns_approx_distinct_hll",
+    "r10_positional_stream",
+    "r10_file_order",
+    "x1_chunk_index",
+    "x1_tuple_to_chunk",
+    "x1_chunk_greedy",
+    "r4_rowgroup_scan",
+    "f1_page_report",
+    "ns_knn_bruteforce",
+    "ns_ann_lsh_buckets",
+    "ns_ann_ivf_topk",
+    "ns_kmeans_embed",
+    "rel_pivot",
+    "stream_session",
 ]

@@ -91,10 +91,10 @@ def q_ns_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Q14 stepped back from the round-14 registration when the PNG IHDR fix
-# pulled ns_mm_png_features' re-cert into the full head (the COVERAGE.md
-# drop order: Q14 first); it registers with this tranche in round 15.
-# Imported, not copied — one implementation, one oracle string.
+# Q14 REGISTERED in round 15 (relational_q9.QUERIES_STAGED → QUERIES,
+# the 50th head slot next to the 49 r12 rotations); the STAGED dicts it
+# leaves behind are empty, so these imports merge nothing — they stay
+# as the staging seam the next TPC-H-adjacent tranche reuses.
 from .relational_q9 import ORACLES_STAGED as _Q14_ORACLES
 from .relational_q9 import QUERIES_STAGED as _Q14_QUERIES
 

@@ -208,25 +208,22 @@ def q_rel_promo_share_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rel_promo_share_q14 is NOT registered this round after all: the
-# round-14 review found a degrade-contract escape in the certified PNG
-# decoder (wrong-length IHDR -> struct.error, png_media.py), and the
-# one-line fix drags ns_mm_png_features' re-certification into the
-# exactly-full head — so Q14 steps back to staging, exactly the drop
-# order the COVERAGE.md window plan prescribed ("drop TPC-H completers
-# one at a time, Q14 first, rather than starving the rotation").
-# pending_r14.py registers it from here for round 15; the differential
-# keeps running every round via tests/test_relational_q9.py +
-# tests/test_pending_r14.py.
+# rel_promo_share_q14 REGISTERED in round 15, exactly as the COVERAGE.md
+# round-15 window plan scheduled: it completes the TPC-H sweep the r14
+# drop order interrupted (it stepped back when the PNG IHDR fix took its
+# head slot), has been differentially tested at two SFs + randomized
+# NULL/dangling-key fixtures every round since round 13, and fills the
+# 50th head slot next to the 49 must-rotate r12 certifications. The
+# STAGED dicts below stay (empty) so pending_r14.py's imports — and the
+# staging pattern the next tranche reuses — keep working unchanged.
 QUERIES = {
     "rel_profit_q9": q_rel_profit_q9,
     "rel_filter_agg_q6": q_rel_filter_agg_q6,
     "rel_priority_mix_q12": q_rel_priority_mix_q12,
-}
-
-QUERIES_STAGED = {
     "rel_promo_share_q14": q_rel_promo_share_q14,
 }
+
+QUERIES_STAGED: dict = {}
 
 ORACLES = {
     "rel_profit_q9": f"""
@@ -281,9 +278,6 @@ ORACLES = {
           AND l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
         GROUP BY 1
     """,
-}
-
-ORACLES_STAGED = {
     "rel_promo_share_q14": f"""
         SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
                        THEN CAST(l_extendedprice * (1 - l_discount)
@@ -297,3 +291,5 @@ ORACLES_STAGED = {
           AND l_shipdate < TIMESTAMP '{Q14_HI}'
     """,
 }
+
+ORACLES_STAGED: dict = {}
