@@ -35,7 +35,15 @@ def fs_content_fingerprint(spark: SparkSession, path: str) -> str:
     same-size rewrite within one millisecond is invisible — strictly
     coarser than ``os.stat``'s nanoseconds. The round-16 dedup swap
     must therefore keep the os.stat path for LOCAL directories and use
-    this only where os.stat cannot see at all (REVIEW_r14.md #2)."""
+    this only where os.stat cannot see at all (REVIEW_r14.md #2).
+
+    Encoding contract (ADVICE r14): each per-file record is
+    length-prefixed — ``len(rel):rel:mtime:size`` — so a path containing
+    the ``:`` or ``|`` delimiters can never alias a different listing to
+    the same joined string (two different content versions mapping to one
+    fingerprint is exactly the failure class this helper closes; parquet
+    part files never contain these characters, but the primitive must not
+    depend on that)."""
     fs, p = _hadoop_fs(spark, path)
     if not fs.exists(p):
         raise FileNotFoundError(path)
@@ -50,6 +58,8 @@ def fs_content_fingerprint(spark: SparkSession, path: str) -> str:
             if fpath.startswith(root)
             else fpath
         ) or fpath.rsplit("/", 1)[-1]
-        parts.append(f"{rel}:{st.getModificationTime()}:{st.getLen()}")
+        parts.append(
+            f"{len(rel)}:{rel}:{st.getModificationTime()}:{st.getLen()}"
+        )
     parts.sort()
     return "|".join(parts)

@@ -42,7 +42,6 @@ os.environ["PYTHONPATH"] = (
     if os.environ.get("PYTHONPATH")
     else str(REPO)
 )
-os.chdir(REPO)
 
 
 def main() -> int:
@@ -51,6 +50,12 @@ def main() -> int:
     ap.add_argument("--per-family", type=int, default=3)
     ap.add_argument("--master", default="local[8]")
     args = ap.parse_args()
+    # chdir AFTER argparse so any relative path a caller passes resolves
+    # against the invocation directory, not the repo root (ADVICE r14);
+    # the chdir itself must still happen before the JVM starts — Spark's
+    # python workers resolve imports through PYTHONPATH/cwd only (the
+    # round-14 launch-directory incident documented above).
+    os.chdir(REPO)
 
     from duckdb_parquet_parser_spark.session import get_spark
 

@@ -7,7 +7,6 @@ bug this replaces)."""
 from __future__ import annotations
 
 import os
-import time
 
 import pytest
 
@@ -18,17 +17,37 @@ def test_fingerprint_single_file_and_rewrite(spark, tmp_path):
     f = tmp_path / "docs.parquet"
     f.write_bytes(b"abc")
     fp1 = fs_content_fingerprint(spark, str(f))
-    assert "docs.parquet:" in fp1 and fp1.endswith(":3")
+    # length-prefixed record (ADVICE r14): len(rel):rel:mtime:size
+    assert "12:docs.parquet:" in fp1 and fp1.endswith(":3")
     # size change must change the fingerprint
     f.write_bytes(b"abcdef")
     fp2 = fs_content_fingerprint(spark, str(f))
     assert fp2 != fp1 and fp2.endswith(":6")
-    # same-size rewrite: mtime moves (Hadoop reports ms — force a tick)
-    time.sleep(0.002)
+    # same-size rewrite: set a DISTINCT mtime explicitly instead of
+    # sleeping past the clock tick — on coarse-mtime filesystems (1 s on
+    # some network mounts) a 2 ms sleep can land the rewrite in the same
+    # Hadoop-visible millisecond and flake (ADVICE r14)
+    st = f.stat()
     f.write_bytes(b"uvwxyz")
-    os.utime(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000))
     fp3 = fs_content_fingerprint(spark, str(f))
     assert fp3 != fp2
+
+
+def test_fingerprint_delimiter_paths_cannot_alias(spark, tmp_path):
+    """Length-prefixed records (ADVICE r14): a relative path containing
+    the ':' or '|' delimiters must parse unambiguously — two different
+    listings can never join to the same fingerprint string."""
+    d = tmp_path / "t.parquet"
+    d.mkdir()
+    (d / "a:1").write_bytes(b"x")
+    fp = fs_content_fingerprint(spark, str(d))
+    # the record self-describes the path length, so the embedded ':'
+    # cannot shift field boundaries
+    assert fp.startswith("3:a:1:")
+    (d / "a|b").write_bytes(b"y")
+    fp2 = fs_content_fingerprint(spark, str(d))
+    assert fp2 != fp and "3:a|b:" in fp2
 
 
 def test_fingerprint_directory_listing(spark, tmp_path):
@@ -37,7 +56,12 @@ def test_fingerprint_directory_listing(spark, tmp_path):
     (d / "a.parquet").write_bytes(b"1" * 5)
     (d / "part" / "b.parquet").write_bytes(b"2" * 7)
     fp = fs_content_fingerprint(spark, str(d))
-    names = sorted(seg.split(":")[0] for seg in fp.split("|"))
+
+    def rel_of(seg: str) -> str:
+        n, rest = seg.split(":", 1)
+        return rest[: int(n)]
+
+    names = sorted(rel_of(seg) for seg in fp.split("|"))
     # recursive listing with RELATIVE paths, not basenames — a
     # same-name part file in two partition directories must produce
     # two distinct keys (code review r14)
