@@ -109,6 +109,14 @@ def main() -> int:
         ("pending16-bpe", p16.test_pending_r16_bpe_on_random_docs),
     ]
 
+    # round-15 addition: the BPE merge-loop trainer (staged r17) vs its
+    # pure-Python reference trainer over random unicode docs
+    import test_bpe_trainer as bpe
+
+    families += [
+        ("bpe-trainer", bpe.test_bpe_trainer_on_random_docs),
+    ]
+
     spark = get_spark(master=args.master)
     failures: list[str] = []
     with tempfile.TemporaryDirectory(prefix="seed_sweep_") as tmp:
