@@ -191,11 +191,76 @@ def q_ns_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rules, _MERGE_SCHEMA)
 
 
-# Staged for a round-17+ window slot (rows-only driver check when it
-# registers: the merge loop is iterative with per-iteration driver
-# argmax decisions — the documented non-SQL-expressible class; its
+def tokenize_words(words: DataFrame, rules: list) -> DataFrame:
+    """Apply a learned merge table to a (w,) word frame → (w, toks).
+
+    Rules apply SEQUENTIALLY in rank order, each greedily left-to-right
+    across the word (Sennrich's original apply loop). For rules learned
+    by a self-consistent trainer this equals the priority-queue
+    inference real tokenizers use: a merged symbol can only participate
+    in rules learned AFTER the rule that created it, so a lower-rank
+    rule can never become newly applicable once passed — rank order is
+    already topological. The whole application is ONE nested Catalyst
+    projection (K folds deep), no Python, no shuffle, no join."""
+    syms = _initial_symbols("w")
+    for _rank, left, right, _token, _n in rules:
+        syms = _apply_merge(syms, left, right)
+    return words.select("w", syms.alias("toks"))
+
+
+def q_ns_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE at corpus scale with the corpus's own learned
+    merges — the capstone composition (train → apply) that makes the
+    token-budget/mixture operators runnable on a REAL subword unit
+    instead of whitespace words.
+
+    Scale shape: the expensive K-fold merge application runs over the
+    DISTINCT word table (vocabulary-sized — at 100 TB, ~10^8 short rows,
+    not 10^11 documents), exactly once per word; documents then explode
+    to (doc_id, w) and pick up each word's token count through one
+    equi-join on the word, followed by one per-doc aggregation. Two
+    shuffles total at any scale (word join + doc agg); the fold itself
+    is a narrow JVM-side projection.
+
+    Output: (doc_id, n_words, n_bpe_tokens) — null-text docs are absent
+    (they carry no words), empty-token runs are dropped like the
+    trainer drops them."""
+    rules, wc = train_bpe(spark, sf_dir)
+    # wc already holds every distinct word WITH its final segmentation —
+    # reuse it instead of re-tokenizing (train's last checkpoint IS the
+    # applied-merges table; tokenize_words exists for foreign corpora)
+    word_tokens = wc.select(
+        "w", F.size("syms").alias("word_toks")
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    out = (
+        doc_words.join(word_tokens, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_toks").alias("n_bpe_tokens"),
+        )
+    )
+    # materialize before unpersisting the checkpointed word table the
+    # plan reads from
+    out = out.localCheckpoint(eager=True)
+    wc.unpersist()
+    return out
+
+
+# Staged for a round-17+ window slot (rows-only driver check when they
+# register: the merge loop is iterative with per-iteration driver
+# argmax decisions — the documented non-SQL-expressible class; the
 # differential is the pure-Python reference trainer in
 # tests/test_bpe_trainer.py, run at two SFs + randomized fixtures every
 # round, same staging discipline as pending_r14/15/16).
-QUERIES_PENDING_R17 = {"ns_bpe_merges": q_ns_bpe_merges}
+QUERIES_PENDING_R17 = {
+    "ns_bpe_merges": q_ns_bpe_merges,
+    "ns_bpe_tokenize": q_ns_bpe_tokenize,
+}
 ORACLES_PENDING_R17: dict[str, str] = {}

@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""sf1 spot-check of the data-bound dedup family (VERDICT r14 #7).
+
+Builds a 10x-sf0.1 documents table (one decade beyond the bench SF) by
+replicating the driver's sf0.1 fixture with per-replica word suffixes:
+replica r suffixes every word with a tag, so word SETS are disjoint
+across replicas — each replica contributes the sf0.1 duplicate
+structure verbatim and the corpus's duplicate/cluster statistics scale
+exactly linearly, which is what a fair strong-scaling decade needs
+(naive text replication would near-duplicate every doc across replicas
+and grow pair volume quadratically — a different DATASET, not a bigger
+one). doc_id_r = doc_id + r * 50_000_000 keeps id ranges disjoint and
+preserves within-replica id order for the min-id keep policies.
+
+Writes .scratch/sf1/documents.parquet (gitignored — derived data), then
+times the five data-bound queries cold (fresh memos per query, same
+protocol as bench.py) and prints one JSON line with walls at sf1 and,
+for reference, the same queries at sf0.1 in the same session. Spark
+walls only: the point is plan-shape linearity (no super-linear
+surprise), not a DuckDB ratio — the quadratic recursive oracles are the
+documented >10-min cases at this scale.
+
+Usage: python scripts/sf1_spotcheck.py [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+os.environ["PYTHONPATH"] = (
+    f"{REPO}:{os.environ['PYTHONPATH']}"
+    if os.environ.get("PYTHONPATH")
+    else str(REPO)
+)
+
+SRC = "/root/testdata/sf0.1/documents.parquet"
+QUERIES = [
+    "ns_dedup_minhash",
+    "ns_dedup_minhash_salted",
+    "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
+    "ns_dedup_incremental",
+]
+
+
+def build_sf1(out_dir: Path, replicas: int) -> str:
+    import duckdb
+
+    out = out_dir / "documents.parquet"
+    if out.exists():
+        return str(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    parts = []
+    for r in range(replicas):
+        if r == 0:
+            parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars"
+                f" FROM read_parquet('{SRC}')"
+            )
+        else:
+            parts.append(
+                f"""
+                SELECT doc_id + {r} * 50000000 AS doc_id,
+                       CASE WHEN text IS NULL THEN NULL ELSE
+                           array_to_string(
+                               list_transform(string_split(text, ' '),
+                                              w -> w || 'q{r}z'),
+                               ' ')
+                       END AS text,
+                       lang, source, n_chars
+                FROM read_parquet('{SRC}')
+                """
+            )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}'"
+        f" (FORMAT PARQUET, ROW_GROUP_SIZE 20000)"
+    )
+    con.close()
+    return str(out_dir)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+    os.chdir(REPO)
+
+    sf1_dir = build_sf1(REPO / ".scratch" / "sf1", args.replicas)
+
+    from duckdb_parquet_parser_spark.operators import collect_queries
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        clear_simhash_memos,
+    )
+    from duckdb_parquet_parser_spark.session import get_spark
+
+    spark = get_spark(app_name="sf1-spotcheck")
+    queries, _ = collect_queries()
+    record: dict = {"replicas": args.replicas, "walls": {}}
+    # sf1 FIRST: its walls are then cold (first exec in session) while
+    # sf0.1 is warm — the scaling factor sf1_cold / sf0.1_warm can only
+    # OVERSTATE the decade, so a <= 10x reading is conservative.
+    for sf_name, sf_dir in (("sf1", sf1_dir), ("sf0.1", "/root/testdata/sf0.1")):
+        walls = {}
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            clear_simhash_memos()
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            walls[name] = round(time.perf_counter() - t0, 2)
+        record["walls"][sf_name] = walls
+    record["scaling_x"] = {
+        n: round(
+            record["walls"]["sf1"][n] / record["walls"]["sf0.1"][n], 2
+        )
+        for n in QUERIES
+        if record["walls"]["sf0.1"][n] > 0
+    }
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

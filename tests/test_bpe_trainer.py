@@ -169,3 +169,53 @@ def test_bpe_trainer_on_random_docs(spark, tmp_path, seed):
     assert got_words == {
         ("".join(syms), c, syms) for syms, c in ref_wc.items()
     }
+
+
+def test_bpe_tokenize_matches_reference(spark, sf_smoke):
+    """Corpus tokenization with the learned merges: per-doc word and
+    BPE-token counts must equal the Python reference trainer's
+    segmentation applied to the same raw text."""
+    from duckdb_parquet_parser_spark.catalog import load_table
+    from duckdb_parquet_parser_spark.operators.bpe_trainer import (
+        q_ns_bpe_tokenize,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in q_ns_bpe_tokenize(spark, sf_smoke).collect()
+    }
+    _, ref_wc = _ref_bpe(_ref_word_counts(spark, sf_smoke), BPE_MERGES)
+    tok_len = {"".join(syms): len(syms) for syms in ref_wc}
+    want = {}
+    for doc_id, text in (
+        load_table(spark, sf_smoke, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        if text is None:
+            continue
+        words = [w for w in text.split(" ") if w]
+        if words:
+            want[doc_id] = (
+                len(words),
+                sum(tok_len[w] for w in words),
+            )
+    assert got == want
+    # tokens never exceed characters, never undercut 1 per word
+    for doc_id, (nw, nt) in got.items():
+        assert nw <= nt
+
+
+def test_bpe_tokenize_words_on_foreign_corpus(spark):
+    """tokenize_words applies a merge table to words the trainer never
+    saw — rules fire partially, unknown characters pass through."""
+    from duckdb_parquet_parser_spark.operators.bpe_trainer import (
+        tokenize_words,
+    )
+
+    rules = [(1, "a", "b", "ab", 9), (2, "ab", "c", "abc", 5)]
+    df = spark.createDataFrame([("abcab",), ("zzz",), ("cba",)], ["w"])
+    got = {r["w"]: r["toks"] for r in tokenize_words(df, rules).collect()}
+    assert got["abcab"] == ["abc", "ab"]
+    assert got["zzz"] == ["z", "z", "z"]
+    assert got["cba"] == ["c", "b", "a"]
