@@ -1,0 +1,216 @@
+"""Round-16 fixes, STAGED (built + differentially tested in round 15,
+deliberately NOT registered): the two certified-module plan changes the
+r15 measurements motivated, implemented here against the same oracles so
+the r16 edit — at the dedup/curation blocks' zero-cost rotation moment —
+is a verified move, not new risk. Same staging discipline as
+fsmeta.fs_content_fingerprint (the third scheduled r16 dedup fix).
+
+1. ``verify_jaccard_pairs_hashjoin`` — the sf1 spot-check found
+   `_verify_jaccard_pairs`' doc-array joins demote broadcast →
+   SortMergeJoin once the doc-array relation outgrows the broadcast
+   estimate, SORTING the candidate-pair stream (64M rows at sf1: 133 s
+   vs 49 s with the strategy held — BENCH_NOTES r15, proven by
+   threshold A/B). The fix is strategy, not threshold: a
+   ``shuffle_hash`` hint on the doc-array sides hash-joins the pair
+   stream without sorting it — correct at ANY corpus size, no broadcast
+   dependence (the build side is the per-partition slice of the doc
+   table, the probe side streams). Catalyst still upgrades to broadcast
+   when the dim is tiny, so fixture plans are unchanged.
+
+2. ``ns_source_droprate_persisted`` — the droprate telemetry row
+   re-derives the whole CC pipeline when cold (VERDICT r14 #2: 3.0×;
+   the r15 steady rep proved cold ≈ steady, i.e. the cost IS the
+   pipeline, not first-exec tax). Production telemetry reads the
+   components table the dedup job PERSISTED — the same cross-run
+   contract `ns_dedup_incremental_persisted` certifies for signatures,
+   applied to labels: run N writes (doc, component) to a versioned
+   parquet artifact with a JSON sidecar (format version + source
+   content fingerprint), run N+1 validates the sidecar BEFORE any data
+   read and computes the per-source drop rate from the reopened labels.
+   Same output, same DuckDB oracle as ``ns_source_droprate`` — the hash
+   match certifies persisted ≡ recomputed.
+
+Reference analog: none (no relational/curation surface in the
+reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .dedup import (
+    JACCARD_THRESHOLD,
+    _artifact_meta_path,
+    _artifact_uri,
+    _cached_signatures,
+    _doc_word_arrays,
+    _fs_move_text_into_place,
+    _text_components_materialized,
+    lsh_candidate_pairs,
+)
+
+COMP_ARTIFACT_VERSION = 1
+_COMP_ARTIFACT_COLUMNS = ["doc", "component"]
+
+
+def verify_jaccard_pairs_hashjoin(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """`_verify_jaccard_pairs` with ``shuffle_hash`` hints on the
+    doc-array sides (dedup.py:244-255 is the certified original; the
+    hint is the ONLY difference — r16 moves it there)."""
+    docs = _doc_word_arrays(spark, sf_dir)
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
+    ).hint("shuffle_hash")
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size("ws_a") + F.size("ws_b") - inter
+    return (
+        pairs.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_ns_dedup_minhash_hashjoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``ns_dedup_minhash`` with the hinted verify — identical results
+    by construction (the hint changes join STRATEGY, never semantics),
+    same oracle."""
+    sigs = _cached_signatures(spark, sf_dir)
+    return verify_jaccard_pairs_hashjoin(
+        spark, sf_dir, lsh_candidate_pairs(sigs)
+    )
+
+
+def _comp_artifact_path(sf_dir: str) -> str:
+    """Per-(table path, content fingerprint) artifact location — the
+    `_incremental_artifact_path` discipline (0o700 per-user cache dir,
+    stale-fingerprint pruning) under a separate namespace so signature
+    and label artifacts never collide."""
+    import os
+    import shutil
+
+    from ..cache import content_tags, per_user_cache_dir
+
+    base = per_user_cache_dir("sg_comp")
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry.startswith(f"{path_tag}_") and entry != name:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
+
+
+def write_components_artifact(
+    spark: SparkSession, sf_dir: str, path: str
+) -> None:
+    """Run-N of the telemetry pipeline: persist the converged component
+    labels (doc, component) with the versioned JSON sidecar — the same
+    atomic-sidecar protocol as `write_signature_artifact`."""
+    import json
+
+    comp = _text_components_materialized(spark, sf_dir)
+    comp.select(*_COMP_ARTIFACT_COLUMNS).write.mode("overwrite").parquet(
+        path
+    )
+    meta = {"comp_version": COMP_ARTIFACT_VERSION}
+    _fs_move_text_into_place(
+        spark, _artifact_meta_path(path), json.dumps(meta)
+    )
+
+
+def read_components_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Reopen a persisted label artifact, validating the sidecar BEFORE
+    any data read — version mismatch or missing sidecar/columns fail
+    loudly (a silently-wrong label table produces plausible telemetry)."""
+    import json
+
+    from ..sources.layout import _fs_read_text
+
+    from .dedup import SIG_ARTIFACT_META  # shared sidecar file name
+
+    text = _fs_read_text(spark, _artifact_meta_path(path))
+    if text is None:
+        raise ValueError(
+            f"components artifact at {path} has no {SIG_ARTIFACT_META}"
+        )
+    meta = json.loads(text)
+    if meta.get("comp_version") != COMP_ARTIFACT_VERSION:
+        raise ValueError(
+            f"components artifact version {meta.get('comp_version')!r} at "
+            f"{path} != engine version {COMP_ARTIFACT_VERSION}"
+        )
+    df = spark.read.parquet(path)
+    missing = [c for c in _COMP_ARTIFACT_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"components artifact at {path} missing columns {missing}"
+        )
+    return df.select(*_COMP_ARTIFACT_COLUMNS)
+
+
+def q_ns_source_droprate_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`ns_source_droprate` reading the PERSISTED component labels — the
+    production telemetry shape: the dedup job wrote the components
+    table; this query pays one validated parquet read + one broadcast
+    join + one aggregation, never the CC pipeline. If no prior-run
+    artifact exists for this exact table content, one is written first
+    (that write IS the prior run — the `ns_dedup_incremental_persisted`
+    convention). Output and oracle identical to the certified row."""
+    from ..sources.layout import _hadoop_fs
+
+    uri = _artifact_uri(_comp_artifact_path(sf_dir))
+    fs, meta_p = _hadoop_fs(spark, _artifact_meta_path(uri))
+    if not fs.exists(meta_p):
+        write_components_artifact(spark, sf_dir, uri)
+    comp = read_components_artifact(spark, uri).select(
+        F.col("doc").alias("doc_id"),
+        (F.col("doc") == F.col("component")).alias("keep"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(comp, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.coalesce(F.col("keep"), F.lit(True)), 0).otherwise(1)
+            ).cast("long").alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dropped",
+            F.expr("(n_dropped * 10000) div n_docs").alias("drop_bps"),
+        )
+    )
+
+
+def _staged_oracles() -> dict[str, str]:
+    """Oracles imported VERBATIM from the certified rows — results must
+    be identical, so a copy would only be a drift hazard."""
+    from .curation import ORACLES as _CUR_ORACLES
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    return {
+        "ns_dedup_minhash_hashjoin": _DEDUP_ORACLES["ns_dedup_minhash"],
+        "ns_source_droprate_persisted": _CUR_ORACLES["ns_source_droprate"],
+    }
+
+
+QUERIES_STAGED_R16 = {
+    "ns_dedup_minhash_hashjoin": q_ns_dedup_minhash_hashjoin,
+    "ns_source_droprate_persisted": q_ns_source_droprate_persisted,
+}
+ORACLES_STAGED_R16 = _staged_oracles()
