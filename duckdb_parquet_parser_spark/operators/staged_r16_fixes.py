@@ -10,12 +10,20 @@ fsmeta.fs_content_fingerprint (the third scheduled r16 dedup fix).
    SortMergeJoin once the doc-array relation outgrows the broadcast
    estimate, SORTING the candidate-pair stream (64M rows at sf1: 133 s
    vs 49 s with the strategy held — BENCH_NOTES r15, proven by
-   threshold A/B). The fix is strategy, not threshold: a
-   ``shuffle_hash`` hint on the doc-array sides hash-joins the pair
-   stream without sorting it — correct at ANY corpus size, no broadcast
-   dependence (the build side is the per-partition slice of the doc
-   table, the probe side streams). Catalyst still upgrades to broadcast
-   when the dim is tiny, so fixture plans are unchanged.
+   threshold A/B). The fix is strategy, not threshold, and it must be
+   CONDITIONAL — both simpler designs were tried and measured out:
+   an UNCONDITIONAL ``shuffle_hash`` hint overrides Catalyst's
+   broadcast choice (hints outrank size-based broadcast), regressing
+   the fixture-scale row 4.6 → 7.2 s steady; and the session-level
+   ``spark.sql.join.preferSortMergeJoin=false`` leaves the sf1 SMJ in
+   place (the doc-array size estimate exceeds the
+   ``canBuildLocalHashMap`` bound of threshold × partitions). So the
+   staged verify hints the doc-array sides ``shuffle_hash`` ONLY when
+   their optimizer size estimate exceeds the session broadcast
+   threshold — broadcast keeps winning exactly where it's available,
+   and the big-corpus regime hash-joins the pair stream without
+   sorting it (correct at any corpus size: the build side is the
+   per-partition doc slice, the probe side streams).
 
 2. ``ns_source_droprate_persisted`` — the droprate telemetry row
    re-derives the whole CC pipeline when cold (VERDICT r14 #2: 3.0×;
@@ -55,19 +63,50 @@ COMP_ARTIFACT_VERSION = 1
 _COMP_ARTIFACT_COLUMNS = ["doc", "component"]
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session broadcast threshold in bytes (the conf accepts size
+    strings like '10MB'); ≤ 0 means broadcast is disabled."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        return int(raw)
+    except ValueError:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+
+
+def _wont_broadcast(df: DataFrame, spark: SparkSession) -> bool:
+    """True when Catalyst's own size estimate rules out a broadcast of
+    ``df`` — exactly the regime where the verify join would demote to
+    SortMergeJoin and the ``shuffle_hash`` hint must take over. Reads
+    the optimizer estimate (a plan-build-time metadata call, no job)."""
+    thresh = _broadcast_threshold_bytes(spark)
+    if thresh <= 0:
+        return True
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est > thresh
+
+
 def verify_jaccard_pairs_hashjoin(
     spark: SparkSession, sf_dir: str, pairs: DataFrame
 ) -> DataFrame:
-    """`_verify_jaccard_pairs` with ``shuffle_hash`` hints on the
-    doc-array sides (dedup.py:244-255 is the certified original; the
-    hint is the ONLY difference — r16 moves it there)."""
+    """`_verify_jaccard_pairs` with CONDITIONAL ``shuffle_hash`` hints on
+    the doc-array sides (dedup.py:244-255 is the certified original; the
+    conditional hint is the ONLY difference — r16 moves it there)."""
     docs = _doc_word_arrays(spark, sf_dir)
+    hint = ["shuffle_hash"] if _wont_broadcast(docs, spark) else []
     sets_a = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a")
-    ).hint("shuffle_hash")
+    )
     sets_b = docs.select(
         F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b")
-    ).hint("shuffle_hash")
+    )
+    for h in hint:
+        sets_a = sets_a.hint(h)
+        sets_b = sets_b.hint(h)
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size("ws_a") + F.size("ws_b") - inter
     return (

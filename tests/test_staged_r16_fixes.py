@@ -87,6 +87,22 @@ def test_hashjoin_verify_never_sorts_the_pair_stream(spark, sf_smoke):
     )
 
 
+def test_hashjoin_verify_keeps_broadcast_at_fixture_scale(spark, sf_smoke):
+    """The conditionality lock: with the default threshold the doc-array
+    side broadcasts, so the staged plan must be hint-FREE — an
+    unconditional hint measurably regressed the fixture row (4.6 →
+    7.2 s steady at sf0.1, BENCH_NOTES r15) because join hints outrank
+    the size-based broadcast choice."""
+    plan = (
+        q_ns_dedup_minhash_hashjoin(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_droprate_persisted_artifact_contract(spark, sf_smoke, tmp_path):
     """The cross-run contract: a second run reuses the artifact (no
     rewrite), results equal the certified in-session row, and a
