@@ -5,25 +5,32 @@ the r16 edit — at the dedup/curation blocks' zero-cost rotation moment —
 is a verified move, not new risk. Same staging discipline as
 fsmeta.fs_content_fingerprint (the third scheduled r16 dedup fix).
 
-1. ``verify_jaccard_pairs_hashjoin`` — the sf1 spot-check found
-   `_verify_jaccard_pairs`' doc-array joins demote broadcast →
-   SortMergeJoin once the doc-array relation outgrows the broadcast
-   estimate, SORTING the candidate-pair stream (64M rows at sf1: 133 s
-   vs 49 s with the strategy held — BENCH_NOTES r15, proven by
-   threshold A/B). The fix is strategy, not threshold, and it must be
-   CONDITIONAL — both simpler designs were tried and measured out:
-   an UNCONDITIONAL ``shuffle_hash`` hint overrides Catalyst's
-   broadcast choice (hints outrank size-based broadcast), regressing
-   the fixture-scale row 4.6 → 7.2 s steady; and the session-level
-   ``spark.sql.join.preferSortMergeJoin=false`` leaves the sf1 SMJ in
-   place (the doc-array size estimate exceeds the
-   ``canBuildLocalHashMap`` bound of threshold × partitions). So the
-   staged verify hints the doc-array sides ``shuffle_hash`` ONLY when
-   their optimizer size estimate exceeds the session broadcast
-   threshold — broadcast keeps winning exactly where it's available,
-   and the big-corpus regime hash-joins the pair stream without
-   sorting it (correct at any corpus size: the build side is the
-   per-partition doc slice, the probe side streams).
+1. ``verify_jaccard_pairs_hashjoin`` — pre-empts the verify joins'
+   broadcast cliff. Scale chronology, per the r15 sf1 probes
+   (BENCH_NOTES r15 "sf1 spot-check" + corrections): the join the sf1
+   decade actually demoted (plan text: ``SortMergeJoin [band_idx,
+   band_hash]``) is the CANDIDATE band self-join — keyed partitioning
+   concentrates hot-bucket pair generation, the exact documented risk
+   ``lsh_candidate_pairs_salted`` exists to solve (the salted row
+   measured ~linear at sf1 with no conf change), so the r16 answer for
+   candidate generation is the certified salted generator, not a hint.
+   The verify joins stayed broadcast at sf1 (the doc-array relation is
+   6 MB at 50k docs) but outgrow ANY broadcast threshold one-to-two
+   decades later, and in that regime Spark demotes them to
+   SortMergeJoin — which sorts the CANDIDATE-PAIR STREAM (the 10^9+-row
+   side), the measurably wrong strategy (the forced-regime plan lock
+   below reproduces it at fixture scale). The conditional design
+   matters — both simpler forms were tried and measured out: an
+   UNCONDITIONAL ``shuffle_hash`` hint outranks Catalyst's size-based
+   broadcast choice and regressed the fixture row 4.6 → 7.2 s steady;
+   session-level ``spark.sql.join.preferSortMergeJoin=false`` doesn't
+   reach joins whose build-side estimate exceeds the
+   ``canBuildLocalHashMap`` bound. So the staged verify hints the
+   doc-array sides ``shuffle_hash`` ONLY when their optimizer size
+   estimate rules out broadcast — fixture plans stay byte-identical to
+   the certified row, and the big-corpus regime hash-joins the pair
+   stream without sorting it (the build side is the per-partition doc
+   slice, the probe side streams).
 
 2. ``ns_source_droprate_persisted`` — the droprate telemetry row
    re-derives the whole CC pipeline when cold (VERDICT r14 #2: 3.0×;
