@@ -109,12 +109,16 @@ def main() -> int:
         ("pending16-bpe", p16.test_pending_r16_bpe_on_random_docs),
     ]
 
-    # round-15 addition: the BPE merge-loop trainer (staged r17) vs its
-    # pure-Python reference trainer over random unicode docs
+    # round-15 additions: the BPE merge-loop trainer (staged r17) vs
+    # its pure-Python reference trainer, and the staged r16 fixes
+    # (conditional-hint minhash verify, persisted-label droprate)
+    # against the certified rows' oracles — all over random unicode docs
     import test_bpe_trainer as bpe
+    import test_staged_r16_fixes as r16f
 
     families += [
         ("bpe-trainer", bpe.test_bpe_trainer_on_random_docs),
+        ("staged-r16-fixes", r16f.test_staged_r16_fixes_on_random_docs),
     ]
 
     spark = get_spark(master=args.master)

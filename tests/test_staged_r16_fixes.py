@@ -150,3 +150,40 @@ def test_droprate_persisted_artifact_contract(spark, sf_smoke, tmp_path):
     )
     with pytest.raises(ValueError, match="version"):
         read_components_artifact(spark, f"file://{bad}")
+
+
+@pytest.mark.parametrize("seed", [414, 7381])
+def test_staged_r16_fixes_on_random_docs(spark, tmp_path, seed):
+    """Randomized docs pressure on both staged queries: unicode grams,
+    null texts, adversarial duplicate graphs.
+
+    The hashjoin minhash checks against its DuckDB oracle (exact on any
+    fixture — the docs family sweeps the certified minhash the same
+    way). The persisted droprate checks SPARK-vs-SPARK against the
+    certified row instead: its claim is persisted ≡ recomputed, and the
+    unrolled-CC droprate ORACLE is documented as valid only on
+    driver-fixture graphs (random duplicate graphs can under-converge
+    the 4-round unrolled SQL chain — the seed-22/r13 find; the
+    certified droprate is excluded from random oracle sweeps for the
+    same reason, dedup.py q_ns_dedup_components docstring)."""
+    import test_randomized_docs as docs
+
+    from duckdb_parquet_parser_spark.operators.curation import (
+        q_ns_source_droprate,
+    )
+
+    sf_dir = docs._make_fixture(tmp_path, seed)
+    res = compare_query(
+        spark,
+        sf_dir,
+        "ns_dedup_minhash_hashjoin",
+        QUERIES_STAGED_R16["ns_dedup_minhash_hashjoin"],
+        ORACLES_STAGED_R16["ns_dedup_minhash_hashjoin"],
+    )
+    assert res.ok, res
+    got = {
+        tuple(r)
+        for r in q_ns_source_droprate_persisted(spark, sf_dir).collect()
+    }
+    want = {tuple(r) for r in q_ns_source_droprate(spark, sf_dir).collect()}
+    assert got == want and want
