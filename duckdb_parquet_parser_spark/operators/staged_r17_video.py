@@ -1,0 +1,115 @@
+"""Round-17 video fix, STAGED (r15): the frame-hash table as a
+versioned persisted artifact — the I/O half of the scheduled swap.
+
+VERDICT r13/r14 flagged the video rows' optics: their closed-form
+oracles never decode a byte, so the cold walls price the one-time
+pure-Python Y4M decode (~2-6 s) against arithmetic. Round 15 put the
+decode-vs-join decomposition into the driver artifact (bench.py
+``video_decode_sub``); the DURABLE fix is the dedup signature-table
+pattern — persist (doc_id, frame_idx, ahash) once, and let the
+recurring near-dup/cluster runs pay only the banded join + CC. This
+module stages the artifact contract now (write → validated read,
+versioned sidecar, decode-parameter pinning) so the r17 edit to
+``multimodal.video_neardup_pairs`` — a ``frames=None`` parameter that
+skips the decode when the artifact table is handed in — lands at the
+video family's rotation moment (`ns_mm_video_dedup_cluster` is
+r14-certified; touching its call chain mid-window would re-head it out
+of an exactly-full window; the pair-building logic itself is NOT
+duplicated here for the same drift reason the salted top-K copies were
+flagged in REVIEW_r14 #3).
+
+The sidecar pins the STRIDE alongside the format version: frame hashes
+sampled at a different stride are a different table, and a stride
+change must invalidate the artifact as loudly as a version bump.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .dedup import (
+    SIG_ARTIFACT_META,
+    _artifact_meta_path,
+    _fs_move_text_into_place,
+)
+from .multimodal import VIDEO_FRAME_STRIDE, extract_video_frame_hashes
+from .multimodal_synth import build_video_table
+
+FRAMES_ARTIFACT_VERSION = 1
+_FRAMES_COLUMNS = ["doc_id", "frame_idx", "ahash"]
+
+
+def frames_artifact_path(sf_dir: str) -> str:
+    """Per-(table path, content fingerprint) location under the 0o700
+    per-user cache dir — the `_incremental_artifact_path` discipline,
+    separate namespace (``sg_vframes``)."""
+    import os
+    import shutil
+
+    from ..cache import content_tags, per_user_cache_dir
+
+    base = per_user_cache_dir("sg_vframes")
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry.startswith(f"{path_tag}_") and entry != name:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
+
+
+def write_frames_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    stride: int = VIDEO_FRAME_STRIDE,
+) -> None:
+    """Run-N of the media pipeline: decode ONCE, persist the tiny
+    (doc_id, frame_idx, ahash) table (~20 bytes/frame) with the
+    versioned sidecar. Poison (undecodable) docs contribute no rows —
+    exactly the certified decode contract."""
+    import json
+
+    frames = extract_video_frame_hashes(
+        build_video_table(spark, sf_dir), stride=stride
+    )
+    frames.select(*_FRAMES_COLUMNS).write.mode("overwrite").parquet(path)
+    meta = {"frames_version": FRAMES_ARTIFACT_VERSION, "stride": stride}
+    _fs_move_text_into_place(
+        spark, _artifact_meta_path(path), json.dumps(meta)
+    )
+
+
+def read_frames_artifact(
+    spark: SparkSession, path: str, stride: int = VIDEO_FRAME_STRIDE
+) -> DataFrame:
+    """Reopen a persisted frame-hash artifact, validating version AND
+    stride from the sidecar BEFORE any data read — hashes sampled at a
+    different stride silently change every downstream match fraction,
+    so a stride mismatch must fail as loudly as a format bump."""
+    import json
+
+    from ..sources.layout import _fs_read_text
+
+    text = _fs_read_text(spark, _artifact_meta_path(path))
+    if text is None:
+        raise ValueError(
+            f"frames artifact at {path} has no {SIG_ARTIFACT_META}"
+        )
+    meta = json.loads(text)
+    if meta.get("frames_version") != FRAMES_ARTIFACT_VERSION:
+        raise ValueError(
+            f"frames artifact version {meta.get('frames_version')!r} at "
+            f"{path} != engine version {FRAMES_ARTIFACT_VERSION}"
+        )
+    if meta.get("stride") != stride:
+        raise ValueError(
+            f"frames artifact at {path} sampled at stride "
+            f"{meta.get('stride')!r}, caller expects {stride}"
+        )
+    df = spark.read.parquet(path)
+    missing = [c for c in _FRAMES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"frames artifact at {path} missing columns {missing}"
+        )
+    return df.select(*_FRAMES_COLUMNS)
