@@ -41,13 +41,25 @@ os.environ["PYTHONPATH"] = (
 )
 
 SRC = "/root/testdata/sf0.1/documents.parquet"
-QUERIES = [
-    "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
-    "ns_dedup_simhash_pairs",
-    "ns_dedup_components",
-    "ns_dedup_incremental",
-]
+EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
+FAMILIES = {
+    "dedup": [
+        "ns_dedup_minhash",
+        "ns_dedup_minhash_salted",
+        "ns_dedup_simhash_pairs",
+        "ns_dedup_components",
+        "ns_dedup_incremental",
+    ],
+    # the second data-bound family: embedding near-dup / clustering /
+    # ANN over a 10x corpus with the SAME query set
+    "embed": [
+        "ns_embed_neardup",
+        "ns_embed_dedup_cluster",
+        "ns_knn_bruteforce",
+        "ns_ann_ivf_topk",
+        "ns_ann_lsh_buckets",
+    ],
+}
 
 
 def build_sf1(out_dir: Path, replicas: int) -> str:
@@ -87,13 +99,56 @@ def build_sf1(out_dir: Path, replicas: int) -> str:
     return str(out_dir)
 
 
+def build_sf1_embeddings(out_dir: Path, replicas: int) -> None:
+    """10x embeddings with per-replica ROTATION + SIGN MASK: both
+    transforms preserve within-replica cosines exactly (the same map is
+    applied to both vectors of any pair), while cross-replica cosines
+    collapse for BOTH degenerate classes a single transform misses —
+    a constant vector is rotation-invariant (the random sign mask
+    breaks it: expected |cos| ~ 1/sqrt(64)), and a one-hot vector is
+    sign-mask-invariant up to sign (the rotation moves its mass to a
+    disjoint dimension: dot = 0). So each replica contributes the
+    sf0.1 near-dup/cluster structure verbatim and the corpus statistics
+    scale exactly linearly, like the documents construction."""
+    import duckdb
+
+    out = out_dir / "embeddings.parquet"
+    if out.exists():
+        return
+    con = duckdb.connect()
+    parts = ["SELECT vec_id, embedding, label FROM src"]
+    for r in range(1, replicas):
+        parts.append(f"""
+            SELECT vec_id + {r} * 50000000 AS vec_id,
+                   CAST(list_transform(range(0, 64), i ->
+                       embedding[1 + ((i + {r} * 7) % 64)]
+                       * CASE WHEN hash(i * 131 + {r}) % 2 = 0
+                              THEN 1 ELSE -1 END
+                   ) AS FLOAT[]) AS embedding,
+                   label
+            FROM src
+        """)
+    con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{EMB_SRC}')")
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}'"
+        f" (FORMAT PARQUET, ROW_GROUP_SIZE 20000)"
+    )
+    con.close()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--family", choices=sorted(FAMILIES), default="dedup"
+    )
     args = ap.parse_args()
     os.chdir(REPO)
 
     sf1_dir = build_sf1(REPO / ".scratch" / "sf1", args.replicas)
+    if args.family == "embed":
+        build_sf1_embeddings(REPO / ".scratch" / "sf1", args.replicas)
+    QUERIES = FAMILIES[args.family]
 
     from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.operators.dedup import (
@@ -103,7 +158,11 @@ def main() -> int:
 
     spark = get_spark(app_name="sf1-spotcheck")
     queries, _ = collect_queries()
-    record: dict = {"replicas": args.replicas, "walls": {}}
+    record: dict = {
+        "replicas": args.replicas,
+        "family": args.family,
+        "walls": {},
+    }
     # sf1 FIRST: its walls are then cold (first exec in session) while
     # sf0.1 is warm — the scaling factor sf1_cold / sf0.1_warm can only
     # OVERSTATE the decade, so a <= 10x reading is conservative.

@@ -201,7 +201,7 @@ def test_bpe_tokenize_matches_reference(spark, sf_smoke):
                 sum(tok_len[w] for w in words),
             )
     assert got == want
-    # tokens never exceed characters, never undercut 1 per word
+    # a word is at least one token, so tokens ≥ words per doc
     for doc_id, (nw, nt) in got.items():
         assert nw <= nt
 
