@@ -219,3 +219,24 @@ def test_bpe_tokenize_words_on_foreign_corpus(spark):
     assert got["abcab"] == ["abc", "ab"]
     assert got["zzz"] == ["z", "z", "z"]
     assert got["cba"] == ["c", "b", "a"]
+
+
+def test_bpe_trainer_job_budget(spark, sf_smoke):
+    """Driver-round-trip budget (REVIEW_r15 #3 made structural): each of
+    the K iterations schedules the argmax (AQE materializes the pair
+    aggregation's exchange as its own job, then the take — 2 jobs) +
+    ONE eager localCheckpoint, plus the initial word-table checkpoint —
+    3·K + small constant (measured 75 at K=24). Guards against a
+    regression quietly adding per-iteration jobs (e.g. an uncached
+    re-derive of the word table), which at K=30k production scale would
+    multiply driver round-trips."""
+    sc = spark.sparkContext
+    group = "bpe-job-budget"
+    sc.setJobGroup(group, "count bpe trainer jobs", False)
+    try:
+        rules, wc = train_bpe(spark, sf_smoke)
+        wc.unpersist()
+    finally:
+        sc.setJobGroup(None, None, False)
+    jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    assert rules and jobs <= 3 * BPE_MERGES + 4, jobs
