@@ -50,6 +50,16 @@ FAMILIES = {
         "ns_dedup_components",
         "ns_dedup_incremental",
     ],
+    # the third family: text/corpus aggregation shapes (one-to-two
+    # shuffle plans whose decade should be trivially linear — measured
+    # to close the loop rather than assumed)
+    "text": [
+        "ns_shared_ngrams",
+        "ns_vocab_topk",
+        "ns_tfidf_topterms",
+        "ns_common_token_ratio",
+        "ns_contamination",
+    ],
     # the second data-bound family: embedding near-dup / clustering /
     # ANN over a 10x corpus with the SAME query set
     "embed": [
