@@ -72,15 +72,20 @@ _MERGE_SCHEMA = T.StructType(
 )
 
 
-def word_frequency_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def word_frequency_table(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(word, freq) over whitespace-split document text — the ONE
     corpus-wide shuffle of the whole training run. Empty tokens from
     consecutive spaces are dropped (they carry no symbols); 1-char
     words stay: they contribute no pairs but are part of the vocabulary
-    the trainer must not lose."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull()
-    )
+    the trainer must not lose.
+
+    ``docs`` overrides the corpus with any (…, text) frame — the
+    curated-corpus composition hands the quality-gated subset in."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
     return (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") >= 1)
@@ -126,7 +131,10 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
 
 
 def train_bpe(
-    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
+    spark: SparkSession,
+    sf_dir: str,
+    merges: int = BPE_MERGES,
+    docs: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
     """Run the merge loop. Returns (merge_rules, final_word_table).
 
@@ -138,7 +146,7 @@ def train_bpe(
     Stops early when no adjacent pair remains (fixture corpora can
     exhaust before ``merges`` rules; the Python reference stops on the
     same condition)."""
-    wc = word_frequency_table(spark, sf_dir).withColumn(
+    wc = word_frequency_table(spark, sf_dir, docs=docs).withColumn(
         "syms", _initial_symbols("w")
     )
     wc = wc.localCheckpoint(eager=True)
@@ -253,6 +261,41 @@ def q_ns_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ns_bpe_merges_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer training on the CURATED corpus — the composition real
+    pipelines run: the quality gate decides which documents exist, and
+    the tokenizer's statistics (hence its merge table and vocabulary)
+    are learned from the kept subset only. Training a tokenizer on raw
+    data and filtering afterwards bakes junk tokens into the vocab; the
+    order of composition is the point, and the differential pins it —
+    the reference trainer runs on the Python-side replica of the SAME
+    integer-exact gate decision, so a drift in either the gate or the
+    trainer breaks the match. The gate is the PIPELINE-CALIBRATED one
+    (``pending_r15.CURATE_MIN_LOGIT``, the curate_epoch quality stage)
+    — the certified ``keep`` flag's 0 threshold is deliberately strict
+    and keeps nothing on the fixture corpora (all logits land in
+    −55k..−30k), which would train a tokenizer on the empty set.
+
+    The gate is consumed by a doc_id equi-join rather than re-spelling
+    the logit expression here (the REVIEW_r14 #3 drift lesson; the kept
+    set is the MAJORITY of the corpus, so it must never broadcast —
+    one co-partitioned shuffle at any scale). When r16's logit
+    consolidation exposes the expression as a reusable Column builder,
+    this becomes an inline zero-shuffle filter."""
+    from .ngram_stats import q_ns_quality_logit
+    from .pending_r15 import CURATE_MIN_LOGIT
+
+    kept = (
+        q_ns_quality_logit(spark, sf_dir)
+        .filter(F.col("logit_micro") >= CURATE_MIN_LOGIT)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").join(kept, "doc_id")
+    rules, wc = train_bpe(spark, sf_dir, docs=docs)
+    wc.unpersist()
+    return spark.createDataFrame(rules, _MERGE_SCHEMA)
+
+
 # Staged for a round-17+ window slot (rows-only driver check when they
 # register: the merge loop is iterative with per-iteration driver
 # argmax decisions — the documented non-SQL-expressible class; the
@@ -262,5 +305,6 @@ def q_ns_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_PENDING_R17 = {
     "ns_bpe_merges": q_ns_bpe_merges,
     "ns_bpe_tokenize": q_ns_bpe_tokenize,
+    "ns_bpe_merges_curated": q_ns_bpe_merges_curated,
 }
 ORACLES_PENDING_R17: dict[str, str] = {}

@@ -240,3 +240,64 @@ def test_bpe_trainer_job_budget(spark, sf_smoke):
         sc.setJobGroup(None, None, False)
     jobs = len(sc.statusTracker().getJobIdsForGroup(group))
     assert rules and jobs <= 3 * BPE_MERGES + 4, jobs
+
+
+def test_bpe_merges_curated_matches_reference(spark, sf_smoke):
+    """The curated-corpus composition: the merge table learned from
+    quality-KEPT docs only must equal the reference trainer run on the
+    Python replica of the same integer-exact gate — and must DIFFER
+    from the raw-corpus table (the fixture's junk docs must actually
+    move the statistics, or the composition is untested)."""
+    from duckdb_parquet_parser_spark.catalog import load_table
+    from duckdb_parquet_parser_spark.operators.bpe_trainer import (
+        q_ns_bpe_merges,
+        q_ns_bpe_merges_curated,
+    )
+    from duckdb_parquet_parser_spark.operators.ngram_stats import (
+        LOGIT_BIAS,
+        LOGIT_W_CHARS,
+        LOGIT_W_DISTINCT,
+        LOGIT_W_TOKENS,
+    )
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        CURATE_MIN_LOGIT,
+    )
+
+    got = [
+        tuple(r)
+        for r in q_ns_bpe_merges_curated(spark, sf_smoke)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    wc: Counter = Counter()
+    n_docs = n_kept = 0
+    for (text,) in (
+        load_table(spark, sf_smoke, "documents").select("text").collect()
+    ):
+        if text is None:
+            continue
+        n_docs += 1
+        toks = text.split(" ")
+        logit = (
+            LOGIT_BIAS
+            + len(toks) * LOGIT_W_TOKENS
+            + len(set(toks)) * LOGIT_W_DISTINCT
+            + len(text) * LOGIT_W_CHARS
+        )
+        if logit < CURATE_MIN_LOGIT:
+            continue
+        n_kept += 1
+        for w in toks:
+            if w:
+                wc[w] += 1
+    ref_rules, _ = _ref_bpe(wc, BPE_MERGES)
+    assert got == ref_rules
+    # the gate must be load-bearing on the fixture...
+    assert 0 < n_kept < n_docs
+    # ...and must actually change the learned statistics vs raw
+    raw = [
+        tuple(r)
+        for r in q_ns_bpe_merges(spark, sf_smoke).orderBy("rank").collect()
+    ]
+    assert got != raw
