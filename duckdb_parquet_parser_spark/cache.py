@@ -69,6 +69,28 @@ def content_tags(sf_dir: str) -> tuple[str, str]:
     return path_tag, fp_tag
 
 
+def artifact_entry_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic parquet-artifact location per (table path, content
+    fingerprint) under the ``prefix`` namespace — the shared prune-and-key
+    loop behind the dedup signature, components-label and video frame-hash
+    artifacts (consolidated round 16 after the third and fourth verbatim
+    copies appeared — ADVICE r15; same lesson as the round-10/round-12
+    consolidations above).
+
+    A content change in the source table yields a NEW path, so a stale
+    prior-run artifact can never answer for rewritten data; stale
+    fingerprints of the SAME source path — by definition outdated — are
+    pruned on the way in, bounding accumulation. Separate ``prefix``
+    namespaces keep artifact kinds from ever colliding."""
+    base = per_user_cache_dir(prefix)
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    for entry in os.listdir(base):
+        if entry.startswith(f"{path_tag}_") and entry != name:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return os.path.join(base, name)
+
+
 MARKER_NAME = "_source.txt"
 
 #: Marker-less or temp entries younger than this are CONCURRENT writes

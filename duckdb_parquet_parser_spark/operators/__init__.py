@@ -25,6 +25,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal_dedup,
         multimodal_synth,
         ngram_stats,
+        pending_r15,
         png_media,
         positional,
         relational,
@@ -48,6 +49,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     oracles: dict[str, str] = {}
     for mod in (
         curation,
+        pending_r15,
         png_media,
         embed_cluster,
         multimodal_dedup,
@@ -92,87 +94,42 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-15 rotation (VERDICT r14 #1, executing the COVERAGE.md
-# "Round-15 window plan" verbatim). Head composition (50 of 50 slots,
+# Round-16 rotation (VERDICT r15 #1-#3, executing the COVERAGE.md
+# "Round-16 window plan" verbatim). Head composition (50 of 50 slots,
 # verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the FORTY-NINE r12-certified queries the r14 ledger forecast as
-# must-rotate (certs aged to 2 rounds after the r14 driver run):
-# ns_mm_ingest_parquet .. stream_tumbling — the whole r12 block;
-# (2) ONE registration from the staged surface: rel_promo_share_q14
-# (operators/relational_q9.py, QUERIES_STAGED → QUERIES) — the last
-# TPC-H completer, dropped from the r14 head per the documented drop
-# order when the PNG re-cert took its slot; differentially tested at
-# two SFs + randomized NULL/dangling-key fixtures every round since
-# r13, so registration is the promised rename, not new risk.
+# (1) the FORTY-NINE r13-certified queries the r15 ledger forecast as
+# must-rotate (certs aged to 2 rounds after the r15 driver run):
+# ns_source_cap .. stream_sliding — the whole r13 block, which is
+# exactly the dedup + curation families, so the scheduled
+# certified-module fixes land WITH this rotation at zero extra cert
+# cost: q_ns_dedup_minhash swapped to the SALTED candidate generator,
+# the conditional shuffle_hash verify hint, _docs_fingerprint's remote-
+# scheme fsmeta branch, ns_source_droprate reading the persisted
+# components-label artifact, the logit-SQL single-source consolidation,
+# and the _DEDUP_ORACLES2 dup-import removal (all staged + oracle-tested
+# in r15; tests/test_r16_fixes.py);
+# (2) ONE registration from the staged surface: ns_bloom_decontam
+# (operators/pending_r15.py — the constant-size 100 TB decontamination
+# pre-filter, the window plan's designated +1; differentially tested at
+# two SFs + randomized fixtures every round since r13).
 # 49 + 1 = 50; the window is exactly full. The remaining staged
-# tranches (ns_token_budget_mix / ns_weighted_token_mix from
-# pending_r14, the ten pending_r15 queries, the six pending_r16
-# queries) queue for round 16+, whose must-rotate block is the 49-query
-# r13 set — that rotation already includes the dedup/curation blocks,
-# so the scheduled REVIEW_r14 #2-#4 fixes (fsmeta fingerprint swap,
-# logit-SQL + salted-top-K consolidation, dup import) ride it for free.
+# tranches (the nine other pending_r15 queries, pending_r14's two
+# token-mix queries, the six pending_r16 queries, the BPE trainer trio)
+# queue for round 17+ per the COVERAGE.md r17 window plan.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
-# docstring-only edits do not count. Adding Q14 to relational_q9.py's
-# registration dicts changes no executable line of the three
-# r14-certified queries in that module (functions and oracle strings
-# byte-identical), so they park on schedule.
+# docstring-only edits do not count. The r16 logit consolidation edits
+# ngram_stats.py (r15-certified queries) but reproduces every one of its
+# oracle strings BYTE-IDENTICALLY from the shared fragment with query
+# functions untouched (pinned in tests/test_logit_sql_consistency.py) —
+# the same functions-and-oracles-byte-identical basis on which the Q14
+# registration parked relational_q9's r14 certs on schedule.
 #
-# Parked below: 49 r13-certified + 50 r14-certified. After the r15 run
-# the r13 certs age to 2 rounds: they MUST lead the round-16 window.
+# Parked below: 50 r14-certified + 50 r15-certified. After the r16 run
+# the r14 certs age to 2 rounds: they MUST lead the round-17 window.
 # Trust the ledger over this prose if they ever disagree.
 ROTATION_TAIL = [
-    # r13-certified (49) — the r16 must-rotate block
-    "ns_source_cap",
-    "rel_top_supplier_q15",
-    "rel_returned_top_q10",
-    "ns_source_droprate",
-    "ns_dedup_components_converged",
-    "ns_embed_dedup_cluster",
-    "ns_mm_framesample",
-    "udf_grouped_agg",
-    "ns_tfidf_topterms",
-    "ns_contamination",
-    "ns_chunk_split",
-    "r2_schema",
-    "r2_counts",
-    "r3_full_column_scan",
-    "r9_projection",
-    "f2_null_semantics",
-    "f3_string_columns",
-    "f1_regex_filter",
-    "f1_regex_docs",
-    "f1_neg_regex",
-    "ns_dedup_exact",
-    "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
-    "ns_dedup_incremental",
-    "ns_dedup_incremental_persisted",
-    "ns_dedup_simhash",
-    "ns_dedup_simhash_pairs",
-    "ns_dedup_components",
-    "ns_dedup_cluster_canonical",
-    "ns_ngram_jaccard",
-    "ns_embed_neardup",
-    "rel_date_string_funcs",
-    "rel_json_map_funcs",
-    "rel_disjunctive_q19",
-    "rel_join_semi",
-    "rel_join_anti",
-    "rel_outer_join",
-    "rel_window_running",
-    "rel_sort_topk",
-    "rel_union",
-    "rel_intersect",
-    "rel_except",
-    "rel_rollup",
-    "rel_cube",
-    "rel_grouping_sets",
-    "rel_distinct",
-    "rel_scalar_funcs",
-    "rel_case_expr",
-    "stream_sliding",
     # r14-certified (50) — the r17 must-rotate block
     "ns_mm_png_features",
     "ns_mm_image_dedup_cluster",
@@ -224,4 +181,55 @@ ROTATION_TAIL = [
     "ns_kmeans_embed",
     "rel_pivot",
     "stream_session",
+    # r15-certified (50) — the r18 must-rotate block
+    "ns_mm_ingest_parquet",
+    "rel_min_supplycost_q2",
+    "rel_value_share_q11",
+    "rel_supplier_cnt_q16",
+    "rel_promo_share_q14",
+    "ns_mm_ingest",
+    "ns_mm_image_features",
+    "ns_mm_image_neardup",
+    "ns_mm_audio_features",
+    "ns_mm_audio_fingerprint",
+    "ns_mm_audio_neardup",
+    "ns_mm_video_framehashes",
+    "ns_mm_video_neardup",
+    "udf_scalar_pandas",
+    "w1_roundtrip",
+    "w1_roundtrip_zstd",
+    "w2_dict_decision",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_partitioned_read",
+    "f1_clustered_prune",
+    "w_zorder_prune",
+    "r1_rowgroup_meta",
+    "r6_chunk_values",
+    "r8_page_index",
+    "streaming_tumbling_rt",
+    "streaming_enrich",
+    "ns_heavy_hitters_cms",
+    "rel_agg_q1",
+    "rel_join_q3",
+    "rel_merge_upsert",
+    "rel_join_q5",
+    "rel_window_rank",
+    "rel_asof_join",
+    "rel_range_join",
+    "rel_window_lag",
+    "rel_subquery",
+    "rel_percentiles",
+    "rel_exists_q4",
+    "rel_corr_scalar_q17",
+    "rel_group_in_q18",
+    "rel_multi_exists_q21",
+    "rel_window_range_time",
+    "rel_outer_hist_q13",
+    "rel_anti_avg_q22",
+    "ns_dupgram_profile",
+    "ns_shared_ngrams",
+    "ns_common_token_ratio",
+    "ns_quality_logit",
+    "stream_tumbling",
 ]

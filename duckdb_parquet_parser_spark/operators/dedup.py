@@ -28,12 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, scale_out
-from .ngram_stats import (
-    LOGIT_BIAS as _LOGIT_BIAS,
-    LOGIT_W_CHARS as _LOGIT_W_CHARS,
-    LOGIT_W_DISTINCT as _LOGIT_W_DISTINCT,
-    LOGIT_W_TOKENS as _LOGIT_W_TOKENS,
-)
+from .ngram_stats import LOGIT_SQL as _LOGIT_SQL_SRC
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -137,8 +132,11 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     - the remaining scale risk is pair *generation* inside the hot bucket's
       single join task (inherently quadratic in cluster size); the 100 TB
       mitigation is triangular salting of the self-join (split hot buckets
-      into s blocks, join block pairs i ≤ j), to add if cluster sizes at
-      production scale demand it.
+      into s blocks, join block pairs i ≤ j) — the r15 sf1 spot-check
+      measured exactly this demotion (BENCH_NOTES r15, CORRECTION), so as
+      of r16 the REGISTERED minhash queries use
+      :func:`lsh_candidate_pairs_salted`; this plain join stays library
+      surface for graphs without hot clusters.
     """
     bands = _bands_array()
     banded = sigs.select(
@@ -235,15 +233,64 @@ def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session broadcast threshold in bytes (the conf accepts size
+    strings like '10MB'); ≤ 0 means broadcast is disabled."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        return int(raw)
+    except ValueError:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils
+            .byteStringAsBytes(raw)
+        )
+
+
+def _wont_broadcast(df: DataFrame, spark: SparkSession) -> bool:
+    """True when Catalyst's own size estimate rules out a broadcast of
+    ``df`` — exactly the regime where the verify join would demote to
+    SortMergeJoin and the ``shuffle_hash`` hint must take over. Reads
+    the optimizer estimate (a plan-build-time metadata call, no job)."""
+    thresh = _broadcast_threshold_bytes(spark)
+    if thresh <= 0:
+        return True
+    est = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    return est > thresh
+
+
 def _verify_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, hinted: bool = True
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
     the documents' distinct-word arrays (pruned re-scan — no signature
-    columns, so Catalyst reads only doc_id+text)."""
+    columns, so Catalyst reads only doc_id+text).
+
+    Landed r16 (staged + plan-locked both regimes in r15): the doc-array
+    sides carry a CONDITIONAL ``shuffle_hash`` hint — applied only when
+    Catalyst's own size estimate rules out broadcasting them. At fixture
+    scale the estimate clears the threshold, no hint fires, and the plan
+    is byte-identical to the r13-certified broadcast one; one-to-two
+    decades past sf1 the doc-array relation outgrows ANY broadcast
+    threshold and Spark would demote the verify joins to SortMergeJoin —
+    sorting the candidate-PAIR stream, the 10^9+-row side. The hint makes
+    that regime hash-join instead (build side = the per-partition doc
+    slice, probe side streams the pairs). An UNCONDITIONAL hint was
+    measured out (4.6 → 7.2 s steady at sf0.1 — hints outrank the
+    size-based broadcast choice), as was
+    ``spark.sql.join.preferSortMergeJoin=false`` (doesn't reach joins
+    whose build-side estimate exceeds the canBuildLocalHashMap bound).
+    ``hinted=False`` exposes the pre-r16 plan so tests can lock the
+    counterfactual (exactly two more SortMergeJoins in the forced
+    regime)."""
     docs = _doc_word_arrays(spark, sf_dir)
+    hint = hinted and _wont_broadcast(docs, spark)
     sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    if hint:
+        sets_a = sets_a.hint("shuffle_hash")
+        sets_b = sets_b.hint("shuffle_hash")
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size("ws_a") + F.size("ws_b") - inter
     return (
@@ -293,15 +340,30 @@ def verified_jaccard(words: DataFrame, pairs: DataFrame) -> DataFrame:
 def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.
 
-    Shuffle census (the 100 TB budget): (1) the band bucket self-join,
-    (2) distinct over candidate pairs, (3) two doc_id-keyed joins to fetch
-    word arrays (broadcast when the doc-array relation is small). Signature
-    computation itself is shuffle-free — see
-    :func:`minhash_signatures_from_arrays` — and runs exactly once per job
-    via the persisted signature table (:func:`_cached_signatures`).
+    Shuffle census (the 100 TB budget): (1) the salted band bucket
+    self-join, (2) distinct over candidate pairs, (3) two doc_id-keyed
+    joins to fetch word arrays (broadcast when the doc-array relation is
+    small; conditional ``shuffle_hash`` past the broadcast cliff —
+    :func:`_verify_jaccard_pairs`). Signature computation itself is
+    shuffle-free — see :func:`minhash_signatures_from_arrays` — and runs
+    exactly once per job via the persisted signature table
+    (:func:`_cached_signatures`).
+
+    Landed r16: candidate generation is the SALTED triangular bucket
+    join (:func:`lsh_candidate_pairs_salted`, set-equal to the plain
+    join by construction and pinned in tests/test_dedup_scale.py). The
+    r15 sf1 spot-check MEASURED the plain self-join's documented risk
+    into reality — one decade past bench SF it demotes broadcast→SMJ
+    and concentrates keyed pair generation on hot band buckets
+    (BENCH_NOTES r15, CORRECTION section) — while the salted row held
+    ~linear with no conf change and was faster at fixture scale too
+    (5.4 vs 7.1 s driver walls). The plain generator remains library
+    surface (:func:`lsh_candidate_pairs`) for graphs without hot
+    clusters; this query and ``ns_dedup_minhash_salted`` now run the
+    same plan, certified against the same oracle.
     """
     sigs = _cached_signatures(spark, sf_dir)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs_salted(sigs)
     return _verify_jaccard_pairs(spark, sf_dir, pairs)
 
 
@@ -523,19 +585,12 @@ def _incremental_artifact_path(sf_dir: str) -> str:
     that passes the sidecar checks) — shared discipline in cache.py. The
     name splits into a path tag and a fingerprint tag so stale
     fingerprints of the SAME source path — by definition outdated
-    content — are pruned on the way in, bounding accumulation."""
-    import os
-    import shutil
+    content — are pruned on the way in, bounding accumulation (the
+    shared ``cache.artifact_entry_path`` prune-and-key discipline,
+    consolidated r16 — ADVICE r15)."""
+    from ..cache import artifact_entry_path
 
-    from ..cache import content_tags, per_user_cache_dir
-
-    base = per_user_cache_dir("sg_sig")
-    path_tag, fp_tag = content_tags(sf_dir)
-    name = f"{path_tag}_{fp_tag}"
-    for entry in os.listdir(base):
-        if entry.startswith(f"{path_tag}_") and entry != name:
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    return os.path.join(base, name)
+    return artifact_entry_path("sg_sig", sf_dir)
 
 
 def _artifact_uri(path: str) -> str:
@@ -672,9 +727,35 @@ _CC_LABELS_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 def _docs_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the documents table: (mtime_ns, size)
-    of every file under documents.parquet (file or directory)."""
+    of every file under documents.parquet (file or directory).
+
+    Landed r16 (REVIEW_r14 #2, staged as ``fsmeta`` in r15): a table on
+    a NON-LOCAL scheme (hdfs://, s3a://, file://…) is fingerprinted
+    through the Hadoop FS API — the os.stat walk below silently returned
+    an EMPTY string there, mapping every content version of a remote
+    corpus to the same persisted-artifact key and memo key, so a corpus
+    rewrite would reuse stale signatures. Local paths keep the os.stat
+    walk: nanosecond mtimes are strictly finer than Hadoop's
+    milliseconds (fsmeta.fs_content_fingerprint's resolution contract).
+    The remote branch needs a live SparkSession for the FS handle; a
+    remote path with no active session fails loudly rather than
+    degrading to the empty-fingerprint hazard this fix closes."""
     import os
 
+    if "://" in sf_dir:
+        from pyspark.sql import SparkSession
+
+        from ..fsmeta import fs_content_fingerprint
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"fingerprinting remote path {sf_dir!r} requires an active "
+                "SparkSession (Hadoop FS access)"
+            )
+        return fs_content_fingerprint(
+            spark, f"{sf_dir.rstrip('/')}/documents.parquet"
+        )
     path = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
     parts = []
     if os.path.isdir(path):
@@ -1555,18 +1636,16 @@ ORACLES["ns_dedup_components"] = (
 )
 
 # Canonical selection: same label chain, then keep-best-by-quality. The
-# scored CTE is the ns_quality_logit expression verbatim (ngram_stats
-# ORACLES) so the two oracles can never drift apart.
+# scored CTE interpolates THE ns_quality_logit expression
+# (ngram_stats.LOGIT_SQL, the single source since the r16 consolidation
+# — byte-identical to the spelling certified here through r15) so the
+# two oracles can never drift apart.
 ORACLES["ns_dedup_cluster_canonical"] = (
     _CC_LABELS_PREFIX
     + f""",
     scored AS (
         SELECT doc_id,
-               CAST({_LOGIT_BIAS}
-                    + len(string_split(text, ' ')) * {_LOGIT_W_TOKENS}
-                    + len(list_distinct(string_split(text, ' ')))
-                      * {_LOGIT_W_DISTINCT}
-                    + length(text) * {_LOGIT_W_CHARS} AS BIGINT)
+               CAST({_LOGIT_SQL_SRC} AS BIGINT)
                    AS logit_micro
         FROM documents WHERE text IS NOT NULL
     )

@@ -161,6 +161,21 @@ LOGIT_W_CHARS = 7
 LOGIT_BIAS = -60_000
 LOGIT_KEEP_THRESHOLD = 0
 
+# THE quality-logit DuckDB expression — the single source (consolidated
+# r16; REVIEW_r14 #3 / VERDICT r15 #5). Until r16 this was spelled three
+# times (here, curation._LOGIT_SQL, dedup's canonical-selection oracle)
+# and only a tripwire test kept the copies in sync; now every certified
+# oracle interpolates this fragment, so a weight or feature change can
+# never desynchronize quality ordering across queries. The embedded
+# newlines/indentation reproduce the historical oracle text byte-for-byte
+# (pinned in tests/test_logit_sql_consistency.py) — the r15-certified
+# ns_quality_logit oracle string is unchanged by the consolidation.
+LOGIT_SQL = f"""{LOGIT_BIAS}
+                    + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}
+                    + len(list_distinct(string_split(text, ' ')))
+                      * {LOGIT_W_DISTINCT}
+                    + length(text) * {LOGIT_W_CHARS}"""
+
 
 def q_ns_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-style quality gate: integer linear score over token/char
@@ -240,17 +255,9 @@ ORACLES = {
     """,
     "ns_quality_logit": f"""
         SELECT doc_id,
-               CAST({LOGIT_BIAS}
-                    + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}
-                    + len(list_distinct(string_split(text, ' ')))
-                      * {LOGIT_W_DISTINCT}
-                    + length(text) * {LOGIT_W_CHARS} AS BIGINT)
+               CAST({LOGIT_SQL} AS BIGINT)
                    AS logit_micro,
-               ({LOGIT_BIAS}
-                    + len(string_split(text, ' ')) * {LOGIT_W_TOKENS}
-                    + len(list_distinct(string_split(text, ' ')))
-                      * {LOGIT_W_DISTINCT}
-                    + length(text) * {LOGIT_W_CHARS}) >= {LOGIT_KEEP_THRESHOLD}
+               ({LOGIT_SQL}) >= {LOGIT_KEEP_THRESHOLD}
                    AS keep
         FROM documents WHERE text IS NOT NULL
     """,

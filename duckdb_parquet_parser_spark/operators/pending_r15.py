@@ -1611,3 +1611,22 @@ def _lineage_oracle() -> str:
 
 QUERIES_PENDING_R15["ns_curation_lineage"] = q_ns_curation_lineage
 ORACLES_PENDING_R15["ns_curation_lineage"] = _lineage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# REGISTERED surface (round 16): ns_bloom_decontam promoted from the
+# staged tranche into the driver contract — the COVERAGE.md round-16
+# window plan's designated "+1" (49 r13 rotations + this = exactly 50).
+# The constant-size decontamination pre-filter is the single most
+# production-relevant staged query: the bloom filter's size is fixed
+# regardless of eval-set size, the corpus streams map-only through it,
+# and only the positive remnant pays the exact join. Registration is the
+# promised rename, not new risk: this query has run its DuckDB
+# differential at sf0.001+sf0.01 every round since r13
+# (tests/test_pending_r15.py) plus the randomized docs family, and
+# hash-matched at sf0.1. The other staged pending_r15 queries stay in
+# QUERIES_PENDING_R15 until their r17+ slots.
+# ---------------------------------------------------------------------------
+
+QUERIES = {"ns_bloom_decontam": q_ns_bloom_decontam}
+ORACLES = {"ns_bloom_decontam": ORACLES_PENDING_R15["ns_bloom_decontam"]}

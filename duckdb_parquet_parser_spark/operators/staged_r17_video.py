@@ -41,20 +41,12 @@ _FRAMES_COLUMNS = ["doc_id", "frame_idx", "ahash"]
 
 def frames_artifact_path(sf_dir: str) -> str:
     """Per-(table path, content fingerprint) location under the 0o700
-    per-user cache dir — the `_incremental_artifact_path` discipline,
-    separate namespace (``sg_vframes``)."""
-    import os
-    import shutil
+    per-user cache dir — the shared ``cache.artifact_entry_path``
+    prune-and-key discipline (consolidated r16, ADVICE r15), separate
+    namespace (``sg_vframes``)."""
+    from ..cache import artifact_entry_path
 
-    from ..cache import content_tags, per_user_cache_dir
-
-    base = per_user_cache_dir("sg_vframes")
-    path_tag, fp_tag = content_tags(sf_dir)
-    name = f"{path_tag}_{fp_tag}"
-    for entry in os.listdir(base):
-        if entry.startswith(f"{path_tag}_") and entry != name:
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-    return os.path.join(base, name)
+    return artifact_entry_path("sg_vframes", sf_dir)
 
 
 def write_frames_artifact(

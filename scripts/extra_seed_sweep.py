@@ -114,11 +114,11 @@ def main() -> int:
     # (conditional-hint minhash verify, persisted-label droprate)
     # against the certified rows' oracles — all over random unicode docs
     import test_bpe_trainer as bpe
-    import test_staged_r16_fixes as r16f
+    import test_r16_fixes as r16f
 
     families += [
         ("bpe-trainer", bpe.test_bpe_trainer_on_random_docs),
-        ("staged-r16-fixes", r16f.test_staged_r16_fixes_on_random_docs),
+        ("r16-fixes", r16f.test_r16_fixes_on_random_docs),
     ]
 
     spark = get_spark(master=args.master)

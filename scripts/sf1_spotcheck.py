@@ -69,6 +69,25 @@ FAMILIES = {
         "ns_ann_ivf_topk",
         "ns_ann_lsh_buckets",
     ],
+    # the fourth data-bound family (VERDICT r15 #6): image/audio banded
+    # near-dup joins + CC at 10x. IMPORTANT dataset caveat, unlike the
+    # text decade: the synthetic media generator's duplicate classes are
+    # doc_id RESIDUES into a small closed hash universe (254 image / 126
+    # audio classes x 3 variants), so ANY corpus growth adds members to
+    # the same cliques — a 10x corpus has 10x-bigger classes and
+    # ~100x the true near-dup pairs BY CONSTRUCTION (the text fixture's
+    # word-suffix trick has no media analog: payloads are a pure
+    # function of doc_id). The fair engine claim is therefore
+    # wall-vs-OUTPUT linearity, not wall-vs-input: the record carries
+    # per-query output row counts ("rows" key) so the decade reads
+    # wall_x against rows_x. Video rows are excluded until the r17
+    # frame-hash artifact lands (decode dominates their walls).
+    "media": [
+        "ns_mm_image_neardup",
+        "ns_mm_image_dedup_cluster",
+        "ns_mm_audio_neardup",
+        "ns_mm_audio_dedup_cluster",
+    ],
 }
 
 
@@ -155,9 +174,18 @@ def main() -> int:
     args = ap.parse_args()
     os.chdir(REPO)
 
-    sf1_dir = build_sf1(REPO / ".scratch" / "sf1", args.replicas)
+    # Scratch dir keyed on the replica count (ADVICE r15): the builders
+    # skip the build whenever the parquet exists, so an unkeyed path
+    # would silently reuse a stale table while the printed JSON reports
+    # the new replicas value, mislabeling the measurement. The default
+    # 10-replica build keeps the historical "sf1" name so prior rounds'
+    # cached tables stay valid.
+    scratch = REPO / ".scratch" / (
+        "sf1" if args.replicas == 10 else f"sf1_r{args.replicas}"
+    )
+    sf1_dir = build_sf1(scratch, args.replicas)
     if args.family == "embed":
-        build_sf1_embeddings(REPO / ".scratch" / "sf1", args.replicas)
+        build_sf1_embeddings(scratch, args.replicas)
     QUERIES = FAMILIES[args.family]
 
     from duckdb_parquet_parser_spark.operators import collect_queries
@@ -176,8 +204,10 @@ def main() -> int:
     # sf1 FIRST: its walls are then cold (first exec in session) while
     # sf0.1 is warm — the scaling factor sf1_cold / sf0.1_warm can only
     # OVERSTATE the decade, so a <= 10x reading is conservative.
+    record["rows"] = {}
     for sf_name, sf_dir in (("sf1", sf1_dir), ("sf0.1", "/root/testdata/sf0.1")):
         walls = {}
+        rows = {}
         for name in QUERIES:
             spark.catalog.clearCache()
             clear_simhash_memos()
@@ -186,13 +216,24 @@ def main() -> int:
                 "overwrite"
             ).save()
             walls[name] = round(time.perf_counter() - t0, 2)
+            # output volume (second, warm execution — never mixed into
+            # the wall): the media family's duplicate classes grow with
+            # the corpus by construction, so its decade adjudicates
+            # wall_x against rows_x, not against the 10x input
+            rows[name] = queries[name](spark, sf_dir).count()
         record["walls"][sf_name] = walls
+        record["rows"][sf_name] = rows
     record["scaling_x"] = {
         n: round(
             record["walls"]["sf1"][n] / record["walls"]["sf0.1"][n], 2
         )
         for n in QUERIES
         if record["walls"]["sf0.1"][n] > 0
+    }
+    record["rows_x"] = {
+        n: round(record["rows"]["sf1"][n] / record["rows"]["sf0.1"][n], 2)
+        for n in QUERIES
+        if record["rows"]["sf0.1"][n] > 0
     }
     print(json.dumps(record))
     return 0
