@@ -88,7 +88,57 @@ FAMILIES = {
         "ns_mm_audio_neardup",
         "ns_mm_audio_dedup_cluster",
     ],
+    # the fifth data-bound family (round 16): TPC-H shapes over a 10x
+    # FACT decade — orders/lineitem replicated with disjoint orderkey
+    # ranges (same date/flag distributions, so every filter window
+    # scales linearly), dimensions kept at base size. That is how a
+    # warehouse actually grows: 10x history against the same
+    # customer/part/supplier base; per-dimension-key fact fan-out grows
+    # 10x, which is exactly the skew the broadcast-dim + fact-exchange
+    # plans must absorb.
+    "relational": [
+        "rel_agg_q1",
+        "rel_filter_agg_q6",
+        "rel_join_q5",
+        "rel_profit_q9",
+        "rel_returned_top_q10",
+    ],
 }
+
+TPCH_DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_sf1_tpch(out_dir: Path, replicas: int) -> None:
+    """10x orders+lineitem with per-replica orderkey offsets (join keys
+    stay consistent within a replica, disjoint across replicas);
+    dimension tables copied at base size."""
+    import shutil
+
+    import duckdb
+
+    if (out_dir / "lineitem.parquet").exists():
+        return
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src_dir = "/root/testdata/sf0.1"
+    for t in TPCH_DIMS:
+        shutil.copyfile(f"{src_dir}/{t}.parquet", out_dir / f"{t}.parquet")
+    con = duckdb.connect()
+    off = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM "
+        f"read_parquet('{src_dir}/orders.parquet')"
+    ).fetchone()[0]
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        parts = [
+            f"SELECT * REPLACE ({key} + {r} * {off} AS {key}) "
+            f"FROM read_parquet('{src_dir}/{tbl}.parquet')"
+            for r in range(replicas)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO "
+            f"'{out_dir}/{tbl}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 100000)"
+        )
+    con.close()
 
 
 def build_sf1(out_dir: Path, replicas: int) -> str:
@@ -186,6 +236,8 @@ def main() -> int:
     sf1_dir = build_sf1(scratch, args.replicas)
     if args.family == "embed":
         build_sf1_embeddings(scratch, args.replicas)
+    if args.family == "relational":
+        build_sf1_tpch(scratch, args.replicas)
     QUERIES = FAMILIES[args.family]
 
     from duckdb_parquet_parser_spark.operators import collect_queries
