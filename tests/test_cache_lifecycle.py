@@ -169,3 +169,47 @@ def test_newest_mtime_sees_nested_writes(tmp_path):
     with open(os.path.join(sub, "f"), "w") as f:
         f.write("fresh")
     assert time.time() - newest_mtime(d) < 60
+
+
+def test_artifact_entry_path_keys_and_prunes(tmp_path, monkeypatch):
+    """The consolidated artifact keying helper (r16, ADVICE r15): same
+    content → same path; rewritten content → NEW path AND the stale
+    sibling of the same source is pruned on the way in; prefixes are
+    disjoint namespaces; unrelated sources are never touched."""
+    import tempfile
+
+    from duckdb_parquet_parser_spark.cache import artifact_entry_path
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None  # force gettempdir() to re-read TMPDIR
+    try:
+        src = tmp_path / "fixture"
+        src.mkdir()
+        (src / "documents.parquet").write_bytes(b"v1" * 10)
+
+        p1 = artifact_entry_path("sg_test", str(src))
+        assert p1 == artifact_entry_path("sg_test", str(src))  # stable
+        os.makedirs(p1)
+
+        # a second SOURCE must not collide or be pruned by the first
+        other = tmp_path / "other"
+        other.mkdir()
+        (other / "documents.parquet").write_bytes(b"zz")
+        p_other = artifact_entry_path("sg_test", str(other))
+        assert os.path.dirname(p_other) == os.path.dirname(p1)
+        assert p_other != p1
+        os.makedirs(p_other)
+
+        # rewrite the first source's content: new key, old entry pruned,
+        # the unrelated source's entry untouched
+        (src / "documents.parquet").write_bytes(b"v2-bigger" * 10)
+        p2 = artifact_entry_path("sg_test", str(src))
+        assert p2 != p1
+        assert not os.path.exists(p1)  # stale fingerprint reaped
+        assert os.path.exists(p_other)  # different path tag survives
+
+        # namespace separation: another prefix lives in its own base
+        p3 = artifact_entry_path("sg_test2", str(src))
+        assert os.path.dirname(p3) != os.path.dirname(p2)
+    finally:
+        tempfile.tempdir = None  # don't leak the patched TMPDIR cache
