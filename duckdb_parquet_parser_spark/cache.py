@@ -69,6 +69,16 @@ def content_tags(sf_dir: str) -> tuple[str, str]:
     return path_tag, fp_tag
 
 
+#: Operator-chosen artifact root (REVIEW_r16 #6): when set, persisted
+#: artifacts (dedup signatures, component labels, video frame hashes)
+#: land under ``$SPARK_GRAFT_ARTIFACT_ROOT/<prefix>/<key>`` instead of
+#: the driver-local per-user cache dir. A scheme-qualified URI
+#: (hdfs://, s3a://, file://…) is passed straight through to the
+#: artifact read/write paths, which already ride the Hadoop FS API —
+#: this closes the "only the default location is local" deployment gap.
+ARTIFACT_ROOT_ENV = "SPARK_GRAFT_ARTIFACT_ROOT"
+
+
 def artifact_entry_path(prefix: str, sf_dir: str) -> str:
     """Deterministic parquet-artifact location per (table path, content
     fingerprint) under the ``prefix`` namespace — the shared prune-and-key
@@ -81,7 +91,29 @@ def artifact_entry_path(prefix: str, sf_dir: str) -> str:
     prior-run artifact can never answer for rewritten data; stale
     fingerprints of the SAME source path — by definition outdated — are
     pruned on the way in, bounding accumulation. Separate ``prefix``
-    namespaces keep artifact kinds from ever colliding."""
+    namespaces keep artifact kinds from ever colliding.
+
+    With ``SPARK_GRAFT_ARTIFACT_ROOT`` unset (every driver/test run to
+    date) the location and prune behavior are byte-identical to the
+    consolidated r16 helper. When the env var names an explicit root,
+    entries move under ``<root>/<prefix>/`` — the production shape where
+    the artifact store is a managed location (object store, HDFS) rather
+    than the driver's $TMPDIR:
+
+    - a LOCAL root keeps the local prune loop (stale fingerprints of the
+      same source reaped on the way in) but skips the per-user ownership
+      gate — an explicit root is the operator's own choice, not a
+      world-shared predictable /tmp name (the ADVICE-r9 threat model);
+    - a scheme-qualified root is returned as a URI; pruning rides the
+      Hadoop FS API through the active SparkSession when one exists, and
+      degrades to key-only hygiene (no pruning) when none does — the
+      KEYING alone already guarantees a stale artifact can never answer
+      for rewritten data, so skipping the prune costs storage, never
+      correctness, and a remote store's retention is typically owned by
+      the deployment anyway."""
+    root = os.environ.get(ARTIFACT_ROOT_ENV)
+    if root:
+        return _rooted_entry_path(root, prefix, sf_dir)
     base = per_user_cache_dir(prefix)
     path_tag, fp_tag = content_tags(sf_dir)
     name = f"{path_tag}_{fp_tag}"
@@ -89,6 +121,46 @@ def artifact_entry_path(prefix: str, sf_dir: str) -> str:
         if entry.startswith(f"{path_tag}_") and entry != name:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return os.path.join(base, name)
+
+
+def _rooted_entry_path(root: str, prefix: str, sf_dir: str) -> str:
+    """``artifact_entry_path`` against an explicit operator-chosen root
+    (local path or Hadoop-reachable URI). Same key, same stale-sibling
+    prune semantics where a filesystem handle is available."""
+    path_tag, fp_tag = content_tags(sf_dir)
+    name = f"{path_tag}_{fp_tag}"
+    if "://" not in root:
+        base = os.path.join(os.path.abspath(root), prefix)
+        os.makedirs(base, exist_ok=True)
+        for entry in os.listdir(base):
+            if entry.startswith(f"{path_tag}_") and entry != name:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        return os.path.join(base, name)
+    base_uri = f"{root.rstrip('/')}/{prefix}"
+    _prune_remote_siblings(base_uri, path_tag, name)
+    return f"{base_uri}/{name}"
+
+
+def _prune_remote_siblings(base_uri: str, path_tag: str, keep: str) -> None:
+    """Best-effort Hadoop-FS reap of stale fingerprints of the same source
+    under a remote artifact root. Requires an active SparkSession for the
+    FS handle; without one this is a silent no-op — by construction a
+    stale sibling has a different key and can never be READ for current
+    data, so the miss is bounded accumulation, not staleness."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    from .sources.layout import _hadoop_fs
+
+    fs, base_p = _hadoop_fs(spark, base_uri)
+    if not fs.exists(base_p):
+        return
+    for status in fs.listStatus(base_p):
+        entry = status.getPath().getName()
+        if entry.startswith(f"{path_tag}_") and entry != keep:
+            fs.delete(status.getPath(), True)
 
 
 MARKER_NAME = "_source.txt"

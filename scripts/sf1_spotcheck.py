@@ -103,6 +103,26 @@ FAMILIES = {
         "rel_profit_q9",
         "rel_returned_top_q10",
     ],
+    # the sixth family (round 16): Structured Streaming over a 10x event
+    # decade built as TEN TIME-SHIFTED MONTHS of the same workload (ts +
+    # r*32 days, same 1500-user population, disjoint event ids) — how an
+    # event feed actually grows: more history at the same arrival
+    # structure. Consequences the record adjudicates against: tumbling
+    # windows and sessions grow 10x (new time ranges), the attribution
+    # join grows exactly 10x (the 30-minute bound can never match across
+    # months), enrichment output stays #groups-sized with 10x counts,
+    # and the dedup key space is CONSTANT (same users x types) — so its
+    # state, and output, must NOT grow with the decade. Staged-file
+    # count stays at the protocol's 8 (bigger files, same microbatch
+    # structure): the decade measures the data path and per-batch state
+    # commits, not a file-count artifact.
+    "streaming": [
+        "streaming_tumbling_rt",
+        "streaming_enrich",
+        "streaming_join",
+        "streaming_dedup",
+        "streaming_session_stateful",
+    ],
 }
 
 TPCH_DIMS = ["region", "nation", "customer", "supplier", "part"]
@@ -215,6 +235,40 @@ def build_sf1_embeddings(out_dir: Path, replicas: int) -> None:
     con.close()
 
 
+def build_sf1_events(out_dir: Path, replicas: int) -> None:
+    """10x events as time-shifted replicas (see the family comment):
+    ts + r*32 days keeps months disjoint beyond every watermark/session
+    horizon in the suite, user_id is UNCHANGED so the enrich join and
+    the dedup key space behave like a real long-lived population, and
+    event_id gets the standard disjoint-range offset. The customer
+    dimension is copied at base size for the stream-static join."""
+    import shutil
+
+    import duckdb
+
+    out = out_dir / "events.parquet"
+    if out.exists():
+        return
+    out_dir.mkdir(parents=True, exist_ok=True)
+    src_dir = "/root/testdata/sf0.1"
+    shutil.copyfile(
+        f"{src_dir}/customer.parquet", out_dir / "customer.parquet"
+    )
+    con = duckdb.connect()
+    parts = [
+        f"SELECT event_id + {r} * 50000000 AS event_id, "
+        f"ts + {r * 32} * INTERVAL '1 day' AS ts, "
+        f"user_id, event_type, value, props "
+        f"FROM read_parquet('{src_dir}/events.parquet')"
+        for r in range(replicas)
+    ]
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}'"
+        f" (FORMAT PARQUET, ROW_GROUP_SIZE 100000)"
+    )
+    con.close()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -238,6 +292,8 @@ def main() -> int:
         build_sf1_embeddings(scratch, args.replicas)
     if args.family == "relational":
         build_sf1_tpch(scratch, args.replicas)
+    if args.family == "streaming":
+        build_sf1_events(scratch, args.replicas)
     QUERIES = FAMILIES[args.family]
 
     from duckdb_parquet_parser_spark.operators import collect_queries

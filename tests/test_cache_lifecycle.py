@@ -213,3 +213,64 @@ def test_artifact_entry_path_keys_and_prunes(tmp_path, monkeypatch):
         assert os.path.dirname(p3) != os.path.dirname(p2)
     finally:
         tempfile.tempdir = None  # don't leak the patched TMPDIR cache
+
+
+def test_artifact_root_override_local(tmp_path, monkeypatch):
+    """REVIEW_r16 #6: with SPARK_GRAFT_ARTIFACT_ROOT set to a LOCAL path,
+    entries move under <root>/<prefix>/ with the same keying and the same
+    stale-sibling prune; the default $TMPDIR location is never touched."""
+    from duckdb_parquet_parser_spark.cache import (
+        ARTIFACT_ROOT_ENV,
+        artifact_entry_path,
+    )
+
+    src = tmp_path / "fixture"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1" * 10)
+    root = tmp_path / "store"
+
+    monkeypatch.setenv(ARTIFACT_ROOT_ENV, str(root))
+    p1 = artifact_entry_path("sg_test", str(src))
+    assert p1 == artifact_entry_path("sg_test", str(src))  # stable
+    assert os.path.dirname(p1) == str(root / "sg_test")
+    os.makedirs(p1)
+
+    # rewritten source content: new key, stale sibling reaped under root
+    (src / "documents.parquet").write_bytes(b"v2-bigger" * 10)
+    p2 = artifact_entry_path("sg_test", str(src))
+    assert p2 != p1 and not os.path.exists(p1)
+
+    # prefixes stay disjoint namespaces under the root
+    p3 = artifact_entry_path("sg_test2", str(src))
+    assert os.path.dirname(p3) == str(root / "sg_test2")
+
+    # and unsetting the env returns to the per-user default location
+    monkeypatch.delenv(ARTIFACT_ROOT_ENV)
+    assert str(root) not in artifact_entry_path("sg_test", str(src))
+
+
+def test_artifact_root_override_uri_without_session(tmp_path, monkeypatch):
+    """A scheme-qualified root is returned as a URI; with no active
+    SparkSession the remote prune is a documented no-op (keying alone
+    guarantees a stale sibling can never answer for current data)."""
+    from pyspark.sql import SparkSession
+
+    from duckdb_parquet_parser_spark.cache import (
+        ARTIFACT_ROOT_ENV,
+        artifact_entry_path,
+        content_tags,
+    )
+
+    if SparkSession.getActiveSession() is not None:
+        import pytest
+
+        pytest.skip("needs a session-free process to probe the no-op branch")
+
+    src = tmp_path / "fixture"
+    src.mkdir()
+    (src / "documents.parquet").write_bytes(b"v1" * 10)
+
+    monkeypatch.setenv(ARTIFACT_ROOT_ENV, f"file://{tmp_path}/store")
+    p = artifact_entry_path("sg_test", str(src))
+    path_tag, fp_tag = content_tags(str(src))
+    assert p == f"file://{tmp_path}/store/sg_test/{path_tag}_{fp_tag}"

@@ -470,6 +470,58 @@ def test_incremental_artifact_dir_is_per_user_and_pruned(sf_smoke):
         shutil.rmtree(other, ignore_errors=True)
 
 
+def test_artifact_root_override_end_to_end(spark, sf_smoke, tmp_path, monkeypatch):
+    """REVIEW_r16 #6 closed end-to-end: with SPARK_GRAFT_ARTIFACT_ROOT set
+    to a scheme-qualified URI, the persisted-incremental query writes its
+    signature artifact under the operator-chosen root (through the same
+    Hadoop-FS read/write paths the file:-URI round-trip test exercises),
+    matches the in-session variant row for row, REUSES the artifact on a
+    second run, and the Hadoop-FS prune reaps a stale fingerprint of the
+    same source planted under the root."""
+    import json
+    import os
+
+    from duckdb_parquet_parser_spark.cache import (
+        ARTIFACT_ROOT_ENV,
+        artifact_entry_path,
+        content_tags,
+    )
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        SIG_ARTIFACT_META,
+        q_ns_dedup_incremental,
+        q_ns_dedup_incremental_persisted,
+    )
+
+    monkeypatch.setenv(ARTIFACT_ROOT_ENV, f"file://{tmp_path}/store")
+    uri = artifact_entry_path("sg_sig", sf_smoke)
+    assert uri.startswith(f"file://{tmp_path}/store/sg_sig/")
+    local = uri[len("file://"):]
+
+    persisted = q_ns_dedup_incremental_persisted(spark, sf_smoke)
+    in_session = q_ns_dedup_incremental(spark, sf_smoke)
+    assert persisted.exceptAll(in_session).count() == 0
+    assert in_session.exceptAll(persisted).count() == 0
+
+    meta_path = os.path.join(local, SIG_ARTIFACT_META)
+    assert os.path.exists(meta_path)  # landed under the root, not $TMPDIR
+    json.load(open(meta_path))  # sidecar is the validated contract
+    mtime = os.path.getmtime(meta_path)
+    again = q_ns_dedup_incremental_persisted(spark, sf_smoke)
+    assert again.count() == persisted.count()
+    assert os.path.getmtime(meta_path) == mtime, "artifact rewritten on reuse"
+
+    # remote prune: a stale fingerprint of the SAME source under the root
+    # is reaped through the Hadoop FS on the next path resolution
+    path_tag, _ = content_tags(sf_smoke)
+    stale = os.path.join(os.path.dirname(local), f"{path_tag}_deadbeefdead")
+    other = os.path.join(os.path.dirname(local), "cafecafecafe_deadbeefdead")
+    os.makedirs(stale)
+    os.makedirs(other)
+    assert artifact_entry_path("sg_sig", sf_smoke) == uri
+    assert not os.path.exists(stale), "stale same-source entry not pruned"
+    assert os.path.exists(other), "different-source entry must survive"
+
+
 def test_text_components_memo_shared(spark, sf_smoke):
     """The component labels are computed once per (session, sf_dir) and
     shared by every consumer (components / canonical / drop-rate) — the
