@@ -58,6 +58,22 @@ QUERIES = [
     "ns_tfidf_topterms",
 ]
 
+#: The r17 registration slate's partition-sensitive rows, certified
+#: conf-invariant BEFORE they spend a window slot: ns_epoch_shard's
+#: entire claim is a deterministic global shuffle (a hash exchange
+#: whose OUTPUT must not depend on the exchange's partition count);
+#: ns_weighted_sample's is bit-identical u48/w priority keys with the
+#: K smallest winning regardless of which task sees them;
+#: ns_cc_incremental's convergence ROUND COUNT may vary with
+#: partitioning but its labels must not; ns_curation_lineage is the
+#: capstone composition all three feed.
+STAGED_QUERIES = [
+    "ns_epoch_shard",
+    "ns_weighted_sample",
+    "ns_cc_incremental",
+    "ns_curation_lineage",
+]
+
 PERTURBATIONS = {
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
     "no_broadcast": {"spark.sql.autoBroadcastJoinThreshold": "-1"},
@@ -65,18 +81,31 @@ PERTURBATIONS = {
 }
 
 
+def _all_queries():
+    """Registered surface plus the staged r17 slate (the pending dicts
+    are not driver-registered yet — resolved directly)."""
+    from duckdb_parquet_parser_spark.operators import collect_queries
+    from duckdb_parquet_parser_spark.operators.pending_r15 import (
+        QUERIES_PENDING_R15,
+    )
+    from duckdb_parquet_parser_spark.operators.pending_r16 import (
+        QUERIES_PENDING_R16,
+    )
+
+    queries, _ = collect_queries()
+    return {**QUERIES_PENDING_R15, **QUERIES_PENDING_R16, **queries}
+
+
 def _rows(spark, sf_dir, name):
     """Run query ``name`` fresh (memos cleared so a frame materialized
     under a PREVIOUS config can never answer for this one) and return
     its rows as a sorted list of tuples."""
-    from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.operators.dedup import (
         clear_simhash_memos,
     )
 
     clear_simhash_memos()
-    queries, _ = collect_queries()
-    df = queries[name](spark, sf_dir)
+    df = _all_queries()[name](spark, sf_dir)
     # NULL-safe canonical order (tuples mixing None with str/int don't
     # compare); equality between the sorted lists stays exact-valued
     return sorted(
@@ -90,7 +119,10 @@ def baselines(spark, sf_smoke):
     """One default-config run per query; every perturbation compares
     against these materialized rows (not a lazily re-evaluated frame,
     which would silently re-plan under the perturbed config)."""
-    return {name: _rows(spark, sf_smoke, name) for name in QUERIES}
+    return {
+        name: _rows(spark, sf_smoke, name)
+        for name in QUERIES + STAGED_QUERIES
+    }
 
 
 @pytest.mark.parametrize("pert", sorted(PERTURBATIONS))
@@ -100,7 +132,7 @@ def test_results_invariant_under_conf(spark, sf_smoke, baselines, pert):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        for name in QUERIES:
+        for name in QUERIES + STAGED_QUERIES:
             got = _rows(spark, sf_smoke, name)
             assert got == baselines[name], (
                 f"{name} changed values under {pert}: "
