@@ -932,11 +932,31 @@ CC_ROUNDS = 4  # doubling rounds; covers component diameter ≥ 2^4 (test-
 
 CC_CHECKPOINT_EVERY = 2  # lineage-cut cadence, see connected_components
 
-# Convergent-CC runaway guard for the text queries: doubling covers
-# diameter ~2^rounds, and the SimHash fixtures converge in ONE
-# CC_ROUNDS-sized block — 16 rounds (4 blocks) is a pathological-graph
-# ceiling, not a tuning knob (the RuntimeError names the real causes).
+# Convergent-CC runaway guard FLOOR for the text queries: doubling
+# covers diameter ~2^rounds and the SimHash fixtures converge in ONE
+# CC_ROUNDS-sized block, so 16 rounds (4 blocks) is a pathological-graph
+# ceiling at fixture scale, not a tuning knob (the RuntimeError names
+# the real causes). It is a FLOOR because the true convergence bound
+# GROWS with the graph: min-label propagation with pointer doubling is
+# O(log2 V) rounds, so a constant guard eventually refuses healthy
+# corpora — measured in the round-16 30x probe, where the 132k-vertex /
+# 24.5M-edge simhash graph converges cleanly at 18 rounds and the
+# constant-16 guard raised. _text_cc_ceiling below scales the guard
+# with the materialized edge count (V ≤ 2E, one ~free count on the
+# persisted pair frame); the +4 margin keeps it a runaway guard — an
+# unstable edge list still trips, just a handful of rounds later.
 TEXT_CC_MAX_ROUNDS = 16
+
+
+def _text_cc_ceiling(n_edges: int) -> int:
+    """Scale-aware runaway ceiling: ceil(log2(2E)) + 4 doubling rounds
+    covers any CONNECTED structure reachable on ≤ 2E vertices with
+    margin, floored at the fixture-calibrated TEXT_CC_MAX_ROUNDS."""
+    import math
+
+    if n_edges <= 0:
+        return TEXT_CC_MAX_ROUNDS
+    return max(TEXT_CC_MAX_ROUNDS, math.ceil(math.log2(2 * n_edges)) + 4)
 
 
 def connected_components(
@@ -1217,9 +1237,13 @@ def _text_components_materialized(
     if cached is not None:
         return cached
     pairs = _simhash_pairs_materialized(spark, sf_dir)
+    # the count is one ~free job on the just-persisted pair frame; the
+    # ceiling it sizes is what lets the SAME query run a 30x corpus
+    # (18 rounds needed there vs the constant guard's 16 — see
+    # _text_cc_ceiling) without loosening the fixture-scale guard
     comp, _rounds = connected_components_converged(
         pairs,
-        max_rounds=TEXT_CC_MAX_ROUNDS,
+        max_rounds=_text_cc_ceiling(pairs.count()),
         probe_every=CC_ROUNDS,
         edges_materialized=True,
     )

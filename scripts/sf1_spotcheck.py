@@ -275,6 +275,14 @@ def main() -> int:
     ap.add_argument(
         "--family", choices=sorted(FAMILIES), default="dedup"
     )
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=None,
+        help="subset of the family's query list (deeper-than-decade "
+        "probes time out on the full family; the record still carries "
+        "the family tag plus the actual list run)",
+    )
     args = ap.parse_args()
     os.chdir(REPO)
 
@@ -295,6 +303,12 @@ def main() -> int:
     if args.family == "streaming":
         build_sf1_events(scratch, args.replicas)
     QUERIES = FAMILIES[args.family]
+    if args.queries:
+        unknown = set(args.queries) - set(QUERIES)
+        if unknown:
+            print(f"not in family {args.family}: {sorted(unknown)}", file=sys.stderr)
+            return 2
+        QUERIES = args.queries
 
     from duckdb_parquet_parser_spark.operators import collect_queries
     from duckdb_parquet_parser_spark.operators.dedup import (

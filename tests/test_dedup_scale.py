@@ -551,3 +551,49 @@ def test_text_components_memo_shared(spark, sf_smoke):
     # and the recomputed labels agree with the originals
     labels_b = {r["doc"]: r["component"] for r in b.collect()}
     assert labels_a == labels_b
+
+
+def test_cc_ceiling_scales_with_graph_size(spark):
+    """Round-16 30x-probe regression: the convergent-CC runaway guard
+    must GROW with the graph — the 30x simhash graph (132k vertices,
+    24.5M edges) converges cleanly at 18 doubling rounds, which the old
+    constant-16 ceiling refused as 'pathological'. The formula floors at
+    the fixture calibration and covers log2(V)+margin; the integration
+    leg runs a path graph whose convergence PROVABLY needs >16 rounds
+    (diameter 2^17) and pins that the scaled ceiling admits it while the
+    old constant would have raised."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        TEXT_CC_MAX_ROUNDS,
+        _text_cc_ceiling,
+        connected_components_converged,
+    )
+
+    # formula: floor at the fixture calibration, monotone, covers the
+    # measured 30x point (18 rounds needed, ceiling 30)
+    assert _text_cc_ceiling(0) == TEXT_CC_MAX_ROUNDS
+    assert _text_cc_ceiling(1) == TEXT_CC_MAX_ROUNDS
+    assert _text_cc_ceiling(24_485_147) == 30
+    assert _text_cc_ceiling(10**12) >= 45  # keeps growing, stays finite
+    prev = 0
+    for e in (10, 10**3, 10**6, 10**9):
+        assert _text_cc_ceiling(e) >= prev
+        prev = _text_cc_ceiling(e)
+
+    # integration: a 2^17-vertex path needs ~18 doubling rounds — over
+    # the old constant, under the scaled ceiling
+    n = 1 << 17
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    ceiling = _text_cc_ceiling(n - 1)
+    assert TEXT_CC_MAX_ROUNDS < ceiling <= 24
+    comp, rounds = connected_components_converged(
+        edges, max_rounds=ceiling, probe_every=4
+    )
+    assert rounds > TEXT_CC_MAX_ROUNDS  # the old guard WOULD have raised
+    got = comp.agg(
+        F.count("*"), F.countDistinct("component"), F.min("component")
+    ).first()
+    assert tuple(got) == (n, 1, 0)  # one component, min-id label, all docs
