@@ -61,7 +61,18 @@ FAMILIES = {
         "ns_contamination",
     ],
     # the second data-bound family: embedding near-dup / clustering /
-    # ANN over a 10x corpus with the SAME query set
+    # ANN over a 10x corpus with the SAME query set.
+    # CORRECTED in round 16 (the 30x probe's rows_x exposed it): the
+    # rotation+sign-mask construction makes within-replica structure
+    # replicate linearly, but it CANNOT push cross-replica cosines
+    # below the NEARDUP_COS=0.3 threshold — for 64-dim dense unit
+    # vectors, random cross cosines have sigma ~ 1/8, so 0.3 is only
+    # ~2.4 sigma and ~0.4% of ALL cross pairs leak through: pair output
+    # grows ~quadratically in the corpus BY STATISTICS (measured: ~99x
+    # rows at 10x, ~890x at 30x; the same-replica slice is exactly
+    # linear both times). Those pairs are REAL — any corpus this size
+    # at this threshold/dimension has them — so like the media family
+    # this decade adjudicates wall_x against rows_x, not input_x.
     "embed": [
         "ns_embed_neardup",
         "ns_embed_dedup_cluster",
