@@ -473,9 +473,15 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
     finally:
         sc.setJobGroup(None, None, False)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    assert 0 < len(jobs) <= 30, (
+    # RESTATED round 16 (+2 over the r13 budget): the scale-aware CC
+    # runaway ceiling (_text_cc_ceiling, landed after the 30x probe's
+    # constant-guard refusal) sizes itself with ONE count job on the
+    # already-persisted pair frame — measured 31 at sf0.1 in the r16
+    # bench (waiver_jobs), wall regime unchanged (warm 3.9 s). The
+    # count is the price of a guard that holds at ANY corpus size.
+    assert 0 < len(jobs) <= 32, (
         f"components pipeline scheduled {len(jobs)} jobs; the restated "
-        f"waiver condition is <= 30 (BENCH_NOTES.md round-13 restatement)"
+        f"waiver condition is <= 32 (BENCH_NOTES.md round-16 restatement)"
     )
 
 
