@@ -93,6 +93,10 @@ FAMILIES = {
     # per-query output row counts ("rows" key) so the decade reads
     # wall_x against rows_x. Video rows are excluded until the r17
     # frame-hash artifact lands (decode dominates their walls).
+    # At --replicas >= 30 the ~900x pair volume needs a work-scaled
+    # heap: run with SPARK_GRAFT_DRIVER_MEM=24g or the pair distinct
+    # OOMs the 8g default (r16 record; plan audited optimal — the
+    # hamming predicate is already folded into the band join).
     "media": [
         "ns_mm_image_neardup",
         "ns_mm_image_dedup_cluster",
