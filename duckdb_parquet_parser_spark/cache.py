@@ -88,10 +88,12 @@ def artifact_entry_path(prefix: str, sf_dir: str) -> str:
     consolidations above).
 
     A content change in the source table yields a NEW path, so a stale
-    prior-run artifact can never answer for rewritten data; stale
-    fingerprints of the SAME source path — by definition outdated — are
-    pruned on the way in, bounding accumulation. Separate ``prefix``
-    namespaces keep artifact kinds from ever colliding.
+    prior-run artifact can never answer for rewritten data; under
+    LOCAL roots (one machine, one view of the source), stale
+    fingerprints of the SAME source path — there by definition
+    outdated — are pruned on the way in, bounding accumulation.
+    Separate ``prefix`` namespaces keep artifact kinds from ever
+    colliding.
 
     With ``SPARK_GRAFT_ARTIFACT_ROOT`` unset (every driver/test run to
     date) the location and prune behavior are byte-identical to the
@@ -104,13 +106,16 @@ def artifact_entry_path(prefix: str, sf_dir: str) -> str:
       same source reaped on the way in) but skips the per-user ownership
       gate — an explicit root is the operator's own choice, not a
       world-shared predictable /tmp name (the ADVICE-r9 threat model);
-    - a scheme-qualified root is returned as a URI; pruning rides the
-      Hadoop FS API through the active SparkSession when one exists, and
-      degrades to key-only hygiene (no pruning) when none does — the
-      KEYING alone already guarantees a stale artifact can never answer
-      for rewritten data, so skipping the prune costs storage, never
-      correctness, and a remote store's retention is typically owned by
-      the deployment anyway."""
+    - a scheme-qualified root is returned as a URI and is NEVER pruned
+      (r17, ADVICE r16): a shared remote root can be resolved by many
+      drivers whose views of the source differ, and an on-resolution
+      reap from ANY of them could delete the newer artifact another job
+      is actively writing or reading — availability damage for zero
+      correctness benefit, since the KEYING alone already guarantees a
+      stale sibling can never answer for rewritten data. Retention of
+      superseded fingerprints under a remote root is deployment-owned
+      (lifecycle rules on the store), exactly like every other shared
+      table location."""
     root = os.environ.get(ARTIFACT_ROOT_ENV)
     if root:
         return _rooted_entry_path(root, prefix, sf_dir)
@@ -125,42 +130,25 @@ def artifact_entry_path(prefix: str, sf_dir: str) -> str:
 
 def _rooted_entry_path(root: str, prefix: str, sf_dir: str) -> str:
     """``artifact_entry_path`` against an explicit operator-chosen root
-    (local path or Hadoop-reachable URI). Same key, same stale-sibling
-    prune semantics where a filesystem handle is available."""
+    (local path or Hadoop-reachable URI). A LOCAL root keeps the
+    stale-sibling prune (one machine, one view of the source — the
+    per-user cache's semantics) with the base created 0o700 (ADVICE r16
+    low: harmless under a trusted root, and keeps a misconfigured
+    group-writable location from letting another local user pre-plant a
+    validated-looking artifact). A REMOTE root is returned key-only —
+    no pruning ever (see ``artifact_entry_path``: a shared root with
+    multiple drivers makes any on-resolution reap an availability
+    hazard; retention is deployment-owned)."""
     path_tag, fp_tag = content_tags(sf_dir)
     name = f"{path_tag}_{fp_tag}"
     if "://" not in root:
         base = os.path.join(os.path.abspath(root), prefix)
-        os.makedirs(base, exist_ok=True)
+        os.makedirs(base, mode=0o700, exist_ok=True)
         for entry in os.listdir(base):
             if entry.startswith(f"{path_tag}_") and entry != name:
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         return os.path.join(base, name)
-    base_uri = f"{root.rstrip('/')}/{prefix}"
-    _prune_remote_siblings(base_uri, path_tag, name)
-    return f"{base_uri}/{name}"
-
-
-def _prune_remote_siblings(base_uri: str, path_tag: str, keep: str) -> None:
-    """Best-effort Hadoop-FS reap of stale fingerprints of the same source
-    under a remote artifact root. Requires an active SparkSession for the
-    FS handle; without one this is a silent no-op — by construction a
-    stale sibling has a different key and can never be READ for current
-    data, so the miss is bounded accumulation, not staleness."""
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    if spark is None:
-        return
-    from .sources.layout import _hadoop_fs
-
-    fs, base_p = _hadoop_fs(spark, base_uri)
-    if not fs.exists(base_p):
-        return
-    for status in fs.listStatus(base_p):
-        entry = status.getPath().getName()
-        if entry.startswith(f"{path_tag}_") and entry != keep:
-            fs.delete(status.getPath(), True)
+    return f"{root.rstrip('/')}/{prefix}/{name}"
 
 
 MARKER_NAME = "_source.txt"

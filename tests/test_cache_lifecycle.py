@@ -249,28 +249,36 @@ def test_artifact_root_override_local(tmp_path, monkeypatch):
     assert str(root) not in artifact_entry_path("sg_test", str(src))
 
 
-def test_artifact_root_override_uri_without_session(tmp_path, monkeypatch):
-    """A scheme-qualified root is returned as a URI; with no active
-    SparkSession the remote prune is a documented no-op (keying alone
-    guarantees a stale sibling can never answer for current data)."""
-    from pyspark.sql import SparkSession
-
+def test_artifact_root_override_uri_is_key_only(tmp_path, monkeypatch):
+    """A scheme-qualified root resolves to a pure key-derived URI with NO
+    filesystem interaction at all (r17, ADVICE r16): a shared remote
+    root can be resolved by many drivers, so resolution must never
+    list, prune, or otherwise touch the store — a sibling fingerprint
+    another driver is writing stays untouched, and resolution works
+    with or without an active SparkSession. Keying alone guarantees a
+    stale sibling can never answer for current data; retention is
+    deployment-owned. (Previously this probed a no-session no-op branch
+    and silently self-skipped in full-suite runs — ADVICE r16 low.)"""
     from duckdb_parquet_parser_spark.cache import (
         ARTIFACT_ROOT_ENV,
         artifact_entry_path,
         content_tags,
     )
 
-    if SparkSession.getActiveSession() is not None:
-        import pytest
-
-        pytest.skip("needs a session-free process to probe the no-op branch")
-
     src = tmp_path / "fixture"
     src.mkdir()
     (src / "documents.parquet").write_bytes(b"v1" * 10)
 
     monkeypatch.setenv(ARTIFACT_ROOT_ENV, f"file://{tmp_path}/store")
-    p = artifact_entry_path("sg_test", str(src))
     path_tag, fp_tag = content_tags(str(src))
-    assert p == f"file://{tmp_path}/store/sg_test/{path_tag}_{fp_tag}"
+    want = f"file://{tmp_path}/store/sg_test/{path_tag}_{fp_tag}"
+    assert artifact_entry_path("sg_test", str(src)) == want
+
+    # a pre-existing sibling fingerprint under the remote root survives
+    # resolution (no on-resolution reap — another driver may own it)
+    store = tmp_path / "store" / "sg_test"
+    sibling = store / f"{path_tag}_deadbeef"
+    sibling.mkdir(parents=True)
+    (sibling / "part-0.parquet").write_bytes(b"other driver")
+    assert artifact_entry_path("sg_test", str(src)) == want
+    assert sibling.exists()
