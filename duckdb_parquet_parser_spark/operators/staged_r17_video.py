@@ -1,5 +1,7 @@
-"""Round-17 video fix, STAGED (r15): the frame-hash table as a
-versioned persisted artifact — the I/O half of the scheduled swap.
+"""Round-17 video fix (staged r15, LANDED r17): the frame-hash table
+as a versioned persisted artifact — the I/O half of the scheduled swap,
+plus ``ensure_frames_artifact``, the query-side entry the video
+near-dup/cluster queries consume.
 
 VERDICT r13/r14 flagged the video rows' optics: their closed-form
 oracles never decode a byte, so the cold walls price the one-time
@@ -69,6 +71,33 @@ def write_frames_artifact(
     _fs_move_text_into_place(
         spark, _artifact_meta_path(path), json.dumps(meta)
     )
+
+
+def ensure_frames_artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    stride: int = VIDEO_FRAME_STRIDE,
+) -> DataFrame:
+    """Validated frames table for this exact table content, writing the
+    artifact first iff no prior run left one — the
+    ``ns_source_droprate`` / ``ns_dedup_incremental_persisted``
+    convention (that write IS the prior run). Landed r17: the query-side
+    half of the staged swap — ``ns_mm_video_neardup`` and
+    ``ns_mm_video_dedup_cluster`` consume this instead of re-decoding
+    per query, so the recurring cost is the banded join + CC over a
+    ~20-bytes/frame parquet scan. Content keying (``cache.
+    artifact_entry_path``) makes staleness impossible: a rewritten
+    video table resolves to a different entry. Single-writer contract
+    as for every artifact in the engine (dedup.py
+    ``append_signatures``)."""
+    from ..sources.layout import _hadoop_fs
+    from .dedup import _artifact_uri
+
+    uri = _artifact_uri(frames_artifact_path(sf_dir))
+    fs, meta_p = _hadoop_fs(spark, _artifact_meta_path(uri))
+    if not fs.exists(meta_p):
+        write_frames_artifact(spark, sf_dir, uri, stride=stride)
+    return read_frames_artifact(spark, uri, stride=stride)
 
 
 def read_frames_artifact(
