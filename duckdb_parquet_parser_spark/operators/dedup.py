@@ -303,10 +303,20 @@ def _verify_jaccard_pairs(
 
 
 def q_ns_dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ns_dedup_minhash with skew-salted candidate generation — the plan
-    shape for corpora whose duplicate clusters are large enough to pin the
-    plain bucket join (same oracle: results are identical by construction).
-    """
+    """ns_dedup_minhash with skew-salted candidate generation.
+
+    RETIRED from the registered surface in round 17 (VERDICT r16 #3 /
+    REVIEW_r16 #2): since the r16 swap made ``ns_dedup_minhash`` itself
+    run the salted generator, this row registered ONE plan under TWO
+    names — the bench priced it twice and two cert slots paid for one
+    pipeline. The sf1 ``n_blocks`` sweep (scripts/salt_blocks_study.py,
+    BENCH_NOTES) adjudicated the alternative: an explicit operating
+    point buys only a few percent of wall past the knee at the default
+    8, so no distinct measured plan justifies a second registration.
+    ``lsh_candidate_pairs_salted(n_blocks=...)`` remains the sized
+    library knob, and this function remains the Spark-vs-Spark test
+    seam (tests/test_r16_fixes.py); cert history: green r13–r16
+    (ledger note in COVERAGE.md)."""
     sigs = _cached_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs_salted(sigs)
     return _verify_jaccard_pairs(spark, sf_dir, pairs)
@@ -359,8 +369,9 @@ def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~linear with no conf change and was faster at fixture scale too
     (5.4 vs 7.1 s driver walls). The plain generator remains library
     surface (:func:`lsh_candidate_pairs`) for graphs without hot
-    clusters; this query and ``ns_dedup_minhash_salted`` now run the
-    same plan, certified against the same oracle.
+    clusters; this query has run the salted plan since r16 (the
+    duplicate ``ns_dedup_minhash_salted`` registration was retired in
+    r17 — its docstring holds the adjudication).
     """
     sigs = _cached_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs_salted(sigs)
@@ -1398,7 +1409,6 @@ def q_ns_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ns_dedup_exact": q_ns_dedup_exact,
     "ns_dedup_minhash": q_ns_dedup_minhash,
-    "ns_dedup_minhash_salted": q_ns_dedup_minhash_salted,
     "ns_dedup_incremental": q_ns_dedup_incremental,
     "ns_dedup_incremental_persisted": q_ns_dedup_incremental_persisted,
     "ns_dedup_simhash": q_ns_dedup_simhash,
@@ -1537,8 +1547,8 @@ ORACLES = {
     """,
 }
 
-# Salted variant is semantically identical to the plain one — same oracle.
-ORACLES["ns_dedup_minhash_salted"] = ORACLES["ns_dedup_minhash"]
+# ns_dedup_minhash_salted: retired r17 (see its docstring) — no
+# registration, no oracle row; the plain row IS the salted plan.
 
 # Incremental dedup: same signature/band/verify pipeline, but candidate
 # generation restricts the join's right side to the new batch (b.doc_id %

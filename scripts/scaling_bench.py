@@ -24,7 +24,6 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # dominated by real work, not the fixed job floor (BENCH_NOTES round 4).
 QUERIES = [
     "ns_dedup_minhash",
-    "ns_dedup_minhash_salted",
     "ns_dedup_simhash_pairs",
     "ns_dedup_components",
     "ns_contamination",

@@ -45,7 +45,6 @@ EMB_SRC = "/root/testdata/sf0.1/embeddings.parquet"
 FAMILIES = {
     "dedup": [
         "ns_dedup_minhash",
-        "ns_dedup_minhash_salted",
         "ns_dedup_simhash_pairs",
         "ns_dedup_components",
         "ns_dedup_incremental",
