@@ -26,6 +26,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
         multimodal_synth,
         ngram_stats,
         pending_r15,
+        pending_r16,
         png_media,
         positional,
         relational,
@@ -50,6 +51,7 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     for mod in (
         curation,
         pending_r15,
+        pending_r16,
         png_media,
         embed_cluster,
         multimodal_dedup,
@@ -94,94 +96,64 @@ def collect_queries() -> tuple[dict[str, QueryFn], dict[str, str]]:
     return ordered, oracles
 
 
-# Round-16 rotation (VERDICT r15 #1-#3, executing the COVERAGE.md
-# "Round-16 window plan" verbatim). Head composition (50 of 50 slots,
-# verified against the generated ledger — scripts/cert_ledger.py):
-# (1) the FORTY-NINE r13-certified queries the r15 ledger forecast as
-# must-rotate (certs aged to 2 rounds after the r15 driver run):
-# ns_source_cap .. stream_sliding — the whole r13 block, which is
-# exactly the dedup + curation families, so the scheduled
-# certified-module fixes land WITH this rotation at zero extra cert
-# cost: q_ns_dedup_minhash swapped to the SALTED candidate generator,
-# the conditional shuffle_hash verify hint, _docs_fingerprint's remote-
-# scheme fsmeta branch, ns_source_droprate reading the persisted
-# components-label artifact, the logit-SQL single-source consolidation,
-# and the _DEDUP_ORACLES2 dup-import removal (all staged + oracle-tested
-# in r15; tests/test_r16_fixes.py);
-# (2) ONE registration from the staged surface: ns_bloom_decontam
-# (operators/pending_r15.py — the constant-size 100 TB decontamination
-# pre-filter, the window plan's designated +1; differentially tested at
-# two SFs + randomized fixtures every round since r13).
-# 49 + 1 = 50; the window is exactly full. The remaining staged
-# tranches (the nine other pending_r15 queries, pending_r14's two
-# token-mix queries, the six pending_r16 queries, the BPE trainer trio)
-# queue for round 17+ per the COVERAGE.md r17 window plan.
+# Round-17 rotation (VERDICT r16 #2/#5/#6/#7, executing the COVERAGE.md
+# "Round-17 window plan" with the late-r16 addenda). Head composition
+# (50 of 50 slots, verified against the generated ledger —
+# scripts/cert_ledger.py):
+# (1) FORTY-ONE of the fifty must-rotate r14 certs (aged to 2 rounds
+# after the r16 driver run): the r14 block minus the NINE parked
+# below;
+# (2) ns_mm_video_neardup (r15-certified, re-heads EARLY because its
+# executable call chain changed: it now consumes the persisted frames
+# artifact — staged_r17_video.ensure_frames_artifact — instead of
+# re-decoding per query; the refined round-10 rule. The plan forecast
+# two video re-heads, but q_ns_mm_video_framehashes calls
+# extract_video_frame_hashes DIRECTLY — neither that function nor the
+# query changed, so its r15 certs park on the byte-identical basis and
+# the freed slot funds an eighth registration);
+# (3) EIGHT registrations from the staged backlog, the COVERAGE r17
+# slate merged with VERDICT r16 #5's priority order:
+# ns_semdedup_prune + ns_cc_incremental (pending_r16 — the judge's
+# top-100 TB-leverage pair), ns_winnow_fingerprint + ns_winnow_pairs
+# (the winnowing pair, the judge's next pick), ns_hll_set_algebra +
+# ns_hll_incremental, ns_curation_lineage (the curate_epoch capstone),
+# and ns_mm_gif_features (VERDICT #7: a certified query on a
+# compressed codec). The BPE trio + ns_epoch_shard /
+# ns_weighted_sample / ns_span_scrub / ns_embed_rp_project /
+# ns_mixture_temperature / ns_embed_curation_lineage /
+# ns_bpe_pair_counts queue for r18+ at <= +2/round per the cadence-debt
+# bound.
+# 41 + 1 + 8 = 50; the window is exactly full.
+#
+# Also this round: ns_dedup_minhash_salted RETIRED from the registered
+# surface (VERDICT r16 #3 — one plan under two names since the r16
+# swap; the sf1 n_blocks sweep showed no distinct operating point worth
+# a second registration). 150 + 8 - 1 = 157 registered queries.
 #
 # Re-certification rule (refined round 10, unchanged): queries whose
 # EXECUTABLE code or oracle changed must sit in the head;
-# docstring-only edits do not count. The r16 logit consolidation edits
-# ngram_stats.py (r15-certified queries) but reproduces every one of its
-# oracle strings BYTE-IDENTICALLY from the shared fragment with query
-# functions untouched (pinned in tests/test_logit_sql_consistency.py) —
-# the same functions-and-oracles-byte-identical basis on which the Q14
-# registration parked relational_q9's r14 certs on schedule.
+# docstring-only edits do not count.
 #
-# Parked below: 50 r14-certified + 50 r15-certified. After the r16 run
-# the r14 certs age to 2 rounds: they MUST lead the round-17 window.
-# Trust the ledger over this prose if they ever disagree.
+# Parked below: 9 r14-certified (aged to 4 rounds at the r18 verdict —
+# they LEAD the round-18 window, ahead of the 49-query r15 block whose
+# certs age to 2 rounds after the r17 driver run; r18 owes 9 + 49 = 58
+# candidates for 50 slots, the permanent steady-state trade). Then the
+# 49 r16-certified. Trust the ledger over this prose if they ever
+# disagree.
 ROTATION_TAIL = [
-    # r14-certified (50) — the r17 must-rotate block
-    "ns_mm_png_features",
-    "ns_mm_image_dedup_cluster",
-    "ns_mm_audio_dedup_cluster",
-    "ns_mm_video_dedup_cluster",
-    "rel_nested_semi_q20",
-    "rel_volume_q7",
-    "rel_mktshare_q8",
-    "rel_profit_q9",
-    "rel_filter_agg_q6",
-    "rel_priority_mix_q12",
+    # r14-certified, parked one extra round (stable library-ish, code
+    # byte-unchanged since r14) — the r18 window LEADS with these (9)
     "ns_mm_meta",
     "ns_mm_features",
     "udf_table_function",
-    "w4_pywriter_roundtrip",
     "src_csv_roundtrip",
-    "f1_regex_manifest",
-    "src_bucketed_join",
-    "r7_chunk_bytes",
-    "r6_fleet_audit",
-    "streaming_dedup",
-    "streaming_join",
-    "streaming_session_stateful",
-    "ns_pipeline_curate",
-    "ns_sample_stratified",
-    "ns_text_tokens",
-    "ns_text_quality",
-    "ns_text_langid",
-    "ns_text_fingerprint",
-    "ns_text_rollhash",
-    "ns_text_redact",
-    "ns_text_repetition",
-    "ns_quantile_sketch",
-    "ns_vocab_topk",
-    "ns_seq_pack",
-    "ns_mixture_weights",
-    "ns_doclen_histogram",
-    "ns_approx_distinct_hll",
-    "r10_positional_stream",
-    "r10_file_order",
-    "x1_chunk_index",
-    "x1_tuple_to_chunk",
-    "x1_chunk_greedy",
-    "r4_rowgroup_scan",
-    "f1_page_report",
-    "ns_knn_bruteforce",
-    "ns_ann_lsh_buckets",
-    "ns_ann_ivf_topk",
-    "ns_kmeans_embed",
     "rel_pivot",
     "stream_session",
-    # r15-certified (50) — the r18 must-rotate block
+    "x1_tuple_to_chunk",
+    "r4_rowgroup_scan",
+    "f1_page_report",
+    # r15-certified (49; ns_mm_video_neardup re-headed out) — the r18
+    # must-rotate block behind the 9 above
     "ns_mm_ingest_parquet",
     "rel_min_supplycost_q2",
     "rel_value_share_q11",
@@ -194,7 +166,6 @@ ROTATION_TAIL = [
     "ns_mm_audio_fingerprint",
     "ns_mm_audio_neardup",
     "ns_mm_video_framehashes",
-    "ns_mm_video_neardup",
     "udf_scalar_pandas",
     "w1_roundtrip",
     "w1_roundtrip_zstd",
@@ -232,4 +203,54 @@ ROTATION_TAIL = [
     "ns_common_token_ratio",
     "ns_quality_logit",
     "stream_tumbling",
+    # r16-certified (49; ns_dedup_minhash_salted retired r17)
+    "ns_source_cap",
+    "rel_top_supplier_q15",
+    "rel_returned_top_q10",
+    "ns_source_droprate",
+    "ns_dedup_components_converged",
+    "ns_bloom_decontam",
+    "ns_embed_dedup_cluster",
+    "ns_mm_framesample",
+    "udf_grouped_agg",
+    "ns_tfidf_topterms",
+    "ns_contamination",
+    "ns_chunk_split",
+    "r2_schema",
+    "r2_counts",
+    "r3_full_column_scan",
+    "r9_projection",
+    "f2_null_semantics",
+    "f3_string_columns",
+    "f1_regex_filter",
+    "f1_regex_docs",
+    "f1_neg_regex",
+    "ns_dedup_exact",
+    "ns_dedup_minhash",
+    "ns_dedup_incremental",
+    "ns_dedup_incremental_persisted",
+    "ns_dedup_simhash",
+    "ns_dedup_simhash_pairs",
+    "ns_dedup_components",
+    "ns_dedup_cluster_canonical",
+    "ns_ngram_jaccard",
+    "ns_embed_neardup",
+    "rel_date_string_funcs",
+    "rel_json_map_funcs",
+    "rel_disjunctive_q19",
+    "rel_join_semi",
+    "rel_join_anti",
+    "rel_outer_join",
+    "rel_window_running",
+    "rel_sort_topk",
+    "rel_union",
+    "rel_intersect",
+    "rel_except",
+    "rel_rollup",
+    "rel_cube",
+    "rel_grouping_sets",
+    "rel_distinct",
+    "rel_scalar_funcs",
+    "rel_case_expr",
+    "stream_sliding",
 ]

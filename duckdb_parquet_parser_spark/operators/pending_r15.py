@@ -1628,5 +1628,27 @@ ORACLES_PENDING_R15["ns_curation_lineage"] = _lineage_oracle()
 # QUERIES_PENDING_R15 until their r17+ slots.
 # ---------------------------------------------------------------------------
 
-QUERIES = {"ns_bloom_decontam": q_ns_bloom_decontam}
-ORACLES = {"ns_bloom_decontam": ORACLES_PENDING_R15["ns_bloom_decontam"]}
+# Round 17 promotions (the COVERAGE.md r17 window plan merged with
+# VERDICT r16 #5/#7 priorities): the winnowing overlap pair (the judge's
+# next-after-top-two pick), the HLL mergeability + incrementality pair,
+# the curate_epoch lineage capstone, and ns_mm_gif_features — the first
+# CERTIFIED query on a compressed codec (VERDICT r16 #7). Same
+# de-risking basis as every promotion: each has run its DuckDB
+# differential at sf0.001+sf0.01 every round since r13
+# (tests/test_pending_r15.py) plus the randomized fixture families;
+# ns_curation_lineage is additionally pre-certified conf-invariant
+# (tests/test_conf_robustness.py). Still staged for r18+:
+# ns_epoch_shard, ns_embed_rp_project, ns_span_scrub.
+
+QUERIES = {
+    "ns_bloom_decontam": q_ns_bloom_decontam,
+    "ns_winnow_fingerprint": q_ns_winnow_fingerprint,
+    "ns_winnow_pairs": q_ns_winnow_pairs,
+    "ns_hll_set_algebra": q_ns_hll_set_algebra,
+    "ns_hll_incremental": q_ns_hll_incremental,
+    "ns_curation_lineage": q_ns_curation_lineage,
+    **_GIF_QUERIES,
+}
+ORACLES = {
+    name: ORACLES_PENDING_R15[name] for name in QUERIES
+}

@@ -583,3 +583,25 @@ ORACLES_PENDING_R16["ns_bpe_pair_counts"] = f"""
     )
     SELECT pair, n, rank FROM ranked WHERE rank <= {BPE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# REGISTERED surface (round 17): ns_semdedup_prune + ns_cc_incremental
+# promoted from the staged tranche into the driver contract — VERDICT
+# r16 #5's top-leverage pair (the semantic prune bounds 100 TB embedding
+# curation by clusters, never pairs; the incremental CC completes the
+# incrementality triad signatures/sketches/clusters). Registration is
+# the promised rename, not new risk: both have run their DuckDB
+# differentials at sf0.001+sf0.01 every round since r14
+# (tests/test_pending_r16.py) plus the randomized pending16 families,
+# and ns_cc_incremental is pre-certified conf-invariant under AQE-off /
+# broadcast-off / shuffle=7 (tests/test_conf_robustness.py). The other
+# staged pending_r16 queries stay in QUERIES_PENDING_R16 until their
+# r18+ slots.
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "ns_semdedup_prune": q_ns_semdedup_prune,
+    "ns_cc_incremental": q_ns_cc_incremental,
+}
+ORACLES = {name: ORACLES_PENDING_R16[name] for name in QUERIES}
