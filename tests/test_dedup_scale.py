@@ -510,15 +510,16 @@ def test_artifact_root_override_end_to_end(spark, sf_smoke, tmp_path, monkeypatc
     assert again.count() == persisted.count()
     assert os.path.getmtime(meta_path) == mtime, "artifact rewritten on reuse"
 
-    # remote prune: a stale fingerprint of the SAME source under the root
-    # is reaped through the Hadoop FS on the next path resolution
+    # remote roots are key-only (r17, ADVICE r16): resolution never
+    # prunes — a sibling fingerprint may be another driver's live write
+    # under a shared root, so BOTH planted entries must survive
     path_tag, _ = content_tags(sf_smoke)
     stale = os.path.join(os.path.dirname(local), f"{path_tag}_deadbeefdead")
     other = os.path.join(os.path.dirname(local), "cafecafecafe_deadbeefdead")
     os.makedirs(stale)
     os.makedirs(other)
     assert artifact_entry_path("sg_sig", sf_smoke) == uri
-    assert not os.path.exists(stale), "stale same-source entry not pruned"
+    assert os.path.exists(stale), "remote sibling must survive resolution"
     assert os.path.exists(other), "different-source entry must survive"
 
 
