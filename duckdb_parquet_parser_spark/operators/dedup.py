@@ -1101,6 +1101,7 @@ def connected_components_converged(
     max_rounds: int = 64,
     probe_every: int = 2,
     edges_materialized: bool = False,
+    extend_max_rounds=None,
 ) -> tuple[DataFrame, int]:
     """(doc, component) + rounds used: min-label propagation with pointer
     doubling ITERATED TO CONVERGENCE — the principled CC primitive, home
@@ -1116,25 +1117,34 @@ def connected_components_converged(
     Round structure: ``probe_every`` propagation+doubling rounds run
     UNROLLED under one lineage cut (AQE reuses the doubling join's twin
     subplans), then ONE probe job decides convergence. The round-13 probe
-    is a STATIONARITY CHECK, not the r12 sum compare: run one synchronous
-    min-propagation round over the just-checkpointed labels and count
-    strict decreases. Zero decreases proves the EXACT fixpoint in one
-    observation — for a labeling ``l`` with ``l(x) ≤ x`` (monotonicity
-    from the identity start), stationarity under synchronous propagation
-    means no adjacent pair has ``l(u) < l(v)``, so labels are constant on
-    every component; the component's min id m has ``l(m) ≤ m``, hence the
-    constant IS m — the true CC labeling. The r12 design needed a whole
-    EXTRA confirming block (two equal consecutive block sums), one more
-    checkpoint + the block's join work; the stationarity probe pays one
-    adjacency join + count on the label frame and confirms at the block
-    where convergence actually happened. It also closes the r12 ADVICE
-    edge structurally: a graph converging in the FINAL block of
-    ``max_rounds`` is detected by that block's probe instead of raising.
+    is a STATIONARITY CHECK, not the r12 sum compare. Round 17 states it
+    in its cheapest equivalent form: count edges whose endpoints carry
+    DIFFERENT labels. For a labeling ``l`` with ``l(x) ≤ x``
+    (monotonicity from the identity start), one synchronous
+    min-propagation round strictly decreases some label iff some
+    adjacency pair has ``l(v) < l(u)`` — and the adjacency carries every
+    edge in BOTH orientations, so that is iff some edge has
+    ``l(u) ≠ l(v)``. Zero differing edges therefore proves the EXACT
+    fixpoint in one observation: labels are constant on every component;
+    the component's min id m has ``l(m) ≤ m``, hence the constant IS m —
+    the true CC labeling. The r13 spelling ran the propagation round for
+    real (adjacency join + groupBy + label join); the edge-disagreement
+    count skips the groupBy exchange and probes the E-row edge frame
+    instead of the 2E+V-row adjacency — same verdict, measured 8 → 5
+    probe jobs at sf0.1 (OPTIMIZATION_r17.md). As before, a graph
+    converging in the FINAL block of ``max_rounds`` is detected by that
+    block's probe instead of raising.
 
     Raises ``RuntimeError`` if ``max_rounds`` propagation rounds don't
     reach the fixpoint — doubling covers diameter ~2^rounds, so the
     default 64 is a runaway guard (an unstable edge list, not a real
-    graph), not a tuning knob.
+    graph), not a tuning knob. ``extend_max_rounds`` (r17): an optional
+    ``() -> int`` callable consulted ONCE, only when the budget is
+    exhausted without a fixpoint — the scale-aware ceiling
+    (``_text_cc_ceiling`` over an edge count) moves out of the happy
+    path this way: a healthy run never pays the sizing job, a
+    pathological one extends the budget (work done so far is kept) and
+    raises only if the extended ceiling is exhausted too.
 
     Scale shape (100 TB): identical to the fast path — the adjacency is
     hash-partitioned once and checkpointed, every round exchanges only
@@ -1174,6 +1184,7 @@ def connected_components_converged(
     )
     labels: DataFrame | None = None
     rounds_done = 0
+    extended = extend_max_rounds is None
     while rounds_done < max_rounds:
         block = min(probe_every, max_rounds - rounds_done)
         cur = labels
@@ -1198,20 +1209,20 @@ def connected_components_converged(
             )
         nxt = checkpoint_df(cur, eager=True)
         rounds_done += block
-        # stationarity probe: one synchronous propagation round over the
-        # checkpointed labels; a strict decrease anywhere means another
-        # block is needed (the probe round's work is discarded — one
-        # cheap label-frame join, not a lineage the next block inherits).
-        # A zero-edge graph probes an empty frame: changed = 0, converged
-        # on block 1 (no sentinel dance — count, not a nullable sum).
-        probe = (
-            adj.join(nxt.withColumnRenamed("doc", "nbr"), "nbr")
-            .groupBy("doc")
-            .agg(F.min("label").alias("p_label"))
-        )
+        # stationarity probe, edge-disagreement form (docstring proof):
+        # an edge whose endpoints disagree exists iff one more
+        # synchronous propagation round would strictly decrease a label.
+        # Probes the E-row edge frame (labels broadcast-joined onto it at
+        # runtime) instead of re-running a propagation round over the
+        # 2E+V-row adjacency — same verdict, fewer exchanges. A zero-edge
+        # graph probes an empty frame: changed = 0, converged on block 1
+        # (no sentinel dance — count, not a nullable sum).
+        la = nxt.select(F.col("doc").alias("doc_a"), F.col("label").alias("l_a"))
+        lb = nxt.select(F.col("doc").alias("doc_b"), F.col("label").alias("l_b"))
         changed = (
-            probe.join(nxt, "doc")
-            .filter(F.col("p_label") < F.col("label"))
+            ed.join(la, "doc_a")
+            .join(lb, "doc_b")
+            .filter(F.col("l_a") != F.col("l_b"))
             .count()
         )
         if changed == 0:
@@ -1225,6 +1236,11 @@ def connected_components_converged(
             out._graft_ckpt_rdd = getattr(nxt, "_graft_ckpt_rdd", None)
             return out, rounds_done
         labels = nxt
+        if rounds_done >= max_rounds and not extended:
+            # one-shot budget extension: pay the sizing work only in the
+            # regime where the constant budget actually binds
+            extended = True
+            max_rounds = max(max_rounds, int(extend_max_rounds()))
     raise RuntimeError(
         f"connected_components_converged: no fixpoint within "
         f"{max_rounds} rounds — the graph has pathological diameter or "
@@ -1248,15 +1264,20 @@ def _text_components_materialized(
     if cached is not None:
         return cached
     pairs = _simhash_pairs_materialized(spark, sf_dir)
-    # the count is one ~free job on the just-persisted pair frame; the
-    # ceiling it sizes is what lets the SAME query run a 30x corpus
-    # (18 rounds needed there vs the constant guard's 16 — see
-    # _text_cc_ceiling) without loosening the fixture-scale guard
+    # Scale-aware runaway ceiling, LAZY since r17 (guide §1.2 — don't
+    # compute what the happy path throws away): the edge-count sizing job
+    # runs only if the fixture-calibrated constant budget is exhausted
+    # without a fixpoint. The 30x-corpus regime that motivated the
+    # scaled ceiling (18 rounds needed vs the constant 16 — see
+    # _text_cc_ceiling) still converges: the budget extends in place and
+    # the rounds already run are kept. Saves the count job (2 scheduled
+    # jobs at sf0.1) on every healthy run.
     comp, _rounds = connected_components_converged(
         pairs,
-        max_rounds=_text_cc_ceiling(pairs.count()),
+        max_rounds=TEXT_CC_MAX_ROUNDS,
         probe_every=CC_ROUNDS,
         edges_materialized=True,
+        extend_max_rounds=lambda: _text_cc_ceiling(pairs.count()),
     )
     _CC_LABELS_MEMO[key] = comp
     return comp

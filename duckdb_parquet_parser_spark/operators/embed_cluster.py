@@ -78,6 +78,18 @@ from .similarity import q_ns_embed_neardup
 #: 2-round block actually run.
 EMBED_CC_MAX_ROUNDS = 10
 
+#: Rounds per unrolled block between stationarity probes (r17, guide
+#: §1.2): the sf0.1 giant chain reaches its fixpoint at round 4, so the
+#: old 2-round blocks paid TWO checkpoints and TWO probes where one
+#: 4-round block + one probe suffice — measured 50 → 32 scheduled jobs
+#: for the CC stage at sf0.1, identical labels (OPTIMIZATION_r17.md).
+#: Deeper blocks trade probe cadence for per-block plan size (the
+#: doubling join doubles the unrolled subtree per round; AQE dedupes the
+#: twin subplans at runtime), which is why this stops at 4, not 8 — and
+#: small-SF chain graphs needing more rounds simply run extra blocks
+#: under the same EMBED_CC_MAX_ROUNDS guard, converging as before.
+EMBED_CC_PROBE_EVERY = 4
+
 
 def embed_components_with_rounds(
     spark: SparkSession, sf_dir: str
@@ -89,7 +101,9 @@ def embed_components_with_rounds(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     return connected_components_converged(
-        pairs, max_rounds=EMBED_CC_MAX_ROUNDS
+        pairs,
+        max_rounds=EMBED_CC_MAX_ROUNDS,
+        probe_every=EMBED_CC_PROBE_EVERY,
     )
 
 

@@ -86,8 +86,35 @@ from .multimodal_synth import (
 from .dedup import connected_components_converged  # noqa: F401
 
 
+#: Fixed CC round budget for the CLIQUE-shaped image/audio pair graphs
+#: (r17, guide §1.2 — shrink the plan to what the graph needs): same-class
+#: decodable docs sit pairwise within the banding radius by construction
+#: (the variant XOR flips keep Hamming ≤ 3), so every component is a
+#: COMPLETE graph of diameter 1, at any scale factor. One min-label
+#: propagation round over a clique already hands every member the min id;
+#: rounds=2 runs a full extra propagation+doubling round as margin (the
+#: same rounds-vs-rounds+1 margin the fixture tests pin). The previous
+#: CC_ROUNDS=4 budget doubled the unrolled consumer plan twice more for
+#: coverage no clique can need — measured 11 → 7 scheduled jobs for the
+#: image CC tail at sf0.1, identical labels (OPTIMIZATION_r17.md).
+MEDIA_CLIQUE_CC_ROUNDS = 2
+
+#: Fixed CC round budget for the IRREGULAR video match-fraction graph:
+#: components live inside a class, and the class structure bounds the
+#: diameter at ≤ 3 (module docstring); THREE propagation rounds cover a
+#: diameter-3 graph outright — k synchronous min-label rounds always
+#: cover distance k — so the per-round pointer doubling is pure margin on
+#: top, not load-bearing coverage. Measured at sf0.1: the graph reaches
+#: its provable fixpoint at round 3 (stationarity probe, r17), and the
+#: rounds-vs-rounds+1 margin test pins it per fixture.
+VIDEO_CC_ROUNDS = 3
+
+
 def media_cluster_canonical(
-    sig: DataFrame, hash_col: str, hamming_max: int = AHASH_HAMMING_MAX
+    sig: DataFrame,
+    hash_col: str,
+    hamming_max: int = AHASH_HAMMING_MAX,
+    rounds: int = MEDIA_CLIQUE_CC_ROUNDS,
 ) -> DataFrame:
     """(doc_id, <hash_col>) signatures → per-cluster canonical pick.
 
@@ -115,7 +142,8 @@ def media_cluster_canonical(
     # (the components query's own config — dedup.py:1130 discussion).
     comp = connected_components(
         pairs.select("doc_a", "doc_b"),
-        checkpoint_every=CC_ROUNDS,
+        rounds=rounds,
+        checkpoint_every=rounds,
         edges_materialized=True,
         cut_final=False,
     )
@@ -193,7 +221,8 @@ def q_ns_mm_video_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(
         pairs.select("doc_a", "doc_b"),
-        checkpoint_every=CC_ROUNDS,
+        rounds=VIDEO_CC_ROUNDS,
+        checkpoint_every=VIDEO_CC_ROUNDS,
         cut_final=False,
     )
     w_size = F.count(F.lit(1)).over(Window.partitionBy("component"))

@@ -17,6 +17,8 @@ from duckdb_parquet_parser_spark.operators.multimodal import (
     video_neardup_pairs,
 )
 from duckdb_parquet_parser_spark.operators.multimodal_dedup import (
+    MEDIA_CLIQUE_CC_ROUNDS,
+    VIDEO_CC_ROUNDS,
     q_ns_mm_audio_dedup_cluster,
     q_ns_mm_image_dedup_cluster,
     q_ns_mm_video_dedup_cluster,
@@ -29,10 +31,10 @@ from duckdb_parquet_parser_spark.operators.multimodal_synth import (
 )
 
 
-def _fixpoint_margin(pairs) -> int:
-    at = connected_components(pairs, rounds=CC_ROUNDS)
+def _fixpoint_margin(pairs, rounds: int = CC_ROUNDS) -> int:
+    at = connected_components(pairs, rounds=rounds)
     past = connected_components(
-        pairs, rounds=CC_ROUNDS + 1
+        pairs, rounds=rounds + 1
     ).withColumnRenamed("component", "component2")
     return (
         at.join(past, "doc")
@@ -43,24 +45,30 @@ def _fixpoint_margin(pairs) -> int:
 
 def test_video_graph_fixpoint_margin(spark, sf_smoke):
     """The video pair graph is IRREGULAR (the match-fraction gate drops
-    some same-class pairs), so the fixed CC_ROUNDS budget needs its own
+    some same-class pairs), so the fixed round budget needs its own
     margin guard — same discipline as the SimHash graph
-    (tests/test_dedup_scale.py): one extra round must change nothing."""
+    (tests/test_dedup_scale.py): one extra round must change nothing.
+    Pinned AT THE BUDGET THE QUERY RUNS (VIDEO_CC_ROUNDS, r17 — three
+    propagation rounds cover the closed-form diameter ≤ 3 outright,
+    the per-round doubling is margin on top)."""
     pairs = (
         video_neardup_pairs(build_video_table(spark, sf_smoke))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    assert _fixpoint_margin(pairs) == 0
+    assert _fixpoint_margin(pairs, VIDEO_CC_ROUNDS) == 0
 
 
 def test_image_graph_fixpoint_margin(spark, sf_smoke):
+    """Pinned at MEDIA_CLIQUE_CC_ROUNDS (r17): same-class decodable docs
+    pair pairwise by construction, so components are cliques of diameter
+    1 — one propagation round converges, the second round is margin."""
     pairs = (
         image_neardup_pairs(build_image_table(spark, sf_smoke))
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    assert _fixpoint_margin(pairs) == 0
+    assert _fixpoint_margin(pairs, MEDIA_CLIQUE_CC_ROUNDS) == 0
 
 
 def test_embed_graph_is_not_fixed_round_clusterable(spark, sf_smoke):

@@ -473,15 +473,16 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
     finally:
         sc.setJobGroup(None, None, False)
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    # RESTATED round 16 (+2 over the r13 budget): the scale-aware CC
-    # runaway ceiling (_text_cc_ceiling, landed after the 30x probe's
-    # constant-guard refusal) sizes itself with ONE count job on the
-    # already-persisted pair frame — measured 31 at sf0.1 in the r16
-    # bench (waiver_jobs), wall regime unchanged (warm 3.9 s). The
-    # count is the price of a guard that holds at ANY corpus size.
-    assert 0 < len(jobs) <= 32, (
+    # RESTATED round 17 (optimization round, −4 under the r16 budget):
+    # the ceiling-sizing count job moved out of the happy path (it now
+    # runs only when the constant budget is exhausted —
+    # connected_components_converged extend_max_rounds) and the
+    # stationarity probe's propagation-round spelling became the
+    # equivalent edge-disagreement count (8 → 5 probe jobs). Measured
+    # 26 at sf0.1 (OPTIMIZATION_r17.md; was 31 in the r16 bench).
+    assert 0 < len(jobs) <= 28, (
         f"components pipeline scheduled {len(jobs)} jobs; the restated "
-        f"waiver condition is <= 32 (BENCH_NOTES.md round-16 restatement)"
+        f"waiver condition is <= 28 (OPTIMIZATION_r17.md)"
     )
 
 
@@ -489,16 +490,16 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
     "name,budget",
     [
         # Stated-up-front job budgets for the media cluster pipelines
-        # (VERDICT r10 #2 condition), measured at sf0.1 round 11:
-        # image/audio = 20 (decode+sig checkpoint, adjacency checkpoint,
-        # unrolled CC rounds + quality join + window under AQE — the
-        # edge-list checkpoint is elided, see media_cluster_canonical);
-        # video = 23 (the six-stage pair pipeline keeps its edge
-        # checkpoint). Same machine-independent guard discipline as the
-        # ns_dedup_components waiver (<= 20).
-        ("ns_mm_image_dedup_cluster", 20),
-        ("ns_mm_audio_dedup_cluster", 20),
-        ("ns_mm_video_dedup_cluster", 23),
+        # (VERDICT r10 #2 condition), RESTATED round 17 after the CC
+        # round-budget right-sizing (MEDIA_CLIQUE_CC_ROUNDS=2 for the
+        # clique-shaped image/audio graphs, VIDEO_CC_ROUNDS=3 for the
+        # diameter-≤3 video graph): measured at sf0.1 image/audio = 16
+        # (was 20 at CC_ROUNDS=4), video = 21 (was 23). Same
+        # machine-independent guard discipline as the
+        # ns_dedup_components waiver.
+        ("ns_mm_image_dedup_cluster", 18),
+        ("ns_mm_audio_dedup_cluster", 18),
+        ("ns_mm_video_dedup_cluster", 22),
     ],
 )
 def test_media_cluster_job_budget(spark, name, budget):
@@ -618,11 +619,20 @@ def test_embed_cluster_job_budget_and_convergence(spark):
         "pair graph's diameter grew past the stated budget"
     )
     jobs = sc.statusTracker().getJobIdsForGroup(group)
-    blocks = (rounds + 1) // 2
-    budget = 12 + 22 * blocks
+    # r17 restatement: blocks are EMBED_CC_PROBE_EVERY=4 rounds deep (the
+    # sf0.1 fixpoint lands at round 4, so one block + one probe replace
+    # the former two of each — 50 → 32 measured CC-stage jobs); a 4-round
+    # block carries ~24 jobs (checkpoint + unrolled AQE stages + the
+    # edge-disagreement probe) on top of the ~12-job pair stage.
+    from duckdb_parquet_parser_spark.operators.embed_cluster import (
+        EMBED_CC_PROBE_EVERY,
+    )
+
+    blocks = -(-rounds // EMBED_CC_PROBE_EVERY)
+    budget = 12 + 24 * blocks
     assert 0 < len(jobs) <= budget, (
         f"embed cluster scheduled {len(jobs)} jobs over {rounds} rounds "
-        f"({blocks} blocks); stated budget is 12 + 22×{blocks} = {budget}"
+        f"({blocks} blocks); stated budget is 12 + 24×{blocks} = {budget}"
     )
     if bench_sf.rstrip("/").endswith("sf0.1"):
         # the documented giant component: one 1999-node chain
