@@ -99,15 +99,21 @@ from .dedup import connected_components_converged  # noqa: F401
 #: image CC tail at sf0.1, identical labels (OPTIMIZATION_r17.md).
 MEDIA_CLIQUE_CC_ROUNDS = 2
 
-#: Fixed CC round budget for the IRREGULAR video match-fraction graph:
-#: components live inside a class, and the class structure bounds the
-#: diameter at ≤ 3 (module docstring); THREE propagation rounds cover a
-#: diameter-3 graph outright — k synchronous min-label rounds always
-#: cover distance k — so the per-round pointer doubling is pure margin on
-#: top, not load-bearing coverage. Measured at sf0.1: the graph reaches
-#: its provable fixpoint at round 3 (stationarity probe, r17), and the
-#: rounds-vs-rounds+1 margin test pins it per fixture.
-VIDEO_CC_ROUNDS = 3
+#: Fixed CC round budget for the IRREGULAR video match-fraction graph —
+#: pinned to ``CC_ROUNDS`` because the oracle unrolls EXACTLY that many
+#: min-label+doubling rounds (``_CC_ROUND_CTES`` → ``l{CC_ROUNDS}``): on
+#: an irregular graph the cross-engine contract is round SYMMETRY, not a
+#: diameter argument. The r17 attempt to cut this to 3 (the deterministic
+#: fixtures fixpoint at round 3) was reverted the same round: randomized
+#: fixture seed 11 builds a video graph that still changes labels in
+#: round 4, so Spark@3 ≠ oracle@4 — the round-11 lesson (differential
+#: testing cannot see under-convergence unless both sides run the same
+#: rounds) applies to any budget cut below the oracle's unroll. Only the
+#: CLIQUE graphs above may run fewer rounds, because their oracle is
+#: closed-form (class groups) and their diameter-1 structure is proved by
+#: the generator (pairwise variant flips ≤ 3 bits), not measured on one
+#: fixture.
+VIDEO_CC_ROUNDS = CC_ROUNDS
 
 
 def media_cluster_canonical(

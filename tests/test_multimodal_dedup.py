@@ -48,9 +48,9 @@ def test_video_graph_fixpoint_margin(spark, sf_smoke):
     some same-class pairs), so the fixed round budget needs its own
     margin guard — same discipline as the SimHash graph
     (tests/test_dedup_scale.py): one extra round must change nothing.
-    Pinned AT THE BUDGET THE QUERY RUNS (VIDEO_CC_ROUNDS, r17 — three
-    propagation rounds cover the closed-form diameter ≤ 3 outright,
-    the per-round doubling is margin on top)."""
+    Pinned AT THE BUDGET THE QUERY RUNS (VIDEO_CC_ROUNDS = CC_ROUNDS —
+    the oracle unrolls exactly that many rounds, see the constant's
+    docstring for why the r17 cut to 3 was reverted)."""
     pairs = (
         video_neardup_pairs(build_video_table(spark, sf_smoke))
         .select("doc_a", "doc_b")

@@ -492,14 +492,17 @@ def test_components_pipeline_job_budget(spark, sf_smoke):
         # Stated-up-front job budgets for the media cluster pipelines
         # (VERDICT r10 #2 condition), RESTATED round 17 after the CC
         # round-budget right-sizing (MEDIA_CLIQUE_CC_ROUNDS=2 for the
-        # clique-shaped image/audio graphs, VIDEO_CC_ROUNDS=3 for the
-        # diameter-≤3 video graph): measured at sf0.1 image/audio = 16
-        # (was 20 at CC_ROUNDS=4), video = 21 (was 23). Same
+        # clique-shaped image/audio graphs): measured at sf0.1
+        # image/audio = 16 (was 20 at CC_ROUNDS=4). The video budget cut
+        # (VIDEO_CC_ROUNDS=3) was REVERTED the same round — the oracle
+        # unrolls CC_ROUNDS rounds and randomized seed 11 proved the
+        # graph needs round 4 (multimodal_dedup.py VIDEO_CC_ROUNDS
+        # docstring) — so video keeps its r16 budget. Same
         # machine-independent guard discipline as the
         # ns_dedup_components waiver.
         ("ns_mm_image_dedup_cluster", 18),
         ("ns_mm_audio_dedup_cluster", 18),
-        ("ns_mm_video_dedup_cluster", 22),
+        ("ns_mm_video_dedup_cluster", 24),
     ],
 )
 def test_media_cluster_job_budget(spark, name, budget):
