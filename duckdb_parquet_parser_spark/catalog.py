@@ -35,6 +35,64 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# --- Session schema catalog (r17, guide §1.2/§6) -------------------------
+#
+# ``spark.read.parquet(path)`` with no explicit schema runs a SCHEMA
+# INFERENCE job on every call — a scheduled job (footer read on an
+# executor) just to rediscover metadata that cannot have changed. At
+# fixture scale that is one ~0.1 s scheduling floor per table per query
+# (rel_join_q5 alone paid 5 of its 11 scheduled jobs to it); at 100 TB
+# schema-on-read is the same anti-pattern magnified — production engines
+# declare schemas in a catalog/metastore and never re-infer per query.
+# This memo IS that catalog, session-scoped: the first read of a path
+# infers (one job, charged to whichever query touches the table first),
+# every later read passes the schema explicitly and schedules nothing.
+#
+# Correctness: the memo key is (applicationId, realpath, mtime_ns, size)
+# — identical file content ⇒ the memoized schema IS the schema Spark's
+# own inference would return, so results are bit-identical; rewritten
+# content changes the key and re-infers. Non-local URIs (no cheap stat)
+# skip the memo entirely. This caches METADATA only — never rows, never
+# intermediates — so the bench's cold-row protocol (clearCache + memo
+# clears of DATA frames) is unaffected: every row still scans parquet
+# from disk.
+_SCHEMA_MEMO: dict[tuple, T.StructType] = {}
+
+
+def _schema_memo_key(spark: SparkSession, path: str):
+    p = path
+    if p.startswith("file://"):
+        p = p[len("file://"):]
+    elif "://" in p:
+        return None
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    return (spark.sparkContext.applicationId, p, st.st_mtime_ns, st.st_size)
+
+
+def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet(path)`` minus the per-call schema-inference
+    job: first touch infers and memoizes (keyed by file identity), later
+    touches pass the schema explicitly. See the memo comment above for
+    the correctness argument. Single-file tables and flat artifact
+    directories only — a nested partitioned layout's top-level mtime
+    does not see leaf changes, so those readers stay on plain
+    ``spark.read.parquet``."""
+    key = _schema_memo_key(spark, path)
+    if key is None:
+        return spark.read.parquet(path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        if len(_SCHEMA_MEMO) >= 512:
+            _SCHEMA_MEMO.clear()
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 @lru_cache(maxsize=256)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Columns stored as Parquet TIMESTAMP(NANOS) — Spark rejects those
@@ -63,9 +121,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
-        return spark.read.parquet(path)
+        return read_parquet_cached_schema(spark, path)
+    # the nanosAsLong conf is set BEFORE any read of this path, so the
+    # memoized schema (ns columns as int64) is conf-consistent for every
+    # later read too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = read_parquet_cached_schema(spark, path)
     for c in ns_cols:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(

@@ -219,7 +219,9 @@ def read_components_artifact(spark: SparkSession, path: str) -> DataFrame:
             f"components artifact version {meta.get('comp_version')!r} at "
             f"{path} != engine version {COMP_ARTIFACT_VERSION}"
         )
-    df = spark.read.parquet(path)
+    from ..catalog import read_parquet_cached_schema
+
+    df = read_parquet_cached_schema(spark, path)
     missing = [c for c in _COMP_ARTIFACT_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(

@@ -517,7 +517,9 @@ def read_signature_artifact(spark: SparkSession, path: str) -> DataFrame:
             f"signature artifact has {meta.get('n_hashes')!r} hashes, engine "
             f"expects {N_HASHES}"
         )
-    df = spark.read.parquet(path)
+    from ..catalog import read_parquet_cached_schema
+
+    df = read_parquet_cached_schema(spark, path)
     missing = [c for c in _SIG_ARTIFACT_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(f"signature artifact at {path} missing columns {missing}")

@@ -93,7 +93,9 @@ def q_r4_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, end = row_group_bounds(path, R4_ROW_GROUP)
     # project before the prefix-sum base is checkpointed (ADVICE r4):
     # only the reported columns ride the materialization
-    df = spark.read.parquet(path).select("doc_id", "text")
+    from ..catalog import read_parquet_cached_schema
+
+    df = read_parquet_cached_schema(spark, path).select("doc_id", "text")
     return (
         file_order_positions(df, pos_col="_pos")
         .filter((F.col("_pos") >= start) & (F.col("_pos") < end))

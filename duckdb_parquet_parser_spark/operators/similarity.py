@@ -501,53 +501,68 @@ def _assign_clusters(
     emb: DataFrame, centroids: DataFrame, carry_embedding: bool = True
 ) -> DataFrame:
     """(vec_id[, embedding], cluster, cos): nearest centroid by cosine,
-    ties to the lowest cluster id. Centroid table is K rows — broadcast;
-    assignment is one narrow pass over the vectors. Norms precomputed per
-    row below the join (1 fold per pair, not 3 — bit-identical trees); a
-    caller that reuses the vector frame can pre-materialize ``_vn`` and
-    it is used as-is.
+    ties to the lowest cluster id. Norms precomputed once per vector row
+    and once per centroid (inside the collected struct — 1 fold per pair,
+    not 3, bit-identical trees); a caller that reuses the vector frame
+    can pre-materialize ``_vn`` and it is used as-is.
 
-    The argmax is ``max(struct(cos, -cluster, …))`` per vec_id, not a
-    window: the struct max reduces K candidates to 1 map-side (partial
-    aggregation), so the exchange carries n rows instead of sorting n×K —
-    the shape that matters when K grows with √n at corpus scale. Struct
-    comparison is field-by-field, so (cos DESC, cluster ASC) tie-break is
-    encoded as (cos, -cluster) and never reaches the trailing payload
-    fields — which also means ``carry_embedding=False`` (for the final
-    pass, where only the assignment is reported) drops the DIM-wide
-    vector from the aggregate exchange without changing the argmax."""
+    Shape (r17, guide §2.4 — remove shuffles outright): the K centroids
+    are collected into ONE array-of-structs row `(cluster, cvec, _cn)`
+    and broadcast; the argmax is ``array_max(transform(cents, …))`` —
+    a per-row reduction over K struct candidates, so assignment is a
+    fully NARROW pass: no exchange at all, where the previous
+    ``crossJoin(broadcast) → groupBy(vec_id).max(struct)`` spelling still
+    paid one n-row exchange + final aggregate per pass purely to
+    re-merge rows that were never split (each vec_id lives in exactly
+    one scan partition; Catalyst can't know that). Struct comparison is
+    field-by-field in both spellings — (cos, -cluster, cluster) encodes
+    (cos DESC, cluster ASC) — and both reduce the SAME K quantized-cosine
+    structs, so the winner (and the reported rounded cos) is identical;
+    collect_list's nondeterministic order is irrelevant under a total
+    order (distinct clusters can never tie the full struct). At corpus
+    scale the array is K structs of DIM doubles — the same broadcast
+    bytes the hash relation carried, minus the join machinery.
+
+    Degenerate guard: an EMPTY centroid table used to produce an empty
+    crossJoin (no output rows); ``array_max`` over the empty collected
+    array yields NULL — filtered to preserve that contract."""
     e = (
         emb
         if "_vn" in emb.columns
         else emb.withColumn("_vn", l2_norm(F.col("embedding")))
     )
-    c = centroids.withColumn("_cn", l2_norm(F.col("cvec")))
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cluster"),
+                F.col("cvec"),
+                l2_norm(F.col("cvec")).alias("_cn"),
+            )
+        ).alias("cents")
+    )
+
     # argmax on the 6-decimal-quantized cosine — raw doubles differ from
     # the oracle engine's in the last ulp and flip near-ties (see
     # q_ns_knn_bruteforce); the reported score is the same quantized value
-    fields = [
-        F.round(F.col("cos"), 6).alias("cos"),
-        (-F.col("cluster")).alias("_nc"),
-        F.col("cluster"),
-    ]
-    if carry_embedding:
-        fields.append(F.col("embedding"))
-    best = F.max(F.struct(*fields)).alias("m")
-    out_cols = ["vec_id"] + (
-        [F.col("m.embedding").alias("embedding")] if carry_embedding else []
-    )
-    return (
-        e.crossJoin(F.broadcast(c))
-        .withColumn(
-            "cos",
-            safe_cosine(
-                dot_product(F.col("embedding"), F.col("cvec")),
-                F.col("_vn"),
-                F.col("_cn"),
-            ),
+    def _cand(c):
+        return F.struct(
+            F.round(
+                safe_cosine(
+                    dot_product(F.col("embedding"), c["cvec"]),
+                    F.col("_vn"),
+                    c["_cn"],
+                ),
+                6,
+            ).alias("cos"),
+            (-c["cluster"]).alias("_nc"),
+            c["cluster"].alias("cluster"),
         )
-        .groupBy("vec_id")
-        .agg(best)
+
+    out_cols = ["vec_id"] + (["embedding"] if carry_embedding else [])
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("m", F.array_max(F.transform("cents", _cand)))
+        .filter(F.col("m").isNotNull())
         .select(
             *out_cols,
             F.col("m.cluster").alias("cluster"),

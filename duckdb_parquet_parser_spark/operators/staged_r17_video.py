@@ -127,7 +127,9 @@ def read_frames_artifact(
             f"frames artifact at {path} sampled at stride "
             f"{meta.get('stride')!r}, caller expects {stride}"
         )
-    df = spark.read.parquet(path)
+    from ..catalog import read_parquet_cached_schema
+
+    df = read_parquet_cached_schema(spark, path)
     missing = [c for c in _FRAMES_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(

@@ -52,7 +52,9 @@ def event_stream(
     spark: SparkSession, staged_dir: str, files_per_trigger: int = 1
 ) -> DataFrame:
     """readStream over the staged events dir, one file per microbatch."""
-    schema = spark.read.parquet(staged_dir).schema
+    from ..catalog import read_parquet_cached_schema
+
+    schema = read_parquet_cached_schema(spark, staged_dir).schema
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", files_per_trigger)
