@@ -232,21 +232,18 @@ def q_ns_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     # norm precomputed per vector (not per pair) — bit-identical to
-    # cosine_similarity (functions.py). Each vector also carries its
-    # (≤ N_PROBE)-element probe-cell list: the window reuses the vec_id
-    # partitioning ivf_assignments' rank window already established, so
-    # collecting it is exchange-free.
-    wv = Window.partitionBy("vec_id")
-    assigned = (
-        ivf_assignments(emb, centroids, N_PROBE)
-        .withColumn("cells", F.collect_list("centroid_id").over(wv))
-        .select(
-            F.col("centroid_id").alias("cell"),
-            "vec_id",
-            "embedding",
-            F.col("vnorm").alias("nrm"),
-            "cells",
-        )
+    # cosine_similarity (functions.py). Each vector's (≤ N_PROBE)-element
+    # probe-cell list comes straight off ivf_assignments' pre-explode
+    # ranked array (r17 — the old collect_list window rode the rank
+    # window's vec_id exchange, which the narrow ivf_assignments no
+    # longer pays; the kernel packs the list into an order-independent
+    # bitmask, so rank order vs collect order is immaterial).
+    assigned = ivf_assignments(emb, centroids, N_PROBE).select(
+        F.col("centroid_id").alias("cell"),
+        "vec_id",
+        "embedding",
+        F.col("vnorm").alias("nrm"),
+        F.col("_probe_cells").alias("cells"),
     )
     return assigned.groupBy("cell").applyInPandas(
         _verify_cell_impl, "vec_a long, vec_b long"
@@ -402,33 +399,83 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame, rank_limit: int) -> Da
     """Assign each vector to its ``rank_limit`` nearest centroids by cosine
     (rank 1 = cell assignment; rank ≤ nprobe = query probe list).
 
-    The centroid table is tiny (N_CELLS rows) and broadcast; assignment is
-    one narrow pass over the vectors — the IVF build is embarrassingly
-    parallel and the inverted lists are just a partitioning key at scale.
-    Vector/centroid norms are computed once per row below the join (not per
-    (vector, centroid) pair); the output keeps ``vnorm`` so downstream
-    verification can reuse it. Expression trees match
-    ``cosine_similarity`` exactly, so scores are bit-identical.
+    Shape (r17, guide §2.4 — remove shuffles outright): the centroids are
+    collected into ONE array-of-structs row ``(centroid_id, cvec, _cn)``
+    (norm precomputed INTO the struct — one fold per pair, as before) and
+    broadcast; the per-vector top-``rank_limit`` is
+    ``slice(array_sort(transform(…)), 1, rank_limit)`` + ``posexplode``
+    — a fully NARROW pass, where the previous ``crossJoin(broadcast) →
+    row_number() over (partition by vec_id)`` spelling exchanged + sorted
+    the n×rank_limit frame once per call purely to rank candidates that
+    were already colocated on their row. The output also carries the
+    vector's whole probe list as ``_probe_cells`` (the pre-explode
+    array), so consumers that need it (the per-cell dedup kernel) no
+    longer rebuild it with a ``collect_list`` window — another n-row
+    sort removed.
+
+    Ranking equivalence with the window spelling (and the oracles): the
+    sort key is ``(-round(cos, 6), centroid_id)`` ascending ≡
+    ``(round(cos,6) DESC, centroid_id ASC)``; distinct centroids can
+    never tie the full key, so the order (hence the slice) is total and
+    deterministic regardless of collect_list order. ±0.0 and NULL edge
+    cases probed explicitly (OPTIMIZATION_r17.md): Spark's window
+    ordering, Spark's array_sort struct comparison and DuckDB's ORDER BY
+    all treat -0.0 = 0.0 as a tie (falling to centroid_id), and a NULL
+    cosine — possible only when the vector or centroid embedding is NULL
+    — is coalesced to -2.0, strictly below every real cosine ∈ [-1, 1],
+    reproducing the window's NULLS-LAST-under-DESC placement.
+    Expression trees match ``cosine_similarity`` exactly, so scores are
+    bit-identical.
     """
     e = emb.withColumn("vnorm", l2_norm(F.col("embedding")))
-    c = centroids.withColumn("_cnorm", l2_norm(F.col("cvec")))
-    # quantized ranking — see q_ns_knn_bruteforce (cross-engine ulp ties)
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round("cell_cos", 6).desc(), F.col("centroid_id")
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("centroid_id"),
+                F.col("cvec"),
+                l2_norm(F.col("cvec")).alias("_cn"),
+            )
+        ).alias("_cents")
     )
-    return (
-        e.crossJoin(F.broadcast(c))
-        .withColumn(
-            "cell_cos",
-            safe_cosine(
-                dot_product(F.col("embedding"), F.col("cvec")),
-                F.col("vnorm"),
-                F.col("_cnorm"),
-            ),
+
+    def _cand(c):
+        cos = safe_cosine(
+            dot_product(F.col("embedding"), c["cvec"]),
+            F.col("vnorm"),
+            c["_cn"],
         )
-        .withColumn("cell_rank", F.row_number().over(w))
-        .filter(F.col("cell_rank") <= rank_limit)
-        .drop("_cnorm")
+        return F.struct(
+            (-F.coalesce(F.round(cos, 6), F.lit(-2.0))).alias("_nc"),
+            c["centroid_id"].alias("centroid_id"),
+            cos.alias("cell_cos"),
+            c["cvec"].alias("cvec"),
+        )
+
+    ranked = F.slice(
+        F.array_sort(F.transform("_cents", _cand)), 1, rank_limit
+    )
+    base = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_ranked", ranked)
+        .withColumn(
+            "_probe_cells",
+            F.transform("_ranked", lambda x: x["centroid_id"]),
+        )
+        .select(
+            *emb.columns,
+            "vnorm",
+            "_probe_cells",
+            F.posexplode("_ranked").alias("_pos", "_c"),
+        )
+    )
+    return base.select(
+        *emb.columns,
+        "vnorm",
+        F.col("_c.centroid_id").alias("centroid_id"),
+        F.col("_c.cvec").alias("cvec"),
+        F.col("_c.cell_cos").alias("cell_cos"),
+        (F.col("_pos") + 1).alias("cell_rank"),
+        "_probe_cells",
     )
 
 
@@ -475,8 +522,15 @@ def q_ns_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 6).desc(), F.col("neighbor_id")
     )
+    # the probe side is N_QUERIES × N_PROBE rows at ANY scale (a query
+    # batch), but it hangs below a posexplode + filter, so Catalyst's
+    # size estimate rules broadcast out and demoted this equi-join to
+    # SortMergeJoin — shuffling AND sorting the full inverted-list side
+    # (r17 audit, plans/r17/ns_ann_ivf_topk_audit.txt). Broadcasting the
+    # probe batch is the standard ANN search plan: the lists side is
+    # never shuffled at all.
     return (
-        probes.join(lists, "cell")
+        F.broadcast(probes).join(lists, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos",
