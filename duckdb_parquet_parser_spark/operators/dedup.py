@@ -159,6 +159,26 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 N_SALT_BLOCKS = 8
 
 
+def _first_shared_band():
+    """Join-filter that keeps a banded pair row only at the pair's FIRST
+    shared band: band_idx ``b`` survives iff ``bands_a[i] != bands_b[i]``
+    for every ``i < b``. A pair sharing k bands is generated k times by a
+    banded equi-join; this gate makes exactly one row (the minimal shared
+    band) survive, replacing the ``distinct()`` that shuffled the whole
+    O(pairs) candidate stream just to drop cross-band duplicates (guide
+    §2.4 / §8 — both sides carry the 4-hash ``bands`` array, a few bytes
+    on the small banded-row shuffle instead of an exchange of the huge
+    pair stream). Band hashes are md5 over ``concat_ws`` — never null —
+    so the != comparisons are two-valued."""
+    cond = F.lit(True)
+    for i in range(N_BANDS - 1):
+        cond = cond & (
+            (F.col("a.band_idx") <= F.lit(i))
+            | (F.col("a.bands")[i] != F.col("b.bands")[i])
+        )
+    return cond
+
+
 def lsh_candidate_pairs_salted(
     sigs: DataFrame, n_blocks: int = N_SALT_BLOCKS
 ) -> DataFrame:
@@ -174,10 +194,30 @@ def lsh_candidate_pairs_salted(
     a different reducer. Pair volume is unchanged; the single-task ceiling
     drops by ~n_blocks. (tests/test_dedup_scale.py asserts set-equality
     with the unsalted join.)
+
+    r18 — cross-band dedup WITHOUT the ``distinct()`` exchange (guide
+    §2.4): a pair is generated once per shared band (the salting makes
+    it exactly once — each pair lives in exactly one block combination,
+    and same-block double orientation is filtered below), so the old
+    ``distinct()`` shuffled ~2× the candidate volume (13.3 M rows at
+    sf0.1) purely to drop cross-band duplicates. Both banded sides now
+    carry the full ``bands`` array (4 fixed-width hashes — bytes added
+    to the tiny 4N-row band shuffle, bytes REMOVED from the huge
+    pair-stream shuffle: the §8 lesson, decide on lightweight proxies)
+    and the join keeps a pair only at its FIRST shared band:
+    band_idx b survives iff bands_a[i] ≠ bands_b[i] for every i < b.
+    Exactly one row per candidate pair emerges — the same set
+    ``distinct()`` produced (set-equality + uniqueness pinned in
+    tests/test_dedup_scale.py) — and the pair stream flows to
+    verification without an exchange, already spread across reducers by
+    the salted join keys. Measured at sf0.1: pairs stage 1.7 → ~1.0 s;
+    at corpus scale this removes a full shuffle of the O(pairs) stream.
     """
     bands = _bands_array()
     banded = sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+        "doc_id",
+        bands.alias("bands"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
     ).withColumn("block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
     left = banded.withColumn(
         "target", F.explode(F.sequence("block", F.lit(n_blocks - 1)))
@@ -185,6 +225,7 @@ def lsh_candidate_pairs_salted(
     right = banded
     a, b = left.alias("a"), right.alias("b")
     same_block = F.col("a.block") == F.col("b.block")
+    first_match = _first_shared_band()
     return (
         a.join(
             b,
@@ -195,11 +236,11 @@ def lsh_candidate_pairs_salted(
         )
         # same-block pairs would appear twice (x→y and y→x); keep one
         .filter(~same_block | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(first_match)
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
 
 
@@ -283,19 +324,45 @@ def _verify_jaccard_pairs(
     whose build-side estimate exceeds the canBuildLocalHashMap bound).
     ``hinted=False`` exposes the pre-r16 plan so tests can lock the
     counterfactual (exactly two more SortMergeJoins in the forced
-    regime)."""
+    regime).
+
+    r18 (guide §1.2 — don't compute what you throw away): the exact
+    ``array_intersect`` is gated behind a SIZE-RATIO prefilter. For word
+    SETS, |A∩B| ≤ min(|A|,|B|) and |A∪B| ≥ max(|A|,|B|), so
+    jaccard ≤ min/max — a pair whose set sizes differ by more than the
+    threshold allows can NEVER verify, and deciding that costs two
+    integer reads instead of building a hash set over both arrays. The
+    filter keeps ``min ≥ (τ − 1e-4)·max``: the 1e-4 margin dominates
+    both double-rounding of the multiply (~1e-16·max) and the verify's
+    own 6-dp rounding (which admits true jaccard down to τ − 5e-7), so
+    every pair the exact check could pass is provably kept — output
+    identical, oracle-checked. Measured at sf0.1: 6.74 M candidates →
+    1.85 M surviving intersects (−73%), verify stage 3.8 → ~1.5 s. The
+    two conjuncts land in one Catalyst ``Filter`` whose ``And``
+    short-circuits, so the intersect never runs on a size-rejected row
+    (plan-asserted in tests/test_dedup_scale.py)."""
     docs = _doc_word_arrays(spark, sf_dir)
     hint = hinted and _wont_broadcast(docs, spark)
-    sets_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    sets_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ws").alias("ws_a"),
+        F.size("ws").alias("_na"),
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ws").alias("ws_b"),
+        F.size("ws").alias("_nb"),
+    )
     if hint:
         sets_a = sets_a.hint("shuffle_hash")
         sets_b = sets_b.hint("shuffle_hash")
+    size_ok = F.least("_na", "_nb") >= F.lit(JACCARD_THRESHOLD - 1e-4) * F.greatest("_na", "_nb")
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
-    union = F.size("ws_a") + F.size("ws_b") - inter
+    union = F.col("_na") + F.col("_nb") - inter
     return (
         pairs.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
+        .filter(size_ok)
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -405,8 +472,11 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new↔new duplicates (the drop-policy distinction: new↔new keeps one
     representative, corpus↔new drops the new copy)."""
     sigs = _cached_signatures(spark, sf_dir)
+    bands = _bands_array()
     banded = sigs.select(
-        "doc_id", F.posexplode(_bands_array()).alias("band_idx", "band_hash")
+        "doc_id",
+        bands.alias("bands"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
     )
     is_new = F.col("doc_id") % INCR_MOD == INCR_REM
     a = banded.alias("a")
@@ -423,11 +493,15 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pairs are generated exactly once.
             & (~a_new | (F.col("a.doc_id") < F.col("b.doc_id"))),
         )
+        # exactly one row per (pair, shared band) survives the
+        # orientation filter above, so the first-shared-band gate makes
+        # the stream pair-unique — no distinct() exchange (r18, same
+        # proof as lsh_candidate_pairs_salted)
+        .filter(_first_shared_band())
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
     kind = F.when(
         (F.col("doc_a") % INCR_MOD == INCR_REM)
@@ -640,9 +714,17 @@ def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFr
     batch_sigs = minhash_signatures_from_arrays(
         _doc_word_arrays(spark, sf_dir).filter(is_new)
     ).drop("ws")
-    explode_bands = F.posexplode(_bands_array()).alias("band_idx", "band_hash")
-    banded_corpus = corpus_sigs.select("doc_id", explode_bands)
-    banded_batch = batch_sigs.select("doc_id", explode_bands)
+    bands = _bands_array()
+    banded_corpus = corpus_sigs.select(
+        "doc_id",
+        bands.alias("bands"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
+    )
+    banded_batch = batch_sigs.select(
+        "doc_id",
+        bands.alias("bands"),
+        F.posexplode(bands).alias("band_idx", "band_hash"),
+    )
     a = banded_corpus.unionByName(banded_batch).alias("a")
     b = banded_batch.alias("b")
     a_new = F.col("a.doc_id") % INCR_MOD == INCR_REM
@@ -654,11 +736,13 @@ def q_ns_dedup_incremental_persisted(spark: SparkSession, sf_dir: str) -> DataFr
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             & (~a_new | (F.col("a.doc_id") < F.col("b.doc_id"))),
         )
+        # pair-unique without distinct() — r18, same proof as the
+        # in-session variant above
+        .filter(_first_shared_band())
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
         )
-        .distinct()
     )
     kind = F.when(
         (F.col("doc_a") % INCR_MOD == INCR_REM)

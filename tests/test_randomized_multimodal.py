@@ -93,3 +93,50 @@ def test_multimodal_queries_match_oracles_on_random_fixtures(
     bad = [r for r in results if not r.ok]
     assert not bad, bad
     assert len(results) == len(MM_QUERIES)
+
+
+@pytest.mark.parametrize("seed", [11, 47, 83])
+def test_clique_graphs_stationary_at_round_one_on_random_fixtures(
+    spark, tmp_path, seed
+):
+    """MEDIA_CLIQUE_CC_ROUNDS = 2 rests on a structural proof — every
+    image/audio component is a clique (same-class variants pair pairwise,
+    XOR flips ≤ 3 bits), so min-label propagation is stationary after ONE
+    round. The video leg of the r17 round-budget cut was caught red by a
+    RANDOMIZED population (seed 11), not the fixtures; this pins the
+    image/audio proof with the same net (VERDICT r17 #6): on random
+    sparse/shuffled id sets the round-1 labels must already equal the
+    round-2 labels. If a generator change ever breaks the clique
+    structure, this fails before an under-converged budget can ship."""
+    from pyspark.sql import functions as F
+
+    from duckdb_parquet_parser_spark.operators.dedup import (
+        connected_components,
+    )
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        image_neardup_pairs,
+    )
+    from duckdb_parquet_parser_spark.operators.multimodal_synth import (
+        build_audio_sig_table,
+        build_image_table,
+    )
+
+    sf_dir = _make_fixture(tmp_path, seed)
+    graphs = {
+        "image": image_neardup_pairs(build_image_table(spark, sf_dir)),
+        "audio": audio_neardup_pairs(build_audio_sig_table(spark, sf_dir)),
+    }
+    for modality, pairs in graphs.items():
+        edges = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+        assert edges.count() > 0, (modality, seed)  # graph non-trivial
+        one = connected_components(edges, rounds=1)
+        two = connected_components(edges, rounds=2).withColumnRenamed(
+            "component", "component2"
+        )
+        diverged = (
+            one.join(two, "doc")
+            .filter(F.col("component") != F.col("component2"))
+            .count()
+        )
+        assert diverged == 0, (modality, seed, diverged)
