@@ -78,8 +78,9 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
     touches pass the schema explicitly. See the memo comment above for
     the correctness argument. Single-file tables and flat artifact
     directories only — a nested partitioned layout's top-level mtime
-    does not see leaf changes, so those readers stay on plain
-    ``spark.read.parquet``."""
+    does not see leaf changes, so those readers use
+    :func:`read_parquet_cached_schema_tree` (leaf-file fingerprint,
+    r18) instead."""
     key = _schema_memo_key(spark, path)
     if key is None:
         return spark.read.parquet(path)
@@ -91,6 +92,75 @@ def read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
         _SCHEMA_MEMO[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+def _tree_fingerprint_key(spark: SparkSession, paths: tuple[str, ...]):
+    """Cheap content-identity key for PARTITIONED / NESTED layouts and
+    multi-file subsets (VERDICT r17 #4): the flat helper's single stat
+    cannot see a leaf-file change under a nested dir (a rewrite deep in
+    ``lang=en/`` never bumps the top-level mtime), so these layouts used
+    to re-infer on every read. This key walks the tree ONE time per read
+    and digests every leaf file's (path, mtime_ns, size) — the same
+    listing Spark's scan planning is about to do anyway, orders of
+    magnitude cheaper than the scheduled footer-inference job it
+    replaces. Any leaf rewrite/add/remove changes the digest and forces
+    re-inference (pinned in tests/test_schema_catalog.py). Non-local
+    URIs and empty trees return None — caller falls back to plain
+    inference."""
+    import hashlib
+
+    h = hashlib.sha256()
+    n_leaves = 0
+    for raw in sorted(paths):
+        p = raw
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        elif "://" in p:
+            return None
+        try:
+            p = os.path.realpath(p)
+            if os.path.isdir(p):
+                for root, dirs, files in os.walk(p):
+                    dirs.sort()
+                    for f in sorted(files):
+                        fp = os.path.join(root, f)
+                        st = os.stat(fp)
+                        h.update(
+                            f"{fp}|{st.st_mtime_ns}|{st.st_size}\n".encode()
+                        )
+                        n_leaves += 1
+            else:
+                st = os.stat(p)
+                h.update(f"{p}|{st.st_mtime_ns}|{st.st_size}\n".encode())
+                n_leaves += 1
+        except OSError:
+            return None
+    if n_leaves == 0:
+        return None
+    return (spark.sparkContext.applicationId, "tree", h.hexdigest())
+
+
+def read_parquet_cached_schema_tree(spark: SparkSession, *paths: str) -> DataFrame:
+    """The schema-catalog read for partitioned/nested layouts and pruned
+    file subsets: first touch of a given tree CONTENT infers (one job)
+    and memoizes ``df.schema`` — partition columns included, in Spark's
+    discovered order — later touches pass the schema explicitly and
+    schedule nothing. Identical leaf files ⇒ inference would return the
+    identical schema (partition-column types are derived from the same
+    directory names), so results are bit-identical; any leaf change
+    changes the fingerprint and re-infers. Metadata only — rows are
+    never cached (the bench's cold-row protocol is untouched)."""
+    key = _tree_fingerprint_key(spark, tuple(paths))
+    if key is None:
+        return spark.read.parquet(*paths)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        if len(_SCHEMA_MEMO) >= 512:
+            _SCHEMA_MEMO.clear()
+        df = spark.read.parquet(*paths)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(*paths)
 
 
 @lru_cache(maxsize=256)

@@ -992,11 +992,23 @@ def q_ns_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bands.select(
         "band", "key", F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b")
     )
+    # Cross-band dedup WITHOUT a distinct() exchange (r18, the
+    # lsh_candidate_pairs_salted finding applied here): a pair sharing
+    # BOTH 16-bit halves is generated twice by the (band, key) equi-join;
+    # keep it only at its FIRST shared band. The band-1 key is the high
+    # 16 bits of the packed signature both sides already carry
+    # (key₁ = substring(simhash, 1, 16) ⇒ conv = sim >> 16), so the gate
+    # is two shifts on columns in flight — no extra bytes, no shuffle —
+    # and the candidate stream is pair-unique by construction
+    # (uniqueness + set-equality pinned in tests/test_r18_fixes.py).
+    first_band = (F.col("band") == 1) | (
+        F.shiftright("sim_a", 16) != F.shiftright("sim_b", 16)
+    )
     cand = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_band)
         .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (

@@ -113,7 +113,11 @@ def q_ns_mm_ingest_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     landing is certified lossless precisely because the two queries share
     one oracle."""
     landed = land_media_parquet(spark, sf_dir)
-    df = spark.read.parquet(_file_uri(landed))
+    # leaf-fingerprint schema catalog (r18): the landed dir is written
+    # once per content — later reads skip the schema-inference job
+    from ..catalog import read_parquet_cached_schema_tree
+
+    df = read_parquet_cached_schema_tree(spark, _file_uri(landed))
     return df.select(
         F.regexp_extract("file_name", r"doc_(\d+)\.", 1)
         .cast("long")

@@ -37,7 +37,11 @@ def write_partitioned(
 
 
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    # leaf-fingerprint schema catalog (r18): partition discovery still
+    # lists the tree, but the per-read footer-inference JOB is gone
+    from ..catalog import read_parquet_cached_schema_tree
+
+    return read_parquet_cached_schema_tree(spark, path)
 
 
 def write_bucketed(
@@ -271,10 +275,18 @@ def _read_file_subset(
     """Scan a pruned file subset. An EMPTY subset is a legitimate prune
     result (no file can match) — return an empty DataFrame with the
     layout's schema instead of letting ``spark.read.parquet()`` with zero
-    paths raise (ADVICE r3). The schema read is footer-only."""
+    paths raise (ADVICE r3). The schema read is footer-only.
+
+    r18: both branches ride the leaf-fingerprint schema catalog — a
+    pruned-subset read re-inferred the (unchanged) layout schema on
+    every query otherwise."""
+    from ..catalog import read_parquet_cached_schema_tree
+
     if keep:
-        return spark.read.parquet(*keep)
-    return spark.createDataFrame([], spark.read.parquet(layout_path).schema)
+        return read_parquet_cached_schema_tree(spark, *keep)
+    return spark.createDataFrame(
+        [], read_parquet_cached_schema_tree(spark, layout_path).schema
+    )
 
 
 PRUNE_LO, PRUNE_HI = 100, 199

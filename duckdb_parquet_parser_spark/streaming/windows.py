@@ -18,6 +18,7 @@ Two regimes:
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 
@@ -25,6 +26,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.windows import sliding_agg, tumbling_agg
 from .source import event_stream, stage_events
+
+#: State partition counts for the stateful streaming runs — the
+#: (microbatch × partition × state-store) commit cost is pure overhead
+#: past the point where partitions cover key cardinality/cores, and the
+#: results NEVER depend on the count (complete-mode aggs and the
+#: append-mode join are partition-agnostic; oracle-pinned). Fixture
+#: defaults measured r18 (quiet machine, 3 reps, identical output):
+#: aggs 8 → 4 parts = 1.40 → 1.20 s enrich; join 4 → 2 parts =
+#: 2.63 → 2.34 s (a stream-stream join keeps FOUR stores per
+#: partition, so its commit bill scales steepest). At cluster scale set
+#: the env overrides to track cores / key cardinality — the constants
+#: are the local-fixture operating point, not a tuning ceiling.
+STREAM_AGG_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_AGG_PARTITIONS", "4")
+)
+STREAM_JOIN_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_JOIN_PARTITIONS", "2")
+)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
@@ -63,7 +82,7 @@ def _run_windowed_agg(agg: DataFrame, spark: SparkSession) -> DataFrame:
     the state stays #groups-sized either way."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, str(STREAM_AGG_STATE_PARTITIONS))
     try:
         return run_to_memory(agg, "complete")
     finally:
@@ -198,7 +217,7 @@ def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodata = "spark.sql.streaming.noDataMicroBatches.enabled"
     old = spark.conf.get(key)
     old_nodata = spark.conf.get(nodata, "true")
-    spark.conf.set(key, "4")
+    spark.conf.set(key, str(STREAM_JOIN_STATE_PARTITIONS))
     spark.conf.set(nodata, "false")
     try:
         return run_to_memory(j, "append")
