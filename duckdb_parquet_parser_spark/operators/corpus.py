@@ -385,20 +385,37 @@ def q_ns_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0)).cast("long")
     nts = df.select(nt.alias("nt"))
 
-    # The sketch: 64 bounded counters, cumulative within one tiny window.
-    bucket = F.least(F.floor(F.col("nt") / QS_BUCKET), F.lit(QS_MAX_BUCKET))
-    hist = nts.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE corpus pass (r18, guide §1.2): the histogram, the exact
+    # cumulative frame AND the total are all derivable from the exact
+    # per-value counts (bounded by #distinct token counts — tiny at any
+    # corpus size), so aggregate once, persist, and fan out. The
+    # previous spelling built each consumer from ``nts`` directly and
+    # the est/exact subtrees duplicated the corpus scan EIGHT times in
+    # the physical plan (plans/r18/ns_quantile_sketch_before.txt).
+    # checkpoint (one scheduled job) rather than persist: a lazy cache
+    # materializing inside the AQE broadcast builds measured 18 jobs vs
+    # the checkpoint's 13 (A/B in profile_rows) — the eager cut is the
+    # cheaper fan-out point.
+    from ..session import checkpoint_df
+
+    vals = checkpoint_df(
+        nts.groupBy("nt").agg(F.count(F.lit(1)).alias("n")), eager=True
     )
+
+    # The sketch: 64 bounded counters, cumulative within one tiny window
+    # — re-aggregated from the value counts (bucket is a function of nt).
+    bucket = F.least(F.floor(F.col("nt") / QS_BUCKET), F.lit(QS_MAX_BUCKET))
+    hist = vals.groupBy(bucket.alias("bucket")).agg(F.sum("n").alias("n"))
     wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum_hist = hist.select("bucket", F.sum("n").over(wcum).alias("cum"))
 
     # Exact integer quantiles: smallest nt with cumulative count ≥ rank.
-    vals = nts.groupBy("nt").agg(F.count(F.lit(1)).alias("n"))
     wval = Window.orderBy("nt").rowsBetween(Window.unboundedPreceding, 0)
     cum_vals = vals.select("nt", F.sum("n").over(wval).alias("cum"))
 
-    total = nts.agg(F.count(F.lit(1)).alias("n_total"))
+    # coalesce: sum over an empty frame is NULL where count(*) was 0 —
+    # keep the empty-corpus behavior identical to the one-pass spelling
+    total = vals.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_total"))
     qdf = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(float(q)) for q in QS_QUANTILES])

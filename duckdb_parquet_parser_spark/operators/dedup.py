@@ -180,7 +180,7 @@ def _first_shared_band():
 
 
 def lsh_candidate_pairs_salted(
-    sigs: DataFrame, n_blocks: int = N_SALT_BLOCKS
+    sigs: DataFrame, n_blocks: int = N_SALT_BLOCKS, with_sizes: bool = False
 ) -> DataFrame:
     """Triangular salted variant of :func:`lsh_candidate_pairs` — identical
     output, skew-immune pair generation.
@@ -212,10 +212,18 @@ def lsh_candidate_pairs_salted(
     verification without an exchange, already spread across reducers by
     the salted join keys. Measured at sf0.1: pairs stage 1.7 → ~1.0 s;
     at corpus scale this removes a full shuffle of the O(pairs) stream.
+
+    ``with_sizes=True`` (r18) additionally emits each pair's word-set
+    sizes ``(_na, _nb)`` — read off the ``nw`` column the signature
+    table carries — so the verify's size-ratio gate can reject pairs
+    BEFORE fetching their word arrays (:func:`_verify_jaccard_pairs`).
+    Default off: the bare (doc_a, doc_b) contract every existing
+    consumer and the plain-generator set-equality tests pin.
     """
     bands = _bands_array()
+    cols = ["doc_id"] + (["nw"] if with_sizes else [])
     banded = sigs.select(
-        "doc_id",
+        *cols,
         bands.alias("bands"),
         F.posexplode(bands).alias("band_idx", "band_hash"),
     ).withColumn("block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
@@ -226,6 +234,16 @@ def lsh_candidate_pairs_salted(
     a, b = left.alias("a"), right.alias("b")
     same_block = F.col("a.block") == F.col("b.block")
     first_match = _first_shared_band()
+    a_first = F.col("a.doc_id") < F.col("b.doc_id")
+    sel = [
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+    ]
+    if with_sizes:
+        sel += [
+            F.when(a_first, F.col("a.nw")).otherwise(F.col("b.nw")).alias("_na"),
+            F.when(a_first, F.col("b.nw")).otherwise(F.col("a.nw")).alias("_nb"),
+        ]
     return (
         a.join(
             b,
@@ -237,10 +255,7 @@ def lsh_candidate_pairs_salted(
         # same-block pairs would appear twice (x→y and y→x); keep one
         .filter(~same_block | (F.col("a.doc_id") < F.col("b.doc_id")))
         .filter(first_match)
-        .select(
-            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        )
+        .select(*sel)
     )
 
 
@@ -268,8 +283,16 @@ def _cached_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache."""
     from pyspark import StorageLevel
 
-    sigs = minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir)).drop(
-        "ws"
+    sigs = (
+        minhash_signatures_from_arrays(_doc_word_arrays(spark, sf_dir))
+        # nw: the distinct-word-set size, carried with the signature
+        # (r18) so candidate generation can emit pair sizes and the
+        # verify's size-ratio gate fires BEFORE the array joins — one
+        # narrow long next to 16 hashes, not a schema change to the
+        # persisted artifact (write_signature_artifact builds its own
+        # frame and selects _SIG_ARTIFACT_COLUMNS)
+        .withColumn("nw", F.size("ws"))
+        .drop("ws")
     )
     return sigs.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -343,6 +366,18 @@ def _verify_jaccard_pairs(
     (plan-asserted in tests/test_dedup_scale.py)."""
     docs = _doc_word_arrays(spark, sf_dir)
     hint = hinted and _wont_broadcast(docs, spark)
+    size_gate = F.lit(JACCARD_THRESHOLD - 1e-4)
+    if "_na" in pairs.columns and "_nb" in pairs.columns:
+        # the pair stream carries its word-set sizes (candidate
+        # generation with_sizes=True, r18): reject size-incompatible
+        # pairs BEFORE the two doc-array joins — 73% of the stream at
+        # sf0.1 never touches an array row; the post-join gate below
+        # stays as the invariant for size-less callers. _na/_nb come
+        # from the same size(ws) the rescan recomputes, so the two
+        # gates agree row-for-row.
+        pairs = pairs.filter(
+            F.least("_na", "_nb") >= size_gate * F.greatest("_na", "_nb")
+        ).select("doc_a", "doc_b")
     sets_a = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("ws").alias("ws_a"),
@@ -441,7 +476,7 @@ def q_ns_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     r17 — its docstring holds the adjudication).
     """
     sigs = _cached_signatures(spark, sf_dir)
-    pairs = lsh_candidate_pairs_salted(sigs)
+    pairs = lsh_candidate_pairs_salted(sigs, with_sizes=True)
     return _verify_jaccard_pairs(spark, sf_dir, pairs)
 
 
@@ -475,6 +510,7 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = _bands_array()
     banded = sigs.select(
         "doc_id",
+        "nw",
         bands.alias("bands"),
         F.posexplode(bands).alias("band_idx", "band_hash"),
     )
@@ -482,6 +518,7 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = banded.alias("a")
     b = banded.filter(is_new).alias("b")
     a_new = F.col("a.doc_id") % INCR_MOD == INCR_REM
+    a_first = F.col("a.doc_id") < F.col("b.doc_id")
     pairs = (
         a.join(
             b,
@@ -498,9 +535,18 @@ def q_ns_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stream pair-unique — no distinct() exchange (r18, same
         # proof as lsh_candidate_pairs_salted)
         .filter(_first_shared_band())
+        # carry the word-set sizes so the verify's size gate fires
+        # before the array joins (r18, lsh_candidate_pairs_salted
+        # with_sizes convention)
         .select(
             F.least("a.doc_id", "b.doc_id").alias("doc_a"),
             F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            F.when(a_first, F.col("a.nw"))
+            .otherwise(F.col("b.nw"))
+            .alias("_na"),
+            F.when(a_first, F.col("b.nw"))
+            .otherwise(F.col("a.nw"))
+            .alias("_nb"),
         )
     )
     kind = F.when(
