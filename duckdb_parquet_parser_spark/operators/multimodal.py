@@ -625,8 +625,13 @@ def video_neardup_pairs(
     matched = (
         a.join(b, ["frame_idx", "band_idx", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # first-shared-band gate instead of distinct() (r18): one row
+        # per (video pair, frame index) survives, from the hashes
+        # already in flight — the matched-frame count is identical and
+        # the candidate stream never shuffles for dedup (the count's
+        # own partial aggregation is the only exchange left)
+        .filter(_first_shared_band_gate("hash_a", "hash_b"))
         .select("doc_a", "doc_b", "frame_idx", hamming.alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= hamming_max)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("matched_frames"))
@@ -699,10 +704,32 @@ def _banded_hash_pairs(
     return (
         a.join(b, ["band_idx", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        # Cross-band dedup WITHOUT the distinct() exchange (r18, the
+        # dedup.py first-shared-band finding): a pair sharing k of the
+        # 4 bands surfaces k times; keep it only at its FIRST shared
+        # band — computable from the full hashes BOTH sides already
+        # carry, so the gate costs two shifts per earlier band and zero
+        # extra bytes, and the pair stream is pair-unique with no
+        # shuffle. Pinned vs the distinct() spelling in
+        # tests/test_r18_fixes.py.
+        .filter(_first_shared_band_gate("hash_a", "hash_b"))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= hamming_max)
     )
+
+
+def _first_shared_band_gate(hash_a: str, hash_b: str):
+    """Keep a banded pair row only at the pair's first shared 16-bit
+    band: band ``band_idx`` survives iff band i of the two hashes
+    differs for every i < band_idx. Hashes are non-null by construction
+    (undecodable payloads are filtered before banding), so the !=
+    comparisons are two-valued."""
+    cond = F.lit(True)
+    for i in range(AHASH_BANDS - 1):
+        ba = F.shiftrightunsigned(hash_a, 16 * i).bitwiseAND(F.lit(0xFFFF))
+        bb = F.shiftrightunsigned(hash_b, 16 * i).bitwiseAND(F.lit(0xFFFF))
+        cond = cond & ((F.col("band_idx") <= F.lit(i)) | (ba != bb))
+    return cond
 
 
 def image_neardup_pairs(

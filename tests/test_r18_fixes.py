@@ -111,3 +111,30 @@ def test_verify_plan_gates_intersect_behind_size_filter(spark, sf_smoke):
         assert ln.index("least") < ln.index("array_intersect"), ln
     # threshold margin sanity: the gate constant sits just under τ
     assert 0 < JACCARD_THRESHOLD - (JACCARD_THRESHOLD - 1e-4) < 1e-3
+
+
+def test_media_banded_pairs_unique_without_distinct(spark, sf_smoke):
+    """The media banding engine's first-shared-band gate replaces its
+    distinct(): the (doc_a, doc_b) stream must already be one row per
+    pair (the brute-force set-equality lives in
+    tests/test_multimodal_decode.py — this pins the uniqueness half a
+    set comparison cannot see)."""
+    from duckdb_parquet_parser_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        image_neardup_pairs,
+    )
+    from duckdb_parquet_parser_spark.operators.multimodal_synth import (
+        build_audio_sig_table,
+        build_image_table,
+    )
+
+    for tag, pairs in (
+        ("image", image_neardup_pairs(build_image_table(spark, sf_smoke))),
+        (
+            "audio",
+            audio_neardup_pairs(build_audio_sig_table(spark, sf_smoke)),
+        ),
+    ):
+        rows = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+        assert rows, tag  # non-trivial graph
+        assert len(rows) == len(set(rows)), (tag, "duplicate pair rows")
